@@ -1,10 +1,17 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query is implemented Spark-first in
+``kafka_streams_one_to_many_join_spark`` and paired with an ANSI-SQL DuckDB
+oracle over the same parquet tables.  Column names and types are aligned on
+both sides (the driver hashes values after sorting columns by name).
+
+Mapping of the reference scenario onto the driver testdata (FIXTURES.md):
+``events`` plays the keyed event streams — ``user_id`` ≙ car_id,
+``event_type`` ≙ zone_id, ``value`` ≙ fuel/pollution, ``event_id`` ≙ the
+arrival-order ``seq`` (unique, ts-consistent).  Even event_ids are "car"
+(many-side) events, odd are "zone" (one-side) events.  ``orders ⋈
+customer`` is the static one-to-many FK join; ``documents``/``embeddings``
+drive the dedup / text / similarity operators.
 """
 
 from __future__ import annotations
@@ -12,27 +19,806 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_one_to_many_join_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from kafka_streams_one_to_many_join_spark.functions.multimodal import asset_metadata
+from kafka_streams_one_to_many_join_spark.functions.similarity import brute_force_topk
+from kafka_streams_one_to_many_join_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    text_stats,
+)
+from kafka_streams_one_to_many_join_spark.model import load_table
+from kafka_streams_one_to_many_join_spark.operators import (
+    arrive_leave_events,
+    asof_join,
+    car_moves,
+    fanout_counts,
+    latest_by_key,
+    one_to_many_join,
+    one_to_many_join_trace,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# reference-scenario streams derived from `events`
+# ---------------------------------------------------------------------------
+
+
+def _car_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Many-side stream: even event_ids; car_id=user_id, zone_id=event_type."""
+    return (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("seq"),
+            F.col("user_id").alias("car_id"),
+            F.col("event_type").alias("zone_id"),
+            F.col("value").alias("fuel_level"),
+        )
+    )
+
+
+def _zone_events(spark: SparkSession, sf: str) -> DataFrame:
+    """One-side stream: odd event_ids; zone_id=event_type."""
+    return (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("seq"),
+            F.col("event_type").alias("zone_id"),
+            F.col("value").alias("pollution_level"),
+        )
+    )
+
+
+_CAR_EV_SQL = (
+    "SELECT event_id AS seq, user_id AS car_id, event_type AS zone_id, "
+    "value AS fuel_level FROM events WHERE event_id % 2 = 0"
+)
+_ZONE_EV_SQL = (
+    "SELECT event_id AS seq, event_type AS zone_id, value AS pollution_level "
+    "FROM events WHERE event_id % 2 = 1"
+)
+
+# ---------------------------------------------------------------------------
+# queries — reference core (SURVEY.md §2 O1-O9, T1/T2, §3.2)
+# ---------------------------------------------------------------------------
+
+
+def q_latest_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    """T1/T2 stream-as-table: latest car event per car (upsert semantics)."""
+    return latest_by_key(
+        _car_events(spark, sf), keys="car_id", order_by="seq",
+        payload=["zone_id", "fuel_level"],
+    )
+
+
+def q_one_to_many_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: current pollution exposure of every car (SURVEY.md §3.2).
+
+    latest(cars) ⋈ latest(zones) on the FK, inner — the batch snapshot of
+    the reference's continuously-maintained join.  The one side is
+    broadcast: at 100 TB the many side never shuffles.
+    """
+    cars = latest_by_key(
+        _car_events(spark, sf), keys="car_id", order_by="seq",
+        payload=["zone_id", "fuel_level"],
+    )
+    zones = latest_by_key(
+        _zone_events(spark, sf), keys="zone_id", order_by="seq",
+        payload=["pollution_level"],
+    )
+    return one_to_many_join(cars, zones, fk="zone_id").select(
+        "car_id", "zone_id", "fuel_level", "pollution_level"
+    )
+
+
+def q_join_trace(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-level emission trace of the reference topology (all edge
+    cases: inner suppression, fan-out, delete propagation, same-zone
+    quirk)."""
+    return one_to_many_join_trace(_car_events(spark, sf), _zone_events(spark, sf))
+
+
+def q_car_moves(spark: SparkSession, sf: str) -> DataFrame:
+    """O1 change detection: previous zone per car event (NULL on first)."""
+    return car_moves(
+        _car_events(spark, sf), key="car_id", zone="zone_id",
+        order_by="seq", payload="fuel_level",
+    ).select("seq", "car_id", "from_zone_id", "to_zone_id", "fuel_level")
+
+
+def q_arrive_leave(spark: SparkSession, sf: str) -> DataFrame:
+    """O3 flatMap: explode each move into arrive (+leave) events."""
+    moves = car_moves(
+        _car_events(spark, sf), key="car_id", zone="zone_id",
+        order_by="seq", payload="fuel_level",
+    )
+    return arrive_leave_events(moves).select(
+        "seq", "car_id", "zone_id", "is_arriving", "emit_rank", "fuel_level"
+    )
+
+
+def q_zone_occupancy(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete propagation, snapshot form: cars currently per zone — a car
+    counts only in its latest zone."""
+    cars = latest_by_key(
+        _car_events(spark, sf), keys="car_id", order_by="seq",
+        payload=["zone_id"],
+    )
+    return fanout_counts(cars, "zone_id").select(
+        "zone_id", F.col("fanout").alias("n_cars")
+    )
+
+
+def q_union_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """O9 merge: bag union of the two tagged streams (no dedup)."""
+    cars = _car_events(spark, sf).select(
+        "seq", F.col("zone_id"), F.col("fuel_level").alias("value"),
+        F.lit("car").alias("side"),
+    )
+    zones = _zone_events(spark, sf).select(
+        "seq", F.col("zone_id"), F.col("pollution_level").alias("value"),
+        F.lit("zone").alias("side"),
+    )
+    return cars.unionByName(zones)
+
+
+def q_filter_nonnull(spark: SparkSession, sf: str) -> DataFrame:
+    """O8 filter + projection; predicate reaches the parquet scan."""
+    ev = load_table(spark, sf, "events")
+    return ev.filter(
+        F.col("props").isNotNull() & (F.col("value") > 100.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def q_asof_prior_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click event gains the user's most recent prior
+    purchase value (NULL if none)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("value").alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", ord_col="event_id",
+        value_cols=["purchase_value"], strict=True,
+    ).select("event_id", "user_id", "click_value", "purchase_value")
+
+
+def q_orders_with_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Static one-to-many FK join (orders ⋈ customer), dimension broadcast."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    return one_to_many_join(orders, customer, fk="o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+def q_fanout_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Join fan-out bound per FK value (reference O7's per-zone scan size)."""
+    orders = load_table(spark, sf, "orders")
+    return fanout_counts(orders, "o_custkey").select(
+        "o_custkey", F.col("fanout").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — general relational surface (SURVEY.md §2 "operators the
+# reference does NOT have", offered as Spark built-ins)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with partial aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10."""
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey,
+                ).select("o_orderkey", "o_orderdate")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join, local-supplier condition, agg."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Window function: deterministic top-3 orders per customer."""
+    orders = load_table(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_returnflag_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-set rollup (flag, status) with exact counts."""
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_customers_with_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_avg_order_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast FK join + aggregation by dimension attribute."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, sf, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return doc_fingerprint(load_table(spark, sf, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text_stats(load_table(spark, sf, "documents"))
+
+
+def q_token_count_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("bigint")).alias("total_tokens"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return language_id(load_table(spark, sf, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard near-dup pairs (recall 1.0)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.7,
+        max_shingle_freq=10**9,
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidates over trigram shingles, exact-verified."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), num_hashes=16, bands=8,
+        threshold=0.7, shingle_n=3,
+    )
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_buckets(load_table(spark, sf, "documents"))
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+def q_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: documents as opaque binary assets + metadata."""
+    docs = load_table(spark, sf, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("meta_json"),
+    )
+    return asset_metadata(assets)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: current pollution exposure per car."""
+    return q_one_to_many_snapshot(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference core
+        "latest_by_key": q_latest_by_key,
+        "one_to_many_snapshot": q_one_to_many_snapshot,
+        "join_trace": q_join_trace,
+        "car_moves": q_car_moves,
+        "arrive_leave": q_arrive_leave,
+        "zone_occupancy": q_zone_occupancy,
+        "union_merge": q_union_merge,
+        "filter_nonnull": q_filter_nonnull,
+        "asof_prior_purchase": q_asof_prior_purchase,
+        "orders_with_customer": q_orders_with_customer,
+        "fanout_per_customer": q_fanout_per_customer,
+        # general relational surface
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "returnflag_rollup": q_returnflag_rollup,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "avg_order_by_segment": q_avg_order_by_segment,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_stats": q_text_stats,
+        "token_count_by_lang": q_token_count_by_lang,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "asset_metadata": q_asset_metadata,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    return {
+        "latest_by_key": f"""
+            SELECT car_id, zone_id, fuel_level FROM ({_CAR_EV_SQL})
+            QUALIFY row_number() OVER (PARTITION BY car_id ORDER BY seq DESC) = 1
+        """,
+        "one_to_many_snapshot": f"""
+            WITH cars AS (
+                SELECT car_id, zone_id, fuel_level FROM ({_CAR_EV_SQL})
+                QUALIFY row_number() OVER (PARTITION BY car_id ORDER BY seq DESC) = 1
+            ), zones AS (
+                SELECT zone_id, pollution_level FROM ({_ZONE_EV_SQL})
+                QUALIFY row_number() OVER (PARTITION BY zone_id ORDER BY seq DESC) = 1
+            )
+            SELECT c.car_id, c.zone_id, c.fuel_level, z.pollution_level
+            FROM cars c JOIN zones z USING (zone_id)
+        """,
+        "join_trace": f"""
+            WITH car_ev AS ({_CAR_EV_SQL}), zone_ev AS ({_ZONE_EV_SQL}),
+            car_emit AS (
+                SELECT c.car_id, c.zone_id, c.fuel_level,
+                       (SELECT z.pollution_level FROM zone_ev z
+                         WHERE z.zone_id = c.zone_id AND z.seq < c.seq
+                         ORDER BY z.seq DESC LIMIT 1) AS pollution_level
+                FROM car_ev c
+            ),
+            moves AS (
+                SELECT car_id, zone_id, fuel_level, seq,
+                       lag(zone_id) OVER w AS prev_zone,
+                       lead(seq) OVER w AS end_seq
+                FROM car_ev WINDOW w AS (PARTITION BY car_id ORDER BY seq)
+            ),
+            zone_emit AS (
+                SELECT m.car_id, z.zone_id, m.fuel_level, z.pollution_level
+                FROM zone_ev z JOIN moves m
+                  ON m.zone_id = z.zone_id
+                 AND z.seq > m.seq
+                 AND (m.end_seq IS NULL OR z.seq < m.end_seq)
+                WHERE m.prev_zone IS NULL OR m.prev_zone <> m.zone_id
+            )
+            SELECT car_id, zone_id, fuel_level, pollution_level
+            FROM car_emit WHERE pollution_level IS NOT NULL
+            UNION ALL
+            SELECT car_id, zone_id, fuel_level, pollution_level FROM zone_emit
+        """,
+        "car_moves": f"""
+            SELECT seq, car_id,
+                   lag(zone_id) OVER (PARTITION BY car_id ORDER BY seq) AS from_zone_id,
+                   zone_id AS to_zone_id, fuel_level
+            FROM ({_CAR_EV_SQL})
+        """,
+        "arrive_leave": f"""
+            WITH m AS (
+                SELECT seq, car_id,
+                       lag(zone_id) OVER (PARTITION BY car_id ORDER BY seq) AS from_zone_id,
+                       zone_id AS to_zone_id, fuel_level
+                FROM ({_CAR_EV_SQL})
+            )
+            SELECT seq, car_id, to_zone_id AS zone_id, TRUE AS is_arriving,
+                   0::INTEGER AS emit_rank, fuel_level FROM m
+            UNION ALL
+            SELECT seq, car_id, from_zone_id AS zone_id, FALSE AS is_arriving,
+                   1::INTEGER AS emit_rank, fuel_level FROM m
+            WHERE from_zone_id IS NOT NULL
+        """,
+        "zone_occupancy": f"""
+            WITH cars AS (
+                SELECT car_id, zone_id FROM ({_CAR_EV_SQL})
+                QUALIFY row_number() OVER (PARTITION BY car_id ORDER BY seq DESC) = 1
+            )
+            SELECT zone_id, count(*) AS n_cars FROM cars GROUP BY zone_id
+        """,
+        "union_merge": f"""
+            SELECT seq, zone_id, fuel_level AS value, 'car' AS side FROM ({_CAR_EV_SQL})
+            UNION ALL
+            SELECT seq, zone_id, pollution_level AS value, 'zone' AS side FROM ({_ZONE_EV_SQL})
+        """,
+        "filter_nonnull": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE props IS NOT NULL AND value > 100.0
+        """,
+        "asof_prior_purchase": """
+            WITH clicks AS (
+                SELECT event_id, user_id, value AS click_value FROM events
+                WHERE event_type = 'click'
+            ), purchases AS (
+                SELECT event_id, user_id, value AS purchase_value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.click_value,
+                   (SELECT p.purchase_value FROM purchases p
+                     WHERE p.user_id = c.user_id AND p.event_id < c.event_id
+                     ORDER BY p.event_id DESC LIMIT 1) AS purchase_value
+            FROM clicks c
+        """,
+        "orders_with_customer": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "fanout_per_customer": """
+            SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                               AND c_nationkey = s_nationkey
+                          JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "returnflag_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "avg_order_by_segment": """
+            SELECT c_mktsegment, round(avg(o_totalprice), 4) AS avg_price,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "text_stats": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       len({tok})::BIGINT AS n_tokens,
+                       length(text)::BIGINT AS n_chars_total,
+                       length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alpha_chars,
+                       len(list_filter({tok},
+                           t -> list_contains(['the','a','and','of','to'], t)))::BIGINT AS n_stop
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, n_chars_total,
+                   round(CASE WHEN n_tokens > 0
+                         THEN alpha_chars::DOUBLE / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+                   round(CASE WHEN n_chars_total > 0
+                         THEN (n_chars_total - alpha_chars)::DOUBLE / n_chars_total
+                         ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN n_tokens > 0
+                         THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stopword_ratio
+            FROM base
+        """,
+        "token_count_by_lang": f"""
+            SELECT lang, count(*) AS n_docs,
+                   sum(len({tok})::BIGINT)::BIGINT AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "lang_id": f"""
+            WITH scores AS (
+                SELECT doc_id,
+                       len(list_filter({tok}, t -> list_contains(['the','a','and','of','to'], t))) AS score_en,
+                       len(list_filter({tok}, t -> list_contains(['le','la','et','de','un'], t))) AS score_fr,
+                       len(list_filter({tok}, t -> list_contains(['el','la','y','de','un'], t))) AS score_es,
+                       len(list_filter({tok}, t -> list_contains(['der','die','und','von','ein'], t))) AS score_de
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN score_en >= score_fr AND score_en >= score_es
+                             AND score_en >= score_de AND score_en > 0 THEN 'en'
+                        WHEN score_fr >= score_es AND score_fr >= score_de
+                             AND score_fr > 0 THEN 'fr'
+                        WHEN score_es >= score_de AND score_es > 0 THEN 'es'
+                        WHEN score_de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM scores
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS t FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           concat_ws(' ', tk, lead(tk, 1) OVER w, lead(tk, 2) OVER w) AS shingle,
+                           lead(tk, 2) OVER w AS t_last
+                    FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+                ) WHERE t_last IS NOT NULL
+            ),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+                FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+                GROUP BY l.doc_id, r.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common::DOUBLE / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common::DOUBLE / (sa.set_size + sb.set_size - n_common) >= 0.7
+        """,
+        "minhash_lsh": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS t FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           concat_ws(' ', tk, lead(tk, 1) OVER w, lead(tk, 2) OVER w) AS shingle,
+                           lead(tk, 2) OVER w AS t_last
+                    FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+                ) WHERE t_last IS NOT NULL
+            ),
+            sigrows AS (
+                SELECT doc_id, j, min(md5(concat(shingle, '#', j::VARCHAR))) AS minh
+                FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+                GROUP BY doc_id, j
+            ),
+            bandrows AS (
+                SELECT doc_id, j // 2 AS band,
+                       md5(string_agg(minh, '|' ORDER BY j)) AS bsig
+                FROM sigrows GROUP BY doc_id, j // 2
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                FROM bandrows l JOIN bandrows r
+                  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(i.n_common::DOUBLE / (sa.n + sb.n - i.n_common), 6) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                         JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) >= 0.7
+        """,
+        "simhash": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({tok}) AS t FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 268435456
+                     + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16777216
+                     + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 1048576
+                     + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) * 65536
+                     + (strpos('0123456789abcdef', substr(md5(t), 5, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(md5(t), 6, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(md5(t), 7, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(t), 8, 1)) - 1) AS h
+                FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, b.b,
+                       sum(CASE WHEN (h // power(2, b.b)::BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
+                       count(*) AS total
+                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+                GROUP BY doc_id, b.b
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN ones * 2 > total
+                       THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                WHERE vec_id % 100 = 0
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       round(
+                           list_sum(list_transform(generate_series(1, len(e.embedding)),
+                               i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+                           / nullif(
+                               sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                             * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))), 0.0)
+                       , 6) AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, sim, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rank FROM s
+            ) WHERE rank <= 10
+        """,
+        "asset_metadata": """
+            SELECT doc_id AS asset_id, 'image' AS media_type,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS digest
+            FROM documents
+        """,
+    }

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed once after a warm-up action that triggers JVM/codegen
+warm paths; timing is wall clock per query (plan + execute + collect-count).
+The headline metric is the total wall time of the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from kafka_streams_one_to_many_join_spark.session import get_session
+
+BENCH_QUERIES = [
+    # reference core
+    "latest_by_key",
+    "one_to_many_snapshot",
+    "join_trace",
+    "car_moves",
+    "arrive_leave",
+    "zone_occupancy",
+    "asof_prior_purchase",
+    "orders_with_customer",
+    "fanout_per_customer",
+    # relational surface
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "top_orders_per_customer",
+    "returnflag_rollup",
+    "customers_with_orders",
+    "avg_order_by_segment",
+    # pipeline operators
+    "dedup_exact",
+    "doc_fingerprint",
+    "text_stats",
+    "lang_id",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "ann_topk",
+    "asset_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_session("bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warm up the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # count() forces the full plan without driver-side row transfer
+        df.agg(F.count(F.lit(1))).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

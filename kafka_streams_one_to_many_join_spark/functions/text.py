@@ -1,0 +1,113 @@
+"""Text analysis over document tables — tokenize, quality stats, language
+ID, fingerprinting.
+
+Everything here is a pure Catalyst expression (regexp/higher-order/hash
+built-ins): per-row, embarrassingly parallel, whole-stage-codegen'd, no
+shuffle, no Python.  The exact token definition is pinned (and mirrored in
+the DuckDB oracle SQL) so results are bit-reproducible across engines:
+a token is a maximal run of ``[a-z0-9]`` in the lower-cased text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic.  Deterministic and mirrored in oracle SQL; not a real langid
+# model — the point is the Spark plumbing (array ops, no UDF).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "fr": ["le", "la", "et", "de", "un"],
+    "es": ["el", "la", "y", "de", "un"],
+    "de": ["der", "die", "und", "von", "ein"],
+}
+
+
+def tokens_expr(text_col: str) -> Column:
+    """text column (by name) → array of lower-case alphanumeric tokens."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality stats: token count, char count, average token
+    length, punctuation ratio, stopword ratio, all-caps-ness.
+
+    These are the standard pre-training quality filters (length bounds,
+    symbol ratios, stopword presence) expressed as one projection.
+    """
+    toks = tokens_expr(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    n_char = F.length(F.col(text_col)).cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.expr(
+        f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0), "
+        "t -> array_contains(array('the','a','and','of','to'), t))"
+    )).cast("bigint")
+    _ = stop_arr
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_total"),
+        F.round(
+            F.when(n_tok > 0, alpha_chars.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n_char > 0, (n_char - alpha_chars).cast("double") / n_char.cast("double")).otherwise(F.lit(0.0)), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit counts,
+    'und' when no list scores > 0.  Deterministic tiebreak: language order
+    en, fr, es, de (first max wins).
+    """
+    toks = tokens_expr(text_col)
+    scores = []
+    for lang in ("en", "fr", "es", "de"):
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        scores.append(
+            F.size(F.expr(
+                f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0), "
+                f"t -> array_contains(array({words}), t))"
+            )).alias(f"score_{lang}")
+        )
+    scored = docs.select(F.col(id_col), toks.alias("_toks"), *scores)
+    best = (
+        F.when(
+            (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") > 0),
+            F.lit("en"),
+        )
+        .when((F.col("score_fr") >= F.col("score_es")) & (F.col("score_fr") >= F.col("score_de")) & (F.col("score_fr") > 0), F.lit("fr"))
+        .when((F.col("score_es") >= F.col("score_de")) & (F.col("score_es") > 0), F.lit("es"))
+        .when(F.col("score_de") > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return scored.select(F.col(id_col), best.alias("lang_pred"))
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalization fingerprint: md5 of the whitespace-collapsed,
+    lower-cased, punctuation-stripped text.  Two documents with the same
+    fingerprint are content-equal modulo formatting — the exact-dedup key
+    used by every large-scale corpus pipeline.
+    """
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+        " +",
+        " ",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.trim(normalized)).alias("fingerprint"),
+    )

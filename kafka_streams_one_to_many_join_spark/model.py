@@ -1,0 +1,136 @@
+"""Schemas: the reference domain model re-expressed as Spark StructTypes,
+plus loaders for the driver-generated testdata tables.
+
+Reference domain (DomainModel.scala:8-12, DemoApp.scala:142-151):
+  CarArrivalEvent(car_id, to_zone_id, fuel_level)    — many side, keyed car_id
+  ZoneEvent(zone_id, pollution_level)                — one side, keyed zone_id
+  JoinedCarPollutionEvent(car_id, zone_id, fuel_level, pollution_level)
+  CarMove(from_zone nullable, to_zone, car_id, fuel_level)  — Option[Int] →
+      nullable INT column; the ``noPrevMov`` sentinel (DemoApp.scala:146)
+      becomes SQL NULL, no sentinel needed.
+  CarMoveEvent(car_id, zone_id, is_arriving, fuel_level)
+
+All streams carry an explicit ``seq BIGINT`` ordering column because the
+reference's semantics depend on arrival order and have no data timestamps
+(DemoApp.scala:62-63; FIXTURES.md).
+
+JSON codec: the reference's crash-on-parse JsonSerdes (JsonSerdes.scala:40)
+is replaced with Spark's from_json/to_json in PERMISSIVE mode — malformed
+records land in a corrupt-record column instead of killing the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CORRUPT_COL = "_corrupt_record"
+
+CAR_ARRIVAL_EVENT = StructType(
+    [
+        StructField("seq", LongType(), False),
+        StructField("car_id", IntegerType(), False),
+        StructField("to_zone_id", IntegerType(), False),
+        StructField("fuel_level", DoubleType(), False),
+    ]
+)
+
+ZONE_EVENT = StructType(
+    [
+        StructField("seq", LongType(), False),
+        StructField("zone_id", IntegerType(), False),
+        StructField("pollution_level", DoubleType(), False),
+    ]
+)
+
+JOINED_CAR_POLLUTION_EVENT = StructType(
+    [
+        StructField("car_id", IntegerType(), False),
+        StructField("zone_id", IntegerType(), False),
+        StructField("fuel_level", DoubleType(), False),
+        StructField("pollution_level", DoubleType(), False),
+    ]
+)
+
+CAR_MOVE = StructType(
+    [
+        StructField("car_id", IntegerType(), False),
+        StructField("from_zone_id", IntegerType(), True),  # Option[Int] → nullable
+        StructField("to_zone_id", IntegerType(), False),
+        StructField("fuel_level", DoubleType(), False),
+    ]
+)
+
+CAR_MOVE_EVENT = StructType(
+    [
+        StructField("car_id", IntegerType(), False),
+        StructField("zone_id", IntegerType(), False),
+        StructField("is_arriving", BooleanType(), False),
+        StructField("fuel_level", DoubleType(), False),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def decode_json(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
+    """JSON bytes/string → typed columns, permissive (JsonSerdes replacement).
+
+    Unlike JsonSerdes.scala:40 (Try.get → pipeline crash on malformed input),
+    parse failures yield NULL fields plus the raw payload in
+    ``_corrupt_record`` — a dead-letter channel the reference's TODO at
+    JsonSerdes.scala:35 wished for.
+    """
+    schema_with_corrupt = StructType(
+        list(schema.fields) + [StructField(_CORRUPT_COL, StringType(), True)]
+    )
+    parsed = raw.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL},
+        ),
+    )
+    return parsed.select(*raw.columns, "_parsed.*")
+
+
+def encode_json(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """Typed columns → JSON string (to_json over a struct of all columns)."""
+    use = cols or df.columns
+    return F.to_json(F.struct(*[F.col(c) for c in use]))

@@ -1,0 +1,91 @@
+"""Batch replay of the reference's *event-level* join output trace.
+
+The snapshot join (latest ⋈ latest) answers "what does the joined table
+look like now"; this operator answers the stronger question the reference
+actually computes: **which joined rows were emitted, one per triggering
+event** (DemoApp.scala:57-60) — re-emission on either side's update, inner
+suppression of unknown zones, delete propagation, and the same-zone
+re-arrival quirk (FIXTURES.md edge cases 1-6) all included.  It is the
+batch oracle the streaming operator (streaming/join.py) is tested against.
+
+Semantics replayed (seq = global arrival order):
+
+- car event e: emits (car, zone, fuel, pollution-as-of-e) iff some zone
+  event for that zone precedes e (DemoApp.scala:210-222) — an as-of join.
+- zone event z: emits one row per car *in the zone's store* at z.seq
+  (DemoApp.scala:279-290).  A car is in the store from a *sticky* arrival
+  (first event, or zone ≠ previous zone) until its next event — any next
+  event removes it: a move deletes the old entry (DemoApp.scala:224-230),
+  and a same-zone re-arrival put-then-deletes the same key (the quirk,
+  DemoApp.scala:116-119,129).  Residency is therefore an interval
+  [arrival.seq, next_event.seq), and zone-side emissions are an interval
+  join.
+
+Scale: the as-of side is one shuffle + sort (operators/asof.py).  The
+interval join is equi on zone_id with a range residual — fine while
+per-zone event counts are modest; at pathological per-key volumes,
+bucketize seq ranges first (documented trade; the streaming operator is
+the truly incremental path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_one_to_many_join_spark.operators.asof import asof_join
+
+
+def one_to_many_join_trace(car_ev: DataFrame, zone_ev: DataFrame) -> DataFrame:
+    """Emission trace of the continuously-maintained one-to-many join.
+
+    car_ev:  (seq BIGINT, car_id, zone_id, fuel_level)
+    zone_ev: (seq BIGINT, zone_id, pollution_level)
+    Returns the multiset of emitted (car_id, zone_id, fuel_level,
+    pollution_level) rows.
+    """
+    # --- car-triggered emissions: pollution as of the car event ---
+    car_emit = (
+        asof_join(
+            car_ev,
+            zone_ev,
+            on="zone_id",
+            ord_col="seq",
+            value_cols=["pollution_level"],
+            strict=True,
+        )
+        .filter(F.col("pollution_level").isNotNull())
+        .select("car_id", "zone_id", "fuel_level", "pollution_level")
+    )
+
+    # --- zone-triggered fan-out: cars resident in the zone at z.seq ---
+    w = Window.partitionBy("car_id").orderBy("seq")
+    moves = car_ev.select(
+        "car_id",
+        "zone_id",
+        "fuel_level",
+        "seq",
+        F.lag("zone_id").over(w).alias("_prev_zone"),
+        F.lead("seq").over(w).alias("_end_seq"),
+    )
+    sticky = moves.filter(
+        F.col("_prev_zone").isNull() | (F.col("_prev_zone") != F.col("zone_id"))
+    )
+    zone_emit = (
+        zone_ev.alias("z")
+        .join(
+            sticky.alias("m"),
+            on=(
+                (F.col("m.zone_id") == F.col("z.zone_id"))
+                & (F.col("z.seq") > F.col("m.seq"))
+                & (F.col("m._end_seq").isNull() | (F.col("z.seq") < F.col("m._end_seq")))
+            ),
+        )
+        .select(
+            F.col("m.car_id").alias("car_id"),
+            F.col("z.zone_id").alias("zone_id"),
+            F.col("m.fuel_level").alias("fuel_level"),
+            F.col("z.pollution_level").alias("pollution_level"),
+        )
+    )
+    return car_emit.unionByName(zone_emit)

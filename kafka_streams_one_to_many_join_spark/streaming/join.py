@@ -1,0 +1,218 @@
+"""Stateful streaming one-to-many join with table semantics.
+
+The reference implements this as two Kafka Streams transformers sharing two
+RocksDB stores (DemoApp.scala:187-298).  Here it is two keyed stateful
+operators (``applyInPandasWithState``), mirroring the topology:
+
+  stage 1 — car_move_detection, keyed by car_id (reference O1+O3,
+      DemoApp.scala:86-90,116-130): per-car ValueState of the last zone;
+      each car event emits an arrive row (and a leave row for the previous
+      zone, INCLUDING the same-zone quirk — FIXTURES.md edge case 4).
+
+  stage 2 — symmetric_one_to_many_join, keyed by zone_id (reference O6+O7,
+      DemoApp.scala:187-298): per-zone state holds the zone's latest value
+      (the reference's zone-events-store, DemoApp.scala:251-254) plus the
+      map car_id → fuel of cars currently in the zone (the reference's
+      composite-key range-scan store, DemoApp.scala:182-185 — Spark keyed
+      state is hash-addressed, so "prefix scan over ZoneCarId(z, *)"
+      becomes "the one state entry for key z", same asymptotics, SURVEY.md
+      §4.3).  Car arrive → upsert + probe (emit if zone known,
+      DemoApp.scala:210-222); car leave → delete, emit nothing
+      (DemoApp.scala:224-230 — no retraction); zone event → upsert + fan
+      out one row per car in the zone (DemoApp.scala:279-290).
+
+Between the stages sits a shuffle on zone_id — Spark's in-engine version of
+the reference's co-partitioning `through` topic (O5, DemoApp.scala:90),
+with no broker round trip.  Chaining two stateful operators in one
+streaming query is restricted in Spark, so the topology helper in the tests
+materializes stage 1 through a parquet directory — which is *exactly* what
+the reference's `through` topic does, minus the broker.
+
+Ordering: the reference relies on per-partition arrival order with no
+timestamps (DemoApp.scala:62-63).  Here each micro-batch is processed in
+(seq, emit_rank) order per key; cross-batch order is batch arrival order —
+the same contract.
+
+State at 100 TB: state is partitioned by key across executors (RocksDB
+provider, off-heap, changelog-checkpointed — session.py); per-zone state is
+O(cars currently in zone), and the per-update work is O(1) for car events /
+O(fan-out) for zone events — identical asymptotics to the reference
+(BASELINE.md "Per-update join cost").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CAR_MOVE_EVENT_STREAM = StructType(
+    [
+        StructField("car_id", IntegerType(), False),
+        StructField("zone_id", IntegerType(), False),
+        StructField("is_arriving", BooleanType(), False),
+        StructField("emit_rank", IntegerType(), False),
+        StructField("fuel_level", DoubleType(), False),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+_MOVE_STATE = StructType(
+    [
+        StructField("last_zone", IntegerType(), True),
+        StructField("last_fuel", DoubleType(), True),
+    ]
+)
+
+JOINED_STREAM = StructType(
+    [
+        StructField("car_id", IntegerType(), False),
+        StructField("zone_id", IntegerType(), False),
+        StructField("fuel_level", DoubleType(), False),
+        StructField("pollution_level", DoubleType(), False),
+    ]
+)
+
+# zone-side ValueState + car-side map (parallel arrays — Arrow-friendly)
+_JOIN_STATE = StructType(
+    [
+        StructField("pollution_level", DoubleType(), True),
+        StructField("car_ids", StringType(), True),  # csv of ints
+        StructField("car_fuels", StringType(), True),  # csv of doubles
+    ]
+)
+
+
+def _move_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    (car_id,) = key
+    last_zone, _last_fuel = state.get if state.exists else (None, None)
+    out: list[dict] = []
+    for pdf in pdfs:
+        for row in pdf.sort_values("seq").itertuples(index=False):
+            # arrive at the new zone (DemoApp.scala:127)
+            out.append(
+                dict(car_id=car_id, zone_id=int(row.to_zone_id), is_arriving=True,
+                     emit_rank=0, fuel_level=float(row.fuel_level), seq=int(row.seq))
+            )
+            # leave the previous zone if any — even if unchanged (quirk,
+            # DemoApp.scala:116-119,129)
+            if last_zone is not None:
+                out.append(
+                    dict(car_id=car_id, zone_id=int(last_zone), is_arriving=False,
+                         emit_rank=1, fuel_level=float(row.fuel_level), seq=int(row.seq))
+                )
+            last_zone = int(row.to_zone_id)
+            _last_fuel = float(row.fuel_level)
+    state.update((last_zone, _last_fuel))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def car_move_detection(car_events: DataFrame) -> DataFrame:
+    """Streaming O1+O3: car events → arrive/leave CarMoveEvents.
+
+    Input columns: seq, car_id, to_zone_id, fuel_level.
+    """
+    return car_events.groupBy("car_id").applyInPandasWithState(
+        _move_fn,
+        outputStructType=CAR_MOVE_EVENT_STREAM,
+        stateStructType=_MOVE_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def tag_car_moves(moves: DataFrame) -> DataFrame:
+    """CarMoveEvents → the tagged union schema of the join input."""
+    return moves.select(
+        F.col("zone_id"),
+        F.lit("car").alias("kind"),
+        F.col("seq"),
+        F.col("emit_rank"),
+        F.col("car_id"),
+        F.col("is_arriving"),
+        F.col("fuel_level"),
+        F.lit(None).cast("double").alias("pollution_level"),
+    )
+
+
+def tag_zone_events(zone_events: DataFrame) -> DataFrame:
+    """Zone events (seq, zone_id, pollution_level) → tagged union schema."""
+    return zone_events.select(
+        F.col("zone_id"),
+        F.lit("zone").alias("kind"),
+        F.col("seq"),
+        F.lit(2).alias("emit_rank"),
+        F.lit(None).cast("int").alias("car_id"),
+        F.lit(None).cast("boolean").alias("is_arriving"),
+        F.lit(None).cast("double").alias("fuel_level"),
+        F.col("pollution_level"),
+    )
+
+
+def _join_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    (zone_id,) = key
+    if state.exists:
+        pollution, ids_csv, fuels_csv = state.get
+        cars: dict[int, float] = (
+            {int(i): float(f) for i, f in zip(ids_csv.split(","), fuels_csv.split(","))}
+            if ids_csv
+            else {}
+        )
+    else:
+        pollution, cars = None, {}
+    out: list[dict] = []
+    for pdf in pdfs:
+        for row in pdf.sort_values(["seq", "emit_rank"]).itertuples(index=False):
+            if row.kind == "car":
+                car_id = int(row.car_id)
+                if bool(row.is_arriving):
+                    # upsert + probe (DemoApp.scala:210-222)
+                    cars[car_id] = float(row.fuel_level)
+                    if pollution is not None:
+                        out.append(dict(car_id=car_id, zone_id=zone_id,
+                                        fuel_level=float(row.fuel_level),
+                                        pollution_level=float(pollution)))
+                else:
+                    # delete, no retraction (DemoApp.scala:224-230)
+                    cars.pop(car_id, None)
+            else:
+                # zone upsert + fan-out (DemoApp.scala:279-290)
+                pollution = float(row.pollution_level)
+                for car_id, fuel in sorted(cars.items()):
+                    out.append(dict(car_id=car_id, zone_id=zone_id,
+                                    fuel_level=fuel, pollution_level=pollution))
+    state.update(
+        (
+            pollution,
+            ",".join(str(i) for i in cars),
+            ",".join(repr(cars[i]) for i in cars),
+        )
+    )
+    if out:
+        yield pd.DataFrame(out)
+
+
+def symmetric_one_to_many_join(tagged: DataFrame) -> DataFrame:
+    """Streaming O6+O7: tagged union of car-moves and zone events, keyed by
+    zone_id, → continuously-refreshed joined rows.
+    """
+    return tagged.groupBy("zone_id").applyInPandasWithState(
+        _join_fn,
+        outputStructType=JOINED_STREAM,
+        stateStructType=_JOIN_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
