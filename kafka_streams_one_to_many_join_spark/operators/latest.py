@@ -15,6 +15,13 @@ O(events).  A window sort moves *every* event through the shuffle and then
 sorts each partition — strictly worse at 100 TB.  Struct ordering in Spark
 is lexicographic by field position, which gives the multi-column tiebreak
 (e.g. ts DESC, event_id DESC) deterministically.
+
+Physical note: the struct-typed aggregation buffer makes Spark pick
+SortAggregate over HashAggregate (verified via .explain — UnsafeRow agg
+buffers only take mutable primitives).  The partial/final split around the
+exchange is preserved (``partial_max_by`` on the map side), which is the
+property that matters for shuffle volume; the map-side sort is in-memory,
+spillable, and far cheaper than shuffling every event.
 """
 
 from __future__ import annotations

@@ -46,4 +46,12 @@ def scan_read_schema(df: DataFrame) -> str:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    """Number of shuffle (hash/range) exchange nodes in the plan tree.
+
+    Formatted mode prints each tree node as 'Exchange (n)' (details print
+    '(n) Exchange', which doesn't match).  BroadcastExchange is excluded —
+    broadcasting the dimension side is precisely NOT a shuffle of the data,
+    and conflating the two would penalize the plans we want."""
+    import re
+
+    return len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", formatted_plan(df)))

@@ -1,0 +1,142 @@
+"""Dedup / similarity / text / multimodal function tests on small fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kafka_streams_one_to_many_join_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_buckets,
+)
+from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+    asset_metadata,
+    extract_image_features,
+    sample_frames_stub,
+)
+from kafka_streams_one_to_many_join_spark.functions.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    lsh_topk,
+)
+from kafka_streams_one_to_many_join_spark.model import load_table
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(spark):
+    out = {r.text_hash: (r.canonical_id, r.n_copies) for r in exact_duplicates(_docs(spark)).collect()}
+    assert (1, 2) in out.values()  # docs 1 & 4 collapse to canonical 1
+    assert len(out) == 3
+
+
+def test_shingles_short_doc_empty(spark):
+    docs = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert shingles(docs, n=5).count() == 0
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert all(a != 3 and b != 3 for a, b in got)
+    exact = [r for r in pairs if (r.doc_a, r.doc_b) == (1, 4)][0]
+    assert exact.jaccard == 1.0
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), threshold=0.5, shingle_n=3).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 4) in got  # identical docs always collide on every band
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r.doc_id: r.simhash for r in simhash_buckets(_docs(spark)).collect()}
+    assert out[1] == out[4]  # identical text → identical simhash
+    ham_12 = bin(out[1] ^ out[2]).count("1")
+    ham_13 = bin(out[1] ^ out[3]).count("1")
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+
+
+def _emb(spark, n=20, dim=8):
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(dim).astype("float32").tolist(), i % 3) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_expr_vs_pandas(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
+    qpdf = queries.toPandas()
+    b = (
+        brute_force_topk_pandas(emb, qpdf, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.vec_id) for r in a] == [(r.query_id, r.vec_id) for r in b]
+    assert all(abs(x.sim - y.sim) < 1e-9 for x, y in zip(a, b))
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    emb = _emb(spark, n=50)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rng = np.random.RandomState(3)
+    planes = rng.randn(4, 8).tolist()
+    approx = lsh_topk(emb, queries, planes, k=5).collect()
+    # every approx neighbor must be a real corpus vector with correct sim
+    exact = brute_force_topk(emb, queries, k=50).collect()
+    exact_sims = {(r.query_id, r.vec_id): r.sim for r in exact}
+    for r in approx:
+        assert (r.query_id, r.vec_id) in exact_sims
+        assert abs(exact_sims[(r.query_id, r.vec_id)] - r.sim) < 1e-9
+
+
+def _assets(spark):
+    return spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x89PNG fake payload 1"), None),
+            (2, "image", bytearray(b"\x89PNG other payload"), None),
+            (3, "video", bytearray(b"\x00" * 4096), None),
+        ],
+        "asset_id long, media_type string, payload binary, meta_json string",
+    )
+
+
+def test_asset_metadata(spark):
+    out = {r.asset_id: (r.n_bytes, r.digest) for r in asset_metadata(_assets(spark)).collect()}
+    assert out[1][0] == 19 and len(out[1][1]) == 32
+    assert out[1][1] != out[2][1]
+
+
+def test_extract_image_features_deterministic(spark):
+    a = extract_image_features(_assets(spark)).orderBy("asset_id").collect()
+    b = extract_image_features(_assets(spark)).orderBy("asset_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 2  # only media_type == image
+    assert all(64 <= r.width <= 320 and 64 <= r.height <= 320 for r in a)
+
+
+def test_sample_frames_only_video(spark):
+    out = sample_frames_stub(_assets(spark), every_nth=10).collect()
+    assert len(out) >= 1
+    assert all(r.frame_no % 10 == 0 for r in out)

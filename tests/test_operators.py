@@ -1,0 +1,99 @@
+"""Unit tests for core operators on hand-built fixtures (FIXTURES.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_one_to_many_join_spark.operators import (
+    arrive_leave_events,
+    asof_join,
+    car_moves,
+    latest_by_key,
+    one_to_many_join,
+)
+from kafka_streams_one_to_many_join_spark.operators.latest import latest_by_key_window
+
+
+def test_latest_by_key_matches_window_variant(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a", 1.0), (2, 1, "b", 2.0), (3, 2, "c", 3.0), (4, 2, "d", 4.0),
+         (5, 1, "e", 5.0)],
+        "seq long, k int, v string, x double",
+    )
+    a = latest_by_key(df, keys="k", order_by="seq").orderBy("k").collect()
+    b = (
+        latest_by_key_window(df, keys="k", order_by="seq")
+        .select("k", "v", "x")
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r.k, r.v, r.x) for r in a] == [(r.k, r.v, r.x) for r in b]
+    assert a[0].v == "e" and a[1].v == "d"
+
+
+def test_latest_by_key_composite_order(spark):
+    # same primary ord, tiebreak decides
+    df = spark.createDataFrame(
+        [(1, 1, 1, "lo"), (1, 2, 1, "hi")], "ts long, sub long, k int, v string"
+    )
+    out = latest_by_key(df, keys="k", order_by=["ts", "sub"]).collect()
+    assert out[0].v == "hi"
+
+
+def test_car_moves_first_event_null_prev(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 100, 1.0), (1, 1, 101, 2.0), (2, 2, 100, 3.0)],
+        "seq long, car_id int, to_zone_id int, fuel_level double",
+    )
+    moves = car_moves(df).orderBy("seq").collect()
+    assert moves[0].from_zone_id is None
+    assert moves[1].from_zone_id == 100 and moves[1].to_zone_id == 101
+    assert moves[2].from_zone_id is None
+
+
+def test_arrive_leave_same_zone_quirk(spark):
+    """Same-zone re-arrival must emit arrive THEN leave for the same zone
+    (reference DemoApp.scala:116-119,129 — FIXTURES.md edge case 4)."""
+    df = spark.createDataFrame(
+        [(0, 1, 100, 1.0), (1, 1, 100, 2.0)],
+        "seq long, car_id int, to_zone_id int, fuel_level double",
+    )
+    out = arrive_leave_events(car_moves(df)).orderBy("seq", "emit_rank").collect()
+    # event 0: arrive only; event 1: arrive + leave, both zone 100
+    assert [(r.seq, r.zone_id, r.is_arriving) for r in out] == [
+        (0, 100, True),
+        (1, 100, True),
+        (1, 100, False),
+    ]
+
+
+def test_one_to_many_join_inner_suppression(spark):
+    cars = spark.createDataFrame([(1, 100, 1.0), (2, 999, 2.0)], "car_id int, zone_id int, fuel double")
+    zones = spark.createDataFrame([(100, 50.0)], "zone_id int, pollution double")
+    out = one_to_many_join(cars, zones, fk="zone_id").collect()
+    assert len(out) == 1 and out[0].car_id == 1  # unknown zone suppressed
+
+
+def test_one_to_many_join_left_variant(spark):
+    cars = spark.createDataFrame([(1, 100, 1.0), (2, 999, 2.0)], "car_id int, zone_id int, fuel double")
+    zones = spark.createDataFrame([(100, 50.0)], "zone_id int, pollution double")
+    out = one_to_many_join(cars, zones, fk="zone_id", how="left").orderBy("car_id").collect()
+    assert len(out) == 2 and out[1].pollution is None
+
+
+def test_asof_join_strict_vs_inclusive(spark):
+    left = spark.createDataFrame([(10, 1, "L")], "ord long, k int, tag string")
+    right = spark.createDataFrame(
+        [(5, 1, 5.0), (10, 1, 10.0), (11, 1, 11.0)], "ord long, k int, v double"
+    )
+    strict = asof_join(left, right, on="k", ord_col="ord", value_cols=["v"], strict=True).collect()
+    incl = asof_join(left, right, on="k", ord_col="ord", value_cols=["v"], strict=False).collect()
+    assert strict[0].v == 5.0  # r.ord < 10
+    assert incl[0].v == 10.0  # r.ord <= 10
+
+
+def test_asof_join_no_prior_row_is_null(spark):
+    left = spark.createDataFrame([(1, 1, "L")], "ord long, k int, tag string")
+    right = spark.createDataFrame([(5, 1, 5.0)], "ord long, k int, v double")
+    out = asof_join(left, right, on="k", ord_col="ord", value_cols=["v"]).collect()
+    assert out[0].v is None

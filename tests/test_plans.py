@@ -1,0 +1,67 @@
+"""Scale-posture assertions: the physical plans must have the shape that
+survives 100 TB — filters pushed to the scan, schemas pruned, dimension
+sides broadcast, partial aggregation before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from kafka_streams_one_to_many_join_spark import plans
+from kafka_streams_one_to_many_join_spark.model import load_table
+from kafka_streams_one_to_many_join_spark.operators import latest_by_key, one_to_many_join
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = entry_mod.q_filter_nonnull(spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert "IsNotNull" in pushed and "GreaterThan" in pushed, pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    schema = plans.scan_read_schema(df)
+    assert "l_orderkey" in schema and "l_extendedprice" not in schema, schema
+
+
+def test_one_to_many_join_broadcasts_dimension(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    df = one_to_many_join(orders, cust, fk="o_custkey")
+    assert plans.has_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_latest_by_key_uses_partial_aggregation(spark, sf_dir):
+    """The agg formulation must pre-reduce on the map side (partial_max_by
+    BEFORE the exchange) — shuffle volume O(keys), not O(rows).  The struct
+    buffer forces SortAggregate, but the partial/final split is the property
+    that survives 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    df = latest_by_key(ev.select("user_id", "event_id", "value"),
+                       keys="user_id", order_by="event_id")
+    plan = plans.formatted_plan(df)
+    assert "partial_max_by" in plan, plan
+    assert plans.count_shuffles(df) == 1, plan
+    # partial agg node must appear below (after, in formatted order) the scan
+    # and before the exchange: formatted list order is leaf-last, so simply
+    # assert both phases exist
+    assert plan.count("Aggregate") >= 2, plan
+
+
+def test_flagship_single_shuffle_on_many_side(spark, sf_dir):
+    """Snapshot join: the many side aggregates with partial agg and the
+    dimension join is broadcast — no extra exchange for the join itself."""
+    df = entry_mod.q_one_to_many_snapshot(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """AQE shows codegen spans only in the executed (final) plan — run the
+    query, then inspect the final physical plan."""
+    df = entry_mod.q_pricing_summary(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the '*(id)' whole-stage marker
+    assert "*(1)" in executed, executed

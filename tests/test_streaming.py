@@ -1,0 +1,135 @@
+"""Streaming symmetric one-to-many join: FIXTURES.md edge cases, equality
+with the batch trace operator, and cross-micro-batch state persistence.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from kafka_streams_one_to_many_join_spark.operators import one_to_many_join_trace
+from kafka_streams_one_to_many_join_spark.sources import read_stream, write_stream
+from kafka_streams_one_to_many_join_spark.streaming import (
+    car_move_detection,
+    symmetric_one_to_many_join,
+    tag_car_moves,
+    tag_zone_events,
+)
+
+# FIXTURES.md edge cases 1-6 in one scenario:
+#   seq0 car1→z100 (no zone yet: no emit)          — edge case 1
+#   seq1 z100=50   (fan-out: car1)                 — edge case 2
+#   seq2 car2→z100 (zone known: emit)
+#   seq3 z100=60   (fan-out: car1+car2; upsert won)— edge case 6
+#   seq4 car1→z101 (delete from z100, no emit: z101 unknown)
+#   seq5 z100=70   (fan-out: car2 only)            — edge case 3 (delete propagation)
+#   seq6 car2→z100 (same zone: emit once, then erased) — edge case 4 (quirk)
+#   seq7 z100=80   (fan-out: nobody)               — quirk aftermath; no retraction ever (5)
+CAR_ROWS = [(0, 1, 100, 10.0), (2, 2, 100, 20.0), (4, 1, 101, 11.0), (6, 2, 100, 21.0)]
+ZONE_ROWS = [(1, 100, 50.0), (3, 100, 60.0), (5, 100, 70.0), (7, 100, 80.0)]
+EXPECTED = sorted(
+    [
+        (1, 100, 10.0, 50.0),
+        (1, 100, 10.0, 60.0),
+        (2, 100, 20.0, 50.0),
+        (2, 100, 20.0, 60.0),
+        (2, 100, 20.0, 70.0),
+        (2, 100, 21.0, 70.0),
+    ]
+)
+
+CAR_SCHEMA = "seq long, car_id int, to_zone_id int, fuel_level double"
+ZONE_SCHEMA = "seq long, zone_id int, pollution_level double"
+
+
+def _run_topology(spark, tmp, car_batches, zone_rows, query_suffix=""):
+    """Run the 2-stage topology; car_batches is a list of row-batches, each
+    written as its own file (own micro-batch when maxFilesPerTrigger=1).
+    """
+    os.makedirs(f"{tmp}/cars", exist_ok=True)
+    for i, batch in enumerate(car_batches):
+        spark.createDataFrame(batch, CAR_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/cars")
+        time.sleep(1.05)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(zone_rows, ZONE_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp}/zones"
+    )
+
+    multi = len(car_batches) > 1
+    cars_stream = read_stream(
+        spark, "parquet", f"{tmp}/cars",
+        schema=spark.createDataFrame([], CAR_SCHEMA).schema,
+        **({"maxFilesPerTrigger": "1"} if multi else {}),
+    )
+    moves = car_move_detection(cars_stream)
+    q1 = write_stream(
+        moves, "parquet", f"{tmp}/through", checkpoint=f"{tmp}/cp1",
+        query_name=f"moves{query_suffix}",
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    moves_stream = read_stream(spark, "parquet", f"{tmp}/through", schema=moves.schema)
+    zones_stream = read_stream(
+        spark, "parquet", f"{tmp}/zones",
+        schema=spark.createDataFrame([], ZONE_SCHEMA).schema,
+    )
+    tagged = tag_car_moves(moves_stream).unionByName(tag_zone_events(zones_stream))
+    joined = symmetric_one_to_many_join(tagged)
+    name = f"joined{query_suffix}"
+    q2 = write_stream(joined, "memory", query_name=name, checkpoint=f"{tmp}/cp2")
+    q2.processAllAvailable()
+    q2.stop()
+    return sorted(tuple(r) for r in spark.sql(f"select * from {name}").collect())
+
+
+def test_streaming_join_edge_cases(spark, tmp_path):
+    got = _run_topology(spark, str(tmp_path), [CAR_ROWS], ZONE_ROWS, "_single")
+    assert got == EXPECTED
+
+
+def test_streaming_matches_batch_trace(spark, tmp_path):
+    got = _run_topology(spark, str(tmp_path), [CAR_ROWS], ZONE_ROWS, "_vs_batch")
+    cars_df = spark.createDataFrame(CAR_ROWS, CAR_SCHEMA).withColumnRenamed(
+        "to_zone_id", "zone_id"
+    )
+    zones_df = spark.createDataFrame(ZONE_ROWS, ZONE_SCHEMA)
+    trace = sorted(tuple(r) for r in one_to_many_join_trace(cars_df, zones_df).collect())
+    assert got == trace
+
+
+def test_move_detection_state_survives_batches(spark, tmp_path):
+    """Split the car stream into two micro-batches: the second batch's
+    moves must see the zones recorded in the first (ValueState carry-over,
+    the Spark analog of the reference's persistent store).
+    """
+    tmp = str(tmp_path)
+    batches = [CAR_ROWS[:2], CAR_ROWS[2:]]
+    os.makedirs(f"{tmp}/cars", exist_ok=True)
+    for batch in batches:
+        spark.createDataFrame(batch, CAR_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/cars")
+        time.sleep(1.05)
+    cars_stream = read_stream(
+        spark, "parquet", f"{tmp}/cars",
+        schema=spark.createDataFrame([], CAR_SCHEMA).schema,
+        maxFilesPerTrigger="1",
+    )
+    moves = car_move_detection(cars_stream)
+    q = write_stream(
+        moves, "memory", query_name="mb_moves", checkpoint=f"{tmp}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r.car_id, r.zone_id, r.is_arriving)
+        for r in spark.sql("select * from mb_moves").collect()
+    }
+    # car1's second event (batch 2) must emit a LEAVE for z100 seen in batch 1
+    assert (1, 100, False) in rows
+    # car2's same-zone re-arrival must emit arrive AND leave for z100
+    assert (2, 100, True) in rows and (2, 100, False) in rows
