@@ -67,8 +67,10 @@ def main() -> None:
         fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        # count() forces the full plan without driver-side row transfer
-        df.agg(F.count(F.lit(1))).collect()
+        # noop sink materializes EVERY output column without driver-side
+        # transfer; a count(1) would let Catalyst prune expensive
+        # projections and under-measure projection-heavy queries.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
