@@ -22,13 +22,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_one_to_many_join_spark.functions.dedup import (
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from kafka_streams_one_to_many_join_spark.functions.multimodal import asset_metadata
-from kafka_streams_one_to_many_join_spark.functions.similarity import brute_force_topk
+from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+    asset_metadata,
+    extract_audio_features,
+)
+from kafka_streams_one_to_many_join_spark.functions.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    lsh_topk,
+    seeded_planes,
+)
 from kafka_streams_one_to_many_join_spark.functions.text import (
     doc_fingerprint,
     language_id,
@@ -418,6 +428,60 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Same semantics as ann_topk through the vectorized Arrow/numpy path
+    (the production hot path at high query×corpus volume)."""
+    emb = load_table(spark, sf, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return brute_force_topk_pandas(emb, qpdf, k=10)
+
+
+# 8 hyperplanes over the 64-dim embedding space, seed 7 — the identical
+# float literals are embedded in both the Spark expression and the DuckDB
+# oracle, so bucket ids are a pure function of the data.
+_N_PLANES, _EMB_DIM, _PLANES_SEED = 8, 64, 7
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket join + exact re-rank."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED)
+    return lsh_topk(emb, queries, planes, k=10)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (verification baseline)."""
+    return embedding_near_dup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.35
+    )
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed near-dup: LSH blocking + exact verify (the 100 TB path)."""
+    planes = seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED)
+    return embedding_near_dup_pairs_lsh(
+        load_table(spark, sf, "embeddings"), planes, threshold=0.35
+    )
+
+
+def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal audio plumbing: mapInPandas decode (deterministic stub)."""
+    docs = load_table(spark, sf, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return extract_audio_features(assets)
+
+
 def q_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: documents as opaque binary assets + metadata."""
     docs = load_table(spark, sf, "documents")
@@ -428,6 +492,94 @@ def q_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("meta_json"),
     )
     return asset_metadata(assets)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments for the embedding/LSH queries
+# ---------------------------------------------------------------------------
+
+
+def _duck_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB expression for hyperplane_lsh_bucket with the SAME float
+    literals the Spark expression embeds (seeded_planes): bit b set iff
+    <vec, plane_b> >= 0."""
+    terms = []
+    for b, plane in enumerate(planes):
+        lits = "[" + ",".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {len(plane)}), "
+            f"i -> {vec}[i]::DOUBLE * ({lits})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_DUCK_NORM = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_DUCK_PAIR_DOT = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+)
+
+
+def _near_dup_sql(threshold: float, bucketed: bool) -> str:
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        seeded_planes,
+    )
+
+    bucket_col = (
+        f", {_duck_bucket_sql('embedding', seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED))} AS bucket"
+        if bucketed
+        else ""
+    )
+    join_cond = (
+        "a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        if bucketed
+        else "a.vec_id < b.vec_id"
+    )
+    return f"""
+        WITH n AS (
+            SELECT vec_id, embedding, {_DUCK_NORM} AS nn{bucket_col}
+            FROM embeddings
+        )
+        SELECT vec_a, vec_b, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round({_DUCK_PAIR_DOT} / nullif(a.nn * b.nn, 0.0), 6) AS cosine
+            FROM n a JOIN n b ON {join_cond}
+        ) WHERE cosine >= {threshold}
+    """
+
+
+def _ann_lsh_sql() -> str:
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        seeded_planes,
+    )
+
+    bucket = _duck_bucket_sql(
+        "embedding", seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED)
+    )
+    return f"""
+        WITH bkt AS (
+            SELECT vec_id, embedding, {_DUCK_NORM} AS nn, {bucket} AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding, nn AS qn, bucket
+            FROM bkt WHERE vec_id % 100 = 0
+        ),
+        s AS (
+            SELECT q.query_id, b.vec_id,
+                   round(
+                       list_sum(list_transform(generate_series(1, len(q.embedding)),
+                           i -> q.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / nullif(q.qn * b.nn, 0.0), 6) AS sim
+            FROM bkt b JOIN q ON b.bucket = q.bucket
+            WHERE b.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS rank FROM s
+        ) WHERE rank <= 10
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -473,13 +625,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ann_topk_pandas": q_ann_topk_pandas,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "audio_features": q_audio_features,
         "asset_metadata": q_asset_metadata,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     tok = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-    return {
+    d = {
         "latest_by_key": f"""
             SELECT car_id, zone_id, fuel_level FROM ({_CAR_EV_SQL})
             QUALIFY row_number() OVER (PARTITION BY car_id ORDER BY seq DESC) = 1
@@ -821,4 +978,29 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS digest
             FROM documents
         """,
+        "ann_topk_lsh": _ann_lsh_sql(),
+        "embedding_near_dup": _near_dup_sql(0.35, bucketed=False),
+        "embedding_near_dup_lsh": _near_dup_sql(0.35, bucketed=True),
+        "audio_features": """
+            WITH h AS (
+                SELECT doc_id AS asset_id,
+                       coalesce(list_sum(list_transform(
+                           generate_series(1, least(16, length(text))),
+                           i -> ord(substr(text, i, 1)))), 0)::BIGINT AS hv
+                FROM documents
+            ), m AS (
+                SELECT asset_id,
+                       (CASE hv % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                             ELSE 48000 END)::INTEGER AS sample_rate,
+                       (1000 + (hv * 37) % 100000)::BIGINT AS n_samples
+                FROM h
+            )
+            SELECT asset_id, sample_rate, n_samples,
+                   n_samples::DOUBLE / sample_rate AS duration_s
+            FROM m
+        """,
     }
+    # same semantics, different physical path (Arrow/numpy) — same oracle
+    d["ann_topk_pandas"] = d["ann_topk"]
+    return d

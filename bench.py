@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash",
     "ann_topk",
+    "ann_topk_pandas",
+    "ann_topk_lsh",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "audio_features",
     "asset_metadata",
 ]
 

@@ -1,4 +1,5 @@
-"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
 
 Scale architecture (the part that matters at 100 TB):
 
@@ -20,6 +21,16 @@ Scale architecture (the part that matters at 100 TB):
 - **simhash_buckets**: 32-bit SimHash from per-token md5 bits; near-dup
   candidates share a bucket on ≥1 of 4 8-bit bands (Hamming ≤ 3 within
   32 bits is caught with high probability).
+
+- **embedding_near_dup_pairs**: exact cosine over all id-ordered pairs —
+  the verification baseline.  O(N²) similarity evaluations but zero
+  shuffle of the corpus (one side broadcast); correct at any scale where
+  N² work is affordable (e.g. per-bucket after blocking).
+- **embedding_near_dup_pairs_lsh**: the 100 TB path — random-hyperplane
+  bucketing first (an equi-join key), exact cosine verification only
+  within buckets.  Candidates drop from O(N²) to O(Σ bucket²); recall is
+  the standard SimHash bound (pairs at angle θ collide on one b-plane
+  bucket with probability (1-θ/π)^b).
 
 Every function returns DataFrames keyed by ids/hashes only — joining back
 the payload is the caller's (cheap, broadcast-able) concern.
@@ -249,3 +260,90 @@ def simhash_buckets(
         "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
     )
     return hashed.select("doc_id", F.expr(sim).alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cosine ≥ t).
+
+    All-pairs with one side broadcast: the corpus is scanned once, never
+    shuffled, and the pair predicate ``a < b`` halves the work.  The
+    cosine is a Catalyst higher-order expression in double with
+    left-to-right sums (similarity.cosine_expr) — bit-stable against an
+    ordered-sum oracle.  Threshold is applied to the ROUNDED (6 dp)
+    cosine so the accept boundary is deterministic across engines.
+    """
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        cosine_from_norms,
+        norm_expr,
+    )
+
+    normed = emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(norm_expr(vec_col)).alias("_n")
+    )
+    a = normed.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_from_norms("_va", "_vb", "_na", "_nb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-dup: hyperplane-LSH blocking + exact verify.
+
+    The bucket id is an equi-join key, so candidate generation is a
+    shuffle-partitioned self-join instead of a nested loop — the variant
+    that survives a 100× scale-up.  Output is a subset of
+    ``embedding_near_dup_pairs`` (verification is the same exact cosine).
+    """
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        cosine_from_norms,
+        hyperplane_lsh_bucket,
+        norm_expr,
+    )
+
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.expr(norm_expr(vec_col)).alias("_n"),
+        hyperplane_lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"), "_bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"), "_bucket",
+    )
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_from_norms("_va", "_vb", "_na", "_nb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -110,3 +110,48 @@ def sample_frames_stub(assets: DataFrame, every_nth: int = 10) -> DataFrame:
             F.lit(None).cast("binary").alias("frame_payload"),
         )
     )
+
+
+def decode_audio_stub(payload: bytes) -> tuple[int, int]:
+    """Stand-in for a real audio decoder (no codec libs in this container).
+
+    Deterministic fake (sample_rate, n_samples) derived from the payload
+    so tests reproduce; swap for soundfile/librosa in deployment — the
+    mapInPandas plumbing is identical.
+    """
+    if payload is None:
+        raise NotImplementedError("real audio decoding needs a codec library")
+    h = sum(payload[:16]) if payload else 0
+    rates = (8000, 16000, 22050, 44100, 48000)
+    return (rates[h % len(rates)], 1000 + (h * 37) % 100000)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Audio decode-and-measure: mapInPandas over Arrow batches.
+
+    Output: (asset_id, sample_rate, n_samples, duration_s).  Same scale
+    contract as extract_image_features: memory bounded by Arrow batch
+    size, payload column pruned for any downstream query not using it.
+    """
+    import pandas as pd
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [decode_audio_stub(p) for p in pdf["payload"]]
+            rates = [f[0] for f in feats]
+            samples = [f[1] for f in feats]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": rates,
+                    "n_samples": samples,
+                    "duration_s": [s / r for s, r in zip(samples, rates)],
+                }
+            )
+
+    return assets.filter(F.col("media_type") == "audio").mapInPandas(
+        decode_batches,
+        schema="asset_id bigint, sample_rate int, n_samples bigint, duration_s double",
+    )

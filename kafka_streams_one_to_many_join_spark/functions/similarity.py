@@ -27,16 +27,38 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dot_expr(a: str, b: str) -> str:
+    """SQL text: ordered left-to-right dot product of two arrays, double."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    """SQL text: L2 norm of an array column, ordered sum in double."""
+    return (
+        f"sqrt(aggregate({a}, cast(0.0 as double), "
+        "(s, v) -> s + cast(v as double) * cast(v as double)))"
+    )
+
+
 def cosine_expr(a: str, b: str) -> Column:
     """Cosine similarity of two ARRAY<FLOAT/DOUBLE> columns, in double.
 
     Ordered left-to-right sums — matches an ORDER BY ordinality oracle sum
     exactly in IEEE double.
     """
-    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (s, v) -> s + v)"
-    na = f"sqrt(aggregate({a}, cast(0.0 as double), (s, v) -> s + cast(v as double) * cast(v as double)))"
-    nb = f"sqrt(aggregate({b}, cast(0.0 as double), (s, v) -> s + cast(v as double) * cast(v as double)))"
-    return F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+    return F.expr(
+        f"({dot_expr(a, b)}) / nullif(({norm_expr(a)}) * ({norm_expr(b)}), 0.0)"
+    )
+
+
+def cosine_from_norms(a: str, b: str, na: str, nb: str) -> Column:
+    """Cosine with pre-computed norms: same IEEE value as cosine_expr
+    (norms are computed once per row instead of once per PAIR — the
+    difference between O(N²·d) and O(N·d) norm work in pair joins)."""
+    return F.expr(f"({dot_expr(a, b)}) / nullif({na} * {nb}, 0.0)")
 
 
 def brute_force_topk(
@@ -57,15 +79,19 @@ def brute_force_topk(
     Self-matches (same id) are excluded.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
     )
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        corpus.select(
+            F.col(id_col), F.col(vec_col), F.expr(norm_expr(vec_col)).alias("_n")
+        )
         .join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_expr("_qvec", vec_col), 6).alias("sim"),
+            F.round(cosine_from_norms("_qvec", vec_col, "_qn", "_n"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -107,7 +133,11 @@ def brute_force_topk_pandas(
             out = []
             kk = min(k, sims.shape[1])
             for i, qid in enumerate(qids):
-                idx = np.argpartition(-sims[i], kk - 1)[:kk]
+                # mask self BEFORE the partial top-k: otherwise the self
+                # match occupies a slot and the partition's k-th real
+                # neighbor is silently dropped
+                row = np.where(ids == qid, -np.inf, sims[i])
+                idx = np.argpartition(-row, kk - 1)[:kk]
                 out.append(
                     pd.DataFrame(
                         {"query_id": qid, id_col: ids[idx], "sim": np.round(sims[i][idx], 6)}
@@ -154,10 +184,16 @@ def lsh_topk(
     At scale the bucket equi-join replaces the all-pairs nested loop; the
     planes are caller-provided (seeded numpy) so results are deterministic.
     """
-    c = corpus.withColumn("_bucket", hyperplane_lsh_bucket(vec_col, planes))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(norm_expr(vec_col)).alias("_n"),
+        hyperplane_lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
         hyperplane_lsh_bucket(vec_col, planes).alias("_bucket"),
     )
     scored = (
@@ -166,7 +202,7 @@ def lsh_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_expr("_qvec", vec_col), 6).alias("sim"),
+            F.round(cosine_from_norms("_qvec", vec_col, "_qn", "_n"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -175,3 +211,16 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def seeded_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (numpy PCG64, fixed seed).
+
+    Returned as plain floats so both the Spark expression and a SQL oracle
+    can embed the identical literals — bucket assignment is then a pure
+    function of the data, reproducible across engines and runs.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]

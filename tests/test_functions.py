@@ -7,6 +7,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from kafka_streams_one_to_many_join_spark.functions.dedup import (
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -15,6 +17,8 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
 )
 from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     asset_metadata,
+    decode_audio_stub,
+    extract_audio_features,
     extract_image_features,
     sample_frames_stub,
 )
@@ -22,6 +26,7 @@ from kafka_streams_one_to_many_join_spark.functions.similarity import (
     brute_force_topk,
     brute_force_topk_pandas,
     lsh_topk,
+    seeded_planes,
 )
 from kafka_streams_one_to_many_join_spark.model import load_table
 
@@ -140,3 +145,71 @@ def test_sample_frames_only_video(spark):
     out = sample_frames_stub(_assets(spark), every_nth=10).collect()
     assert len(out) >= 1
     assert all(r.frame_no % 10 == 0 for r in out)
+
+
+def test_embedding_near_dup_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),   # same direction as 1 → cosine 1.0
+        (3, [0.0, 1.0, 0.0]),   # orthogonal to 1/2
+        (4, [1.0, 1.0, 0.0]),   # cos 0.7071 with 1/2 and 3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
+    got_lo = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.7).collect()
+    }
+    assert got_lo == {(1, 2), (1, 4), (2, 4), (3, 4)}
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    emb = _emb(spark, n=60)
+    planes = seeded_planes(4, 8, seed=3)
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs_lsh(emb, planes, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # identical exact verification
+    # identical vectors always share every bucket → LSH must find them
+    dup = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])] * 2,
+        "vec_id long, embedding array<float>",
+    ).withColumn("vec_id", F.monotonically_increasing_id())
+    found = embedding_near_dup_pairs_lsh(dup, planes, threshold=0.99).count()
+    assert found == 1
+
+
+def test_seeded_planes_deterministic():
+    a = seeded_planes(4, 8, seed=7)
+    b = seeded_planes(4, 8, seed=7)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == 8
+    assert seeded_planes(4, 8, seed=8) != a
+
+
+def test_extract_audio_features_matches_stub(spark):
+    payloads = [b"abc 123 audio bytes", b"x", b"longer payload exceeding sixteen bytes"]
+    rows = [
+        (i, "audio", bytearray(p), None) for i, p in enumerate(payloads)
+    ] + [(99, "image", bytearray(b"not audio"), None)]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, meta_json string"
+    )
+    out = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert set(out) == {0, 1, 2}  # image row filtered out
+    for i, p in enumerate(payloads):
+        rate, n = decode_audio_stub(p)
+        assert out[i].sample_rate == rate
+        assert out[i].n_samples == n
+        assert out[i].duration_s == n / rate
