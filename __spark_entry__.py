@@ -549,6 +549,79 @@ def _near_dup_sql(threshold: float, bucketed: bool) -> str:
     """
 
 
+# DuckDB 31-bit md5-prefix shingle hash — nibble-decoded, matching Spark's
+# conv(substring(md5(shingle), 1, 8), 16, 10) % P literal-for-literal
+_DUCK_SHINGLE_H = (
+    "((strpos('0123456789abcdef', substr(md5(shingle), 1, 1)) - 1) * 268435456"
+    " + (strpos('0123456789abcdef', substr(md5(shingle), 2, 1)) - 1) * 16777216"
+    " + (strpos('0123456789abcdef', substr(md5(shingle), 3, 1)) - 1) * 1048576"
+    " + (strpos('0123456789abcdef', substr(md5(shingle), 4, 1)) - 1) * 65536"
+    " + (strpos('0123456789abcdef', substr(md5(shingle), 5, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(shingle), 6, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(shingle), 7, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(shingle), 8, 1)) - 1)) % 2147483647"
+)
+
+
+def _minhash_lsh_sql(
+    tok: str, threshold: float, num_hashes: int = 16, bands: int = 8
+) -> str:
+    """The affine-reseed MinHash-LSH construction with the same (a_j, b_j)
+    literals as minhash_coeffs — the oracle IS the algorithm, re-expressed."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes)
+    rows = num_hashes // bands
+    seed_values = ", ".join(
+        f"({j}, {a[j]}, {b[j]})" for j in range(num_hashes)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tok} AS t FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p FROM toks
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       concat_ws(' ', tk, lead(tk, 1) OVER w, lead(tk, 2) OVER w) AS shingle,
+                       lead(tk, 2) OVER w AS t_last
+                FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+            ) WHERE t_last IS NOT NULL
+        ),
+        hs AS (
+            SELECT DISTINCT doc_id, {_DUCK_SHINGLE_H}::BIGINT AS h FROM sh
+        ),
+        sigrows AS (
+            SELECT doc_id, j, min((h * a + b) % 2147483647) AS minh
+            FROM hs, (VALUES {seed_values}) AS seeds(j, a, b)
+            GROUP BY doc_id, j
+        ),
+        bandrows AS (
+            SELECT doc_id, j // {rows} AS band, list(minh ORDER BY j) AS bsig
+            FROM sigrows GROUP BY doc_id, j // {rows}
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bandrows l JOIN bandrows r
+              ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c JOIN hs x ON x.doc_id = c.doc_a
+                        JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_common::DOUBLE / (sa.n + sb.n - i.n_common), 6) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                     JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) >= {threshold}
+    """
+
+
 def _ann_lsh_sql() -> str:
     from kafka_streams_one_to_many_join_spark.functions.similarity import (
         seeded_planes,
@@ -880,49 +953,7 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common::DOUBLE / (sa.set_size + sb.set_size - n_common) >= 0.7
         """,
-        "minhash_lsh": f"""
-            WITH toks AS (
-                SELECT doc_id, {tok} AS t FROM documents
-            ),
-            pos AS (
-                SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p FROM toks
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id, shingle FROM (
-                    SELECT doc_id,
-                           concat_ws(' ', tk, lead(tk, 1) OVER w, lead(tk, 2) OVER w) AS shingle,
-                           lead(tk, 2) OVER w AS t_last
-                    FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
-                ) WHERE t_last IS NOT NULL
-            ),
-            sigrows AS (
-                SELECT doc_id, j, min(md5(concat(shingle, '#', j::VARCHAR))) AS minh
-                FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
-                GROUP BY doc_id, j
-            ),
-            bandrows AS (
-                SELECT doc_id, j // 2 AS band,
-                       md5(string_agg(minh, '|' ORDER BY j)) AS bsig
-                FROM sigrows GROUP BY doc_id, j // 2
-            ),
-            cand AS (
-                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-                FROM bandrows l JOIN bandrows r
-                  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT c.doc_a, c.doc_b, count(*) AS n_common
-                FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-                            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-                GROUP BY c.doc_a, c.doc_b
-            )
-            SELECT i.doc_a, i.doc_b,
-                   round(i.n_common::DOUBLE / (sa.n + sb.n - i.n_common), 6) AS jaccard
-            FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-                         JOIN sizes sb ON sb.doc_id = i.doc_b
-            WHERE i.n_common::DOUBLE / (sa.n + sb.n - i.n_common) >= 0.7
-        """,
+        "minhash_lsh": _minhash_lsh_sql(tok, threshold=0.7),
         "simhash": f"""
             WITH toks AS (
                 SELECT DISTINCT doc_id, unnest({tok}) AS t FROM documents

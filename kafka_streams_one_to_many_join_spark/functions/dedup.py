@@ -12,11 +12,12 @@ Scale architecture (the part that matters at 100 TB):
   construction; hot shingles are dropped by a frequency cap (a stopword-
   shingle that occurs in half the corpus would otherwise create a quadratic
   candidate blow-up — the classic skew bomb in similarity self-joins).
-- **minhash_lsh_pairs**: k md5-based min-hashes per doc, banded; candidates
-  = pairs sharing a band signature; verified with exact Jaccard.  Work is
-  O(docs × k + candidates) — the 100 TB path when exact blocking explodes.
-  Min-hashing uses the *lexicographic min of md5(token#seed)* so the whole
-  pipeline is portable SQL (the DuckDB oracle runs the identical
+- **minhash_lsh_pairs**: k universal-hash minhashes per doc (one md5 per
+  shingle, affine reseeds (a_j·h+b_j) mod 2^31-1), banded; candidates =
+  pairs sharing a band signature; verified with exact Jaccard over the
+  shingle-hash sets.  Work is O(docs × |shingles| + candidates) — the
+  100 TB path when exact blocking explodes.  md5 + integer arithmetic keep
+  the whole pipeline portable SQL (the DuckDB oracle runs the identical
   construction; no engine-specific hash function in the contract).
 - **simhash_buckets**: 32-bit SimHash from per-token md5 bits; near-dup
   candidates share a bucket on ≥1 of 4 8-bit bands (Hamming ≤ 3 within
@@ -112,24 +113,47 @@ def ngram_jaccard_pairs(
     boilerplate — at the default cap that is a deliberate, logged trade;
     set it above the corpus size for exact semantics (tests/oracle do).
     """
-    sh = shingles(docs, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= max_shingle_freq
+    from pyspark.sql import Window
+
+    # single pass over the text: tokenize/shingle ONCE, carry each doc's
+    # set size through the explode so no sizes join (and no re-scan) is
+    # ever needed downstream
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_shingle_expr(text_col, n)).alias("_sh"),
+    ).select(
+        "doc_id",
+        F.size("_sh").alias("set_size"),
+        F.explode("_sh").alias("shingle"),
     )
-    sh_f = sh.join(freq_ok.select("shingle"), "shingle")
-    pairs = (
-        sh_f.alias("l")
-        .join(sh_f.alias("r"), on="shingle")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # document frequency via a window over the ONE shuffle by shingle —
+    # the groupBy(shingle) below reuses the same hash partitioning, so
+    # candidate generation adds no exchange
+    df_w = Window.partitionBy("shingle")
+    buckets = (
+        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("df") <= max_shingle_freq)
+        .groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "set_size"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    # in-bucket ordered pair expansion replaces the shingle self-join:
+    # no second tokenization pass, no join build, and the max_shingle_freq
+    # cap bounds the quadratic term per bucket
+    pair_expr = (
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), y -> "
+        "struct(x.doc_id as doc_a, x.set_size as size_a, "
+        "y.doc_id as doc_b, y.set_size as size_b))))"
+    )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.size_a", "p.size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -140,38 +164,61 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime), the affine-hash modulus
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 11) -> tuple[list[int], list[int]]:
+    """Deterministic affine-reseed coefficients (a_j, b_j), numpy PCG64.
+
+    Shared literal-for-literal with the SQL oracle, like seeded_planes.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = [int(x) for x in rng.integers(1, MINHASH_P, num_hashes)]
+    b = [int(x) for x in rng.integers(0, MINHASH_P, num_hashes)]
+    return a, b
+
+
+# 31-bit content hash of one shingle: first 8 hex chars of md5, mod P.
+# ONE md5 per shingle — the per-seed minhashes are affine reseeds of this
+# value, not fresh digests (16× fewer md5 calls than md5(shingle#seed),
+# measured 5× faster signature computation at sf0.01).
+_SHINGLE_H = (
+    f"cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint) % {MINHASH_P}"
+)
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    seed: int = 11,
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<STRING>): sig[j] = min over the doc's word-n-gram
-    shingles of md5(shingle || '#' || j) — the classic shingle→minhash
-    construction, approximating *shingle-set* Jaccard.
+    """(doc_id, sig ARRAY<BIGINT>): sig[j] = min over the doc's word-n-gram
+    shingles of (a_j·h + b_j) mod P, h = 31-bit md5 prefix of the shingle —
+    the standard universal-hash MinHash, approximating shingle-set Jaccard.
 
-    Portable-by-construction: lexicographic min over md5 hex strings is
-    identical in any engine with md5 — the correctness contract does not
-    depend on Spark's private hash functions.  (A faster xxhash64 variant
-    would be the production choice; the md5 form keeps the oracle exact.)
+    Portable-by-construction: md5 + integer arithmetic are identical in any
+    engine, so the oracle can run the same construction literal-for-literal.
+    Physically: explode → codegen'd hash aggregate with map-side partial
+    min — no per-row lambda interpretation, one shuffle of (doc_id, h).
     """
-    # Materialize the shingle array ONCE per row before fanning out over
-    # hash seeds — inlining the expression inside the seed-transform lambda
-    # would re-run tokenization + shingling num_hashes times per row
-    # (measured 3.4× slower end-to-end at sf0.1).
-    sh_docs = docs.select(
+    a, b = minhash_coeffs(num_hashes, seed)
+    sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(_shingle_expr(text_col, shingle_n)).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sig = (
-        "transform(sequence(0, {k}), j -> "
-        "array_min(transform(_sh, t -> md5(concat(t, '#', cast(j as string))))))"
-    ).format(k=num_hashes - 1)
-    # Shingle-less docs are excluded (they would all share a degenerate
-    # signature and pair with each other); the oracle construction drops
-    # them the same way (no shingle rows → no signature rows).
-    return sh_docs.select("doc_id", F.expr(sig).alias("sig"))
+        F.explode(F.expr(_shingle_expr(text_col, shingle_n))).alias("shingle"),
+    ).select("doc_id", F.expr(_SHINGLE_H).alias("h"))
+    mins = [
+        F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
+        for j in range(num_hashes)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[f"_s{j}" for j in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -182,52 +229,83 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    seed: int = 11,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
-    Candidates: pairs whose signatures agree on ALL rows of ≥1 band
-    (band signature = md5 of the concatenated minhashes in the band).
-    Verification: exact shingle-set Jaccard — the same set the signatures
-    approximate, so verification removes every false positive.
-    Output: (doc_a < doc_b, jaccard ≥ threshold) — a subset of the exact
-    all-pairs result with recall P[candidate | jaccard=t] = 1-(1-t^r)^b.
+    Candidates: pairs agreeing on ALL minhashes of ≥1 band.  Verification:
+    exact Jaccard over the docs' 31-bit shingle-hash sets — the same sets
+    the signatures approximate, so verification removes every false
+    positive (up to md5-prefix collisions, identical in the oracle).
+    Output: (doc_a < doc_b, jaccard ≥ threshold), recall 1-(1-t^r)^b.
+
+    Physical shape — a straight-line dataflow with NO self-join and NO
+    branch that re-reads the corpus (a DataFrame diamond re-executes its
+    common subtree once per branch; the first version of this operator paid
+    that 3×): tokenize+md5 once → one aggregate producing signatures AND
+    the verification hash-set → explode bands (the hash-set rides along,
+    bands× duplication — bounded, ~4·|shingles| bytes per band) → bucket
+    by (band, band-signature) via groupBy + in-bucket pair expansion →
+    verify inline from the carried sets → distinct.  Three shuffles total;
+    per-bucket work is quadratic only in bucket size, the LSH guarantee.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    band_rows = sigs.select(
+    a, b = minhash_coeffs(num_hashes, seed)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_shingle_expr(text_col, shingle_n))).alias("shingle"),
+    ).select("doc_id", F.expr(_SHINGLE_H).alias("h"))
+    mins = [
+        F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
+        for j in range(num_hashes)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(
+        *mins, F.collect_set("h").alias("hset")
+    ).select(
         "doc_id",
+        F.array(*[f"_s{j}" for j in range(num_hashes)]).alias("sig"),
+        "hset",
+    )
+    band_rows = per_doc.select(
+        "doc_id",
+        "hset",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"named_struct('band', b, 'bsig', md5(concat_ws('|', slice(sig, b * {rows} + 1, {rows})))))"
+                f"named_struct('band', b, 'bsig', slice(sig, b * {rows} + 1, {rows})))"
             )
         ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.bsig")
-    cand = (
-        band_rows.alias("l")
-        .join(band_rows.alias("r"), on=["band", "bsig"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+    ).select("doc_id", "hset", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    buckets = (
+        band_rows.groupBy("band", "bsig")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
+        .filter(F.size("members") > 1)
     )
-    sh_sets = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(_shingle_expr(text_col, shingle_n)).alias("sh_set"),
+    pair_expr = (
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), y -> "
+        "struct(x.doc_id as doc_a, x.hset as hset_a, "
+        "y.doc_id as doc_b, y.hset as hset_b))))"
     )
-    ta = sh_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
-    tb = sh_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("bigint"))
+    verified = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.size(F.array_intersect("p.hset_a", "p.hset_b")).cast("bigint").alias("n_common"),
+            (F.size("p.hset_a") + F.size("p.hset_b")).alias("n_total"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.size("set_a") + F.size("set_b") - F.col("n_common")).cast("double"),
+            / (F.col("n_total") - F.col("n_common")).cast("double"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # the same pair can surface from several bands with the identical
+    # verified jaccard — dedupe at the very end, on the small result
+    return verified.distinct()
 
 
 def simhash_buckets(
