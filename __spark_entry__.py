@@ -53,6 +53,7 @@ from kafka_streams_one_to_many_join_spark.operators import (
     latest_by_key,
     one_to_many_join,
     one_to_many_join_trace,
+    session_stats,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -367,6 +368,140 @@ def q_avg_order_by_segment(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window (hourly) aggregation; batch twin of a streaming
+    windowed agg.  events.ts is TIMESTAMP(NANOS) parquet read as BIGINT
+    nanos (session.py nanosAsLong) — truncate to micros like every
+    micros-native engine does."""
+    ev = load_table(spark, sf, "events")
+    hour = F.expr("date_trunc('hour', timestamp_micros(ts div 1000))")
+    return ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user — operators.sessionize."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    s = session_stats(ev, key="user_id", ts_col="ts", gap=1_800_000_000_000)
+    return s.select(
+        "user_id",
+        "session_id",
+        F.expr("timestamp_micros(session_start div 1000)").alias("session_start"),
+        F.expr("timestamp_micros(session_end div 1000)").alias("session_end"),
+        "n_events",
+    )
+
+
+def q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access: JSON path into the props column."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)
+
+
+def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate surface: stddev + exact interpolated median."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+    )
+
+
+def q_users_click_and_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Set op: INTERSECT (distinct) of two filtered key sets."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(purchases)
+
+
+def q_users_click_no_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Set op: EXCEPT (distinct)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(purchases)
+
+
+def q_cube_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-set CUBE over (flag, status)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_customer_order_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-outer FK join + aggregate: customers keep a row with zero
+    orders (the outer-join-aggregate idiom)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+def q_zone_pollution_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-outer join: occupied zones without pollution data and polluted
+    zones without cars both survive."""
+    cars = latest_by_key(
+        _car_events(spark, sf), keys="car_id", order_by="seq",
+        payload=["zone_id"],
+    )
+    occ = fanout_counts(cars, "zone_id").select(
+        "zone_id", F.col("fanout").alias("n_cars")
+    )
+    zones = latest_by_key(
+        _zone_events(spark, sf), keys="zone_id", order_by="seq",
+        payload=["pollution_level"],
+    )
+    return occ.join(zones, on="zone_id", how="full").select(
+        "zone_id", "n_cars", "pollution_level"
+    )
+
+
+def q_orders_by_month(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-part extraction + aggregate."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def q_string_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string-function surface (upper/length/substr/lpad/concat_ws)."""
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws(
+            "-", "c_mktsegment", F.col("c_custkey").cast("string")
+        ).alias("seg_key"),
     )
 
 
@@ -688,6 +823,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders": q_customers_with_orders,
         "customers_without_orders": q_customers_without_orders,
         "avg_order_by_segment": q_avg_order_by_segment,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "props_extract": q_props_extract,
+        "event_type_stats": q_event_type_stats,
+        "users_click_and_purchase": q_users_click_and_purchase,
+        "users_click_no_purchase": q_users_click_no_purchase,
+        "cube_returnflag": q_cube_returnflag,
+        "customer_order_totals": q_customer_order_totals,
+        "zone_pollution_full": q_zone_pollution_full,
+        "orders_by_month": q_orders_by_month,
+        "string_normalize": q_string_normalize,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
@@ -870,6 +1016,92 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionization": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) + 1)::BIGINT AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "props_extract": """
+            SELECT event_id, json_extract(props, '$.k')::INT AS k
+            FROM events WHERE json_extract(props, '$.k')::INT >= 50
+        """,
+        "event_type_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value,
+                   round(avg(value), 4) AS avg_value,
+                   round(stddev_samp(value), 4) AS stddev_value,
+                   round(quantile_cont(value, 0.5), 4) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "users_click_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "users_click_no_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "cube_returnflag": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "customer_order_totals": """
+            SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "zone_pollution_full": f"""
+            WITH cars AS (
+                SELECT car_id, zone_id FROM ({_CAR_EV_SQL})
+                QUALIFY row_number() OVER (PARTITION BY car_id ORDER BY seq DESC) = 1
+            ),
+            occ AS (
+                SELECT zone_id, count(*) AS n_cars FROM cars GROUP BY zone_id
+            ),
+            zones AS (
+                SELECT zone_id, pollution_level FROM ({_ZONE_EV_SQL})
+                QUALIFY row_number() OVER (PARTITION BY zone_id ORDER BY seq DESC) = 1
+            )
+            SELECT coalesce(o.zone_id, z.zone_id) AS zone_id, o.n_cars,
+                   z.pollution_level
+            FROM occ o FULL OUTER JOIN zones z ON o.zone_id = z.zone_id
+        """,
+        "orders_by_month": """
+            SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "string_normalize": """
+            SELECT c_custkey, upper(c_name) AS name_upper,
+                   length(c_name) AS name_len,
+                   substr(c_name, 1, 8) AS name_prefix,
+                   lpad(c_custkey::VARCHAR, 10, '0') AS key_padded,
+                   concat_ws('-', c_mktsegment, c_custkey::VARCHAR) AS seg_key
+            FROM customer
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,

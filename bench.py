@@ -39,6 +39,13 @@ BENCH_QUERIES = [
     "returnflag_rollup",
     "customers_with_orders",
     "avg_order_by_segment",
+    "events_hourly",
+    "sessionization",
+    "props_extract",
+    "event_type_stats",
+    "cube_returnflag",
+    "customer_order_totals",
+    "orders_by_month",
     # pipeline operators
     "dedup_exact",
     "doc_fingerprint",

@@ -27,6 +27,10 @@ from kafka_streams_one_to_many_join_spark.operators.join import (
     one_to_many_join,
 )
 from kafka_streams_one_to_many_join_spark.operators.latest import latest_by_key
+from kafka_streams_one_to_many_join_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
 
 __all__ = [
     "arrive_leave_events",
@@ -36,4 +40,6 @@ __all__ = [
     "latest_by_key",
     "one_to_many_join",
     "one_to_many_join_trace",
+    "session_stats",
+    "sessionize",
 ]

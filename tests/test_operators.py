@@ -97,3 +97,31 @@ def test_asof_join_no_prior_row_is_null(spark):
     right = spark.createDataFrame([(5, 1, 5.0)], "ord long, k int, v double")
     out = asof_join(left, right, on="k", ord_col="ord", value_cols=["v"]).collect()
     assert out[0].v is None
+
+
+def test_sessionize_gap_boundaries(spark):
+    from kafka_streams_one_to_many_join_spark.operators import session_stats, sessionize
+
+    # key 1: gaps 10, 31, 5 (gap=30 → sessions [a,b][c,d]); key 2: single event
+    rows = [(1, 0), (1, 10), (1, 41), (1, 46), (2, 100)]
+    df = spark.createDataFrame(rows, "user_id int, ts long")
+    out = {(r.user_id, r.ts): r.session_id for r in sessionize(df, "user_id", "ts", gap=30).collect()}
+    assert out[(1, 0)] == 1 and out[(1, 10)] == 1
+    assert out[(1, 41)] == 2 and out[(1, 46)] == 2
+    assert out[(2, 100)] == 1
+    stats = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in session_stats(df, "user_id", "ts", gap=30).collect()
+    }
+    assert stats[(1, 1)] == (0, 10, 2)
+    assert stats[(1, 2)] == (41, 46, 2)
+    assert stats[(2, 1)] == (100, 100, 1)
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    from kafka_streams_one_to_many_join_spark.operators import sessionize
+
+    # gap must EXCEED the threshold to split (> not >=)
+    df = spark.createDataFrame([(1, 0), (1, 30)], "user_id int, ts long")
+    out = {r.ts: r.session_id for r in sessionize(df, "user_id", "ts", gap=30).collect()}
+    assert out[0] == 1 and out[30] == 1
