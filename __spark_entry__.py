@@ -592,10 +592,14 @@ def q_ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (verification baseline)."""
-    return embedding_near_dup_pairs(
-        load_table(spark, sf, "embeddings"), threshold=0.35
-    )
+    """Exact embedding-cosine near-dup pairs on a 1/4 corpus sample.
+
+    All-pairs cosine is the verification baseline — the thing you run on a
+    subset or within a blocking bucket, never the full corpus (O(N²) work
+    is exactly what does not survive a 100× scale-up; the full-corpus path
+    is embedding_near_dup_lsh)."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -656,7 +660,9 @@ _DUCK_PAIR_DOT = (
 )
 
 
-def _near_dup_sql(threshold: float, bucketed: bool) -> str:
+def _near_dup_sql(
+    threshold: float, bucketed: bool, subset_mod: int | None = None
+) -> str:
     from kafka_streams_one_to_many_join_spark.functions.similarity import (
         seeded_planes,
     )
@@ -671,10 +677,11 @@ def _near_dup_sql(threshold: float, bucketed: bool) -> str:
         if bucketed
         else "a.vec_id < b.vec_id"
     )
+    where = f"WHERE vec_id % {subset_mod} = 0" if subset_mod else ""
     return f"""
         WITH n AS (
             SELECT vec_id, embedding, {_DUCK_NORM} AS nn{bucket_col}
-            FROM embeddings
+            FROM embeddings {where}
         )
         SELECT vec_a, vec_b, cosine FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1242,7 +1249,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_topk_lsh": _ann_lsh_sql(),
-        "embedding_near_dup": _near_dup_sql(0.35, bucketed=False),
+        "embedding_near_dup": _near_dup_sql(0.35, bucketed=False, subset_mod=4),
         "embedding_near_dup_lsh": _near_dup_sql(0.35, bucketed=True),
         "audio_features": """
             WITH h AS (

@@ -5,16 +5,30 @@ built to demonstrate (DemoApp.scala:50-60) and that Spark's declarative
 stream-stream joins cannot express (append-only, no retraction/delete).
 """
 
+from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+    streaming_dedup,
+    streaming_dedup_within_watermark,
+)
 from kafka_streams_one_to_many_join_spark.streaming.join import (
     car_move_detection,
     symmetric_one_to_many_join,
     tag_car_moves,
     tag_zone_events,
 )
+from kafka_streams_one_to_many_join_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 
 __all__ = [
     "car_move_detection",
+    "session_agg",
+    "sliding_agg",
+    "streaming_dedup",
+    "streaming_dedup_within_watermark",
     "symmetric_one_to_many_join",
     "tag_car_moves",
     "tag_zone_events",
+    "tumbling_agg",
 ]

@@ -133,3 +133,159 @@ def test_move_detection_state_survives_batches(spark, tmp_path):
     assert (1, 100, False) in rows
     # car2's same-zone re-arrival must emit arrive AND leave for z100
     assert (2, 100, True) in rows and (2, 100, False) in rows
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation + streaming dedup
+# ---------------------------------------------------------------------------
+
+from datetime import datetime
+
+EV_SCHEMA = "ts timestamp, event_type string, value double"
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _stream_events(spark, path):
+    from kafka_streams_one_to_many_join_spark.sources import read_stream
+
+    return read_stream(
+        spark, "parquet", path, schema=spark.createDataFrame([], EV_SCHEMA).schema
+    )
+
+
+def test_tumbling_agg_counts(spark, tmp_path):
+    from kafka_streams_one_to_many_join_spark.streaming import tumbling_agg
+
+    rows = [
+        (datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (datetime(2024, 1, 1, 10, 55), "click", 3.0),
+        (datetime(2024, 1, 1, 11, 5), "click", 5.0),
+        (datetime(2024, 1, 1, 10, 20), "view", 7.0),
+    ]
+    _write_events(spark, f"{tmp_path}/ev", rows)
+    agg = tumbling_agg(
+        _stream_events(spark, f"{tmp_path}/ev"), "ts", ["event_type"],
+        window="1 hour", watermark="10 minutes", value_col="value",
+    )
+    q = write_stream(
+        agg, "memory", query_name="tumb", output_mode="update",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.avg_value)
+        for r in spark.sql("select * from tumb").collect()
+    }
+    assert got[(datetime(2024, 1, 1, 10, 0), "click")] == (2, 2.0)
+    assert got[(datetime(2024, 1, 1, 11, 0), "click")] == (1, 5.0)
+    assert got[(datetime(2024, 1, 1, 10, 0), "view")] == (1, 7.0)
+
+
+def test_sliding_agg_overlap(spark, tmp_path):
+    from kafka_streams_one_to_many_join_spark.streaming import sliding_agg
+
+    rows = [(datetime(2024, 1, 1, 10, 20), "click", 1.0)]
+    _write_events(spark, f"{tmp_path}/ev", rows)
+    agg = sliding_agg(
+        _stream_events(spark, f"{tmp_path}/ev"), "ts", ["event_type"],
+        window="1 hour", slide="30 minutes", watermark="10 minutes",
+    )
+    q = write_stream(
+        agg, "memory", query_name="slide", output_mode="update",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    starts = sorted(
+        r.window_start for r in spark.sql("select * from slide").collect()
+    )
+    # a 10:20 event belongs to the [09:30,10:30) and [10:00,11:00) windows
+    assert starts == [datetime(2024, 1, 1, 9, 30), datetime(2024, 1, 1, 10, 0)]
+
+
+def test_session_agg_gap_split(spark, tmp_path):
+    from kafka_streams_one_to_many_join_spark.streaming import session_agg
+
+    rows = [
+        (datetime(2024, 1, 1, 10, 0), "click", 1.0),
+        (datetime(2024, 1, 1, 10, 10), "click", 1.0),   # merges (gap 30m)
+        (datetime(2024, 1, 1, 11, 30), "click", 1.0),   # new session
+    ]
+    _write_events(spark, f"{tmp_path}/ev", rows)
+    agg = session_agg(
+        _stream_events(spark, f"{tmp_path}/ev"), "ts", ["event_type"],
+        gap="30 minutes", watermark="10 minutes",
+    )
+    # session-window aggs reject update mode (merging rewrites windows);
+    # complete mode re-emits the full result per batch — fine for a test
+    q = write_stream(
+        agg, "memory", query_name="sess", output_mode="complete",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.session_start, r.n_events)
+        for r in spark.sql("select * from sess").collect()
+    )
+    assert got == [
+        (datetime(2024, 1, 1, 10, 0), 2),
+        (datetime(2024, 1, 1, 11, 30), 1),
+    ]
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    from kafka_streams_one_to_many_join_spark.streaming import streaming_dedup
+
+    batch1 = [(datetime(2024, 1, 1, 10, 0), "click", 1.0),
+              (datetime(2024, 1, 1, 10, 0), "click", 1.0)]   # in-batch dup
+    batch2 = [(datetime(2024, 1, 1, 10, 1), "click", 1.0),
+              (datetime(2024, 1, 1, 10, 2), "view", 2.0)]
+    _write_events(spark, f"{tmp_path}/ev", batch1)
+    time.sleep(1.05)
+    _write_events(spark, f"{tmp_path}/ev", batch2)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/ev",
+        schema=spark.createDataFrame([], EV_SCHEMA).schema,
+        maxFilesPerTrigger="1",
+    )
+    deduped = streaming_dedup(stream, keys=["event_type"], ts_col="ts")
+    q = write_stream(
+        deduped, "memory", query_name="dedup", checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [tuple(r) for r in spark.sql("select * from dedup").collect()]
+    # first click wins (in-batch AND cross-batch dups dropped), view kept
+    assert sorted(got) == [
+        (datetime(2024, 1, 1, 10, 0), "click", 1.0),
+        (datetime(2024, 1, 1, 10, 2), "view", 2.0),
+    ]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_dedup_within_watermark,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 10, 0), "click", 1.0),
+        (datetime(2024, 1, 1, 10, 1), "click", 1.0),   # dup within delay
+        (datetime(2024, 1, 1, 10, 2), "view", 2.0),
+    ]
+    _write_events(spark, f"{tmp_path}/ev", rows)
+    deduped = streaming_dedup_within_watermark(
+        _stream_events(spark, f"{tmp_path}/ev"), keys=["event_type"],
+        ts_col="ts", watermark="10 minutes",
+    )
+    q = write_stream(
+        deduped, "memory", query_name="dedupww", checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.event_type for r in spark.sql("select * from dedupww").collect())
+    assert got == ["click", "view"]
