@@ -31,6 +31,10 @@ from kafka_streams_one_to_many_join_spark.operators.sessionize import (
     session_stats,
     sessionize,
 )
+from kafka_streams_one_to_many_join_spark.operators.skew import (
+    salted_count,
+    salted_one_to_many_join,
+)
 
 __all__ = [
     "arrive_leave_events",
@@ -40,6 +44,8 @@ __all__ = [
     "latest_by_key",
     "one_to_many_join",
     "one_to_many_join_trace",
+    "salted_count",
+    "salted_one_to_many_join",
     "session_stats",
     "sessionize",
 ]

@@ -15,6 +15,9 @@ from kafka_streams_one_to_many_join_spark.streaming.join import (
     tag_car_moves,
     tag_zone_events,
 )
+from kafka_streams_one_to_many_join_spark.streaming.latest import (
+    streaming_latest_by_key,
+)
 from kafka_streams_one_to_many_join_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -27,6 +30,7 @@ __all__ = [
     "sliding_agg",
     "streaming_dedup",
     "streaming_dedup_within_watermark",
+    "streaming_latest_by_key",
     "symmetric_one_to_many_join",
     "tag_car_moves",
     "tag_zone_events",

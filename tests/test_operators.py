@@ -125,3 +125,37 @@ def test_sessionize_exact_gap_is_same_session(spark):
     df = spark.createDataFrame([(1, 0), (1, 30)], "user_id int, ts long")
     out = {r.ts: r.session_id for r in sessionize(df, "user_id", "ts", gap=30).collect()}
     assert out[0] == 1 and out[30] == 1
+
+
+def test_salted_count_matches_plain(spark):
+    from kafka_streams_one_to_many_join_spark.operators import salted_count
+
+    rows = [(i % 3, i) for i in range(200)] + [(0, 1000 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k int, rid long")
+    got = {r.k: r.n for r in salted_count(df, ["k"], ["rid"], buckets=8).collect()}
+    want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    from kafka_streams_one_to_many_join_spark.operators import (
+        salted_one_to_many_join,
+    )
+
+    many = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(100)], "rid long, fk int, v double"
+    )
+    one = spark.createDataFrame(
+        [(k, k * 10.0) for k in range(3)], "fk int, dim double"  # fk=3 unmatched
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_one_to_many_join(
+            many, one, fk="fk", identity_cols=["rid"], buckets=4
+        ).select("rid", "fk", "v", "dim").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in many.join(one, on="fk").select("rid", "fk", "v", "dim").collect()
+    )
+    assert got == want and len(got) == 75

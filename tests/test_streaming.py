@@ -289,3 +289,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.stop()
     got = sorted(r.event_type for r in spark.sql("select * from dedupww").collect())
     assert got == ["click", "view"]
+
+
+def test_streaming_latest_by_key_changelog(spark, tmp_path):
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_latest_by_key,
+    )
+
+    k_schema = "seq long, car_id int, zone_id int, fuel double"
+    b1 = [(0, 1, 100, 1.0), (2, 1, 101, 2.0), (1, 2, 100, 9.0)]
+    b2 = [(3, 1, 102, 3.0), (0, 2, 999, 0.0)]  # second row is STALE for car2
+    os.makedirs(f"{tmp_path}/ev", exist_ok=True)
+    for batch in [b1, b2]:
+        spark.createDataFrame(batch, k_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp_path}/ev")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/ev",
+        schema=spark.createDataFrame([], k_schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    latest = streaming_latest_by_key(
+        stream, key="car_id", ord_col="seq", payload=["zone_id", "fuel"]
+    )
+    q = write_stream(
+        latest, "memory", query_name="latest_cl", checkpoint=f"{tmp_path}/cp"
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [tuple(r) for r in spark.sql("select * from latest_cl").collect()]
+    # changelog: every ACCEPTED update emitted; stale (2, seq0) suppressed
+    assert sorted(rows) == [
+        (1, 0, 100, 1.0), (1, 2, 101, 2.0), (1, 3, 102, 3.0), (2, 1, 100, 9.0),
+    ]
+    # final state per key = batch latest_by_key over the full input
+    final = {}
+    for r in sorted(rows, key=lambda t: t[1]):
+        final[r[0]] = r
+    assert final[1] == (1, 3, 102, 3.0) and final[2] == (2, 1, 100, 9.0)
