@@ -490,6 +490,38 @@ def q_orders_by_month(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast FK join,
+    one month of shipments."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_brand_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct-count + plain aggs per brand."""
+    part = load_table(spark, sf, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
 def q_string_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar string-function surface (upper/length/substr/lpad/concat_ws)."""
     cust = load_table(spark, sf, "customer")
@@ -840,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_totals": q_customer_order_totals,
         "zone_pollution_full": q_zone_pollution_full,
         "orders_by_month": q_orders_by_month,
+        "promo_revenue": q_promo_revenue,
+        "brand_stats": q_brand_stats,
         "string_normalize": q_string_normalize,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -1101,6 +1135,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(avg(o_totalprice), 4) AS avg_price
             FROM orders GROUP BY 1, 2
+        """,
+        "promo_revenue": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END)
+                / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+        """,
+        "brand_stats": """
+            SELECT p_brand, count(DISTINCT p_type) AS n_types,
+                   count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part GROUP BY p_brand
         """,
         "string_normalize": """
             SELECT c_custkey, upper(c_name) AS name_upper,

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "cube_returnflag",
     "customer_order_totals",
     "orders_by_month",
+    "promo_revenue",
+    "brand_stats",
     # pipeline operators
     "dedup_exact",
     "doc_fingerprint",

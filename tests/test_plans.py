@@ -65,3 +65,54 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators carry the '*(id)' whole-stage marker
     assert "*(1)" in executed, executed
+
+
+def test_minhash_pipeline_has_no_joins(spark, sf_dir):
+    """The bucket pipeline replaced the band self-join: no join node at
+    all, and exactly the 3 designed shuffles (per-doc agg, band buckets,
+    final pair distinct)."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    df = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plans.count_shuffles(df) == 3, plan
+
+
+def test_near_dup_broadcasts_not_shuffles(spark, sf_dir):
+    """Exact pair generation broadcasts one side; the corpus itself is
+    never hash-shuffled."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    df = embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plans.count_shuffles(df) == 0, plan
+
+
+def test_props_extract_pushes_projection(spark, sf_dir):
+    """JSON extraction reads only (event_id, props) from the scan."""
+    df = entry_mod.q_props_extract(spark, sf_dir)
+    schema = plans.scan_read_schema(df)
+    assert "props" in schema and "value" not in schema, schema
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    df = entry_mod.q_promo_revenue(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = plans.pushed_filters(df)
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both window functions share one (key, order) frame: one exchange."""
+    from kafka_streams_one_to_many_join_spark.operators import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    df = sessionize(ev, "user_id", "ts", gap=1_800_000_000_000)
+    assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
