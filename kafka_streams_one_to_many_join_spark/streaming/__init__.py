@@ -15,6 +15,9 @@ from kafka_streams_one_to_many_join_spark.streaming.join import (
     tag_car_moves,
     tag_zone_events,
 )
+from kafka_streams_one_to_many_join_spark.streaming.join_tws import (
+    symmetric_one_to_many_join_tws,
+)
 from kafka_streams_one_to_many_join_spark.streaming.latest import (
     streaming_latest_by_key,
 )
@@ -32,6 +35,7 @@ __all__ = [
     "streaming_dedup_within_watermark",
     "streaming_latest_by_key",
     "symmetric_one_to_many_join",
+    "symmetric_one_to_many_join_tws",
     "tag_car_moves",
     "tag_zone_events",
     "tumbling_agg",

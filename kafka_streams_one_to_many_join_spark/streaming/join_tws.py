@@ -1,0 +1,117 @@
+"""Symmetric one-to-many join on Spark 4's transformWithStateInPandas.
+
+Functionally identical to streaming/join.py's applyInPandasWithState
+operator (same tagged-union input, same emission contract — upsert/probe on
+car arrive, delete on leave with no retraction, fan-out on zone update:
+DemoApp.scala:187-298), but expressed on the typed state API:
+
+- ``ValueState[pollution]`` — the reference's zone-events-store
+  (DemoApp.scala:251-254), one value per zone.
+- ``MapState[car_id → fuel]`` — the reference's composite-key car store
+  (DemoApp.scala:171,182-185).  This is the exact state shape SURVEY.md
+  §4.3 maps the RocksDB prefix-range-scan store onto: Spark keyed state is
+  hash-addressed, so "all cars in zone Z" is the one map for key Z, and
+  the MapState API gives per-entry put/remove — a car arriving or leaving
+  touches ONE RocksDB entry, not a re-serialized blob of the whole zone
+  (the applyInPandasWithState version rewrites its csv-encoded state per
+  batch; at 100 TB fan-in that rewrite is the bottleneck).
+
+Prefer this operator on Spark ≥ 4.0 with protobuf available (the TWS
+state-server wire protocol is protobuf-based); keep the
+applyInPandasWithState one as the portable fallback.  The processor logic
+is unit-tested against the same fixture scenario with stub state handles;
+the end-to-end streaming test auto-skips where protobuf is absent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kafka_streams_one_to_many_join_spark.streaming.join import JOINED_STREAM
+
+try:  # Spark >= 4.0 AND protobuf present (the TWS state-server protocol
+    # is protobuf-based; without it the driver worker crashes at init)
+    import google.protobuf.descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - Spark 3.x or no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = Any  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class SymmetricJoinProcessor(StatefulProcessor):
+    """Per-zone state: ValueState(pollution) + MapState(car_id → fuel)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._zone = handle.getValueState("zone", "pollution_level double")
+        self._cars = handle.getMapState("cars", "car_id int", "fuel_level double")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        (zone_id,) = key
+        pollution = self._zone.get()[0] if self._zone.exists() else None
+        out: list[dict] = []
+        batch = pd.concat(list(rows), ignore_index=True)
+        for row in batch.sort_values(["seq", "emit_rank"]).itertuples(index=False):
+            if row.kind == "car":
+                car_id = int(row.car_id)
+                if bool(row.is_arriving):
+                    # upsert + probe (DemoApp.scala:210-222)
+                    self._cars.updateValue((car_id,), (float(row.fuel_level),))
+                    if pollution is not None:
+                        out.append(dict(
+                            car_id=car_id, zone_id=zone_id,
+                            fuel_level=float(row.fuel_level),
+                            pollution_level=float(pollution),
+                        ))
+                else:
+                    # delete, no retraction (DemoApp.scala:224-230)
+                    if self._cars.containsKey((car_id,)):
+                        self._cars.removeKey((car_id,))
+            else:
+                # zone upsert + fan-out over the map (DemoApp.scala:279-290)
+                pollution = float(row.pollution_level)
+                self._zone.update((pollution,))
+                resident = sorted(
+                    (int(k[0]), float(v[0])) for k, v in self._cars.iterator()
+                )
+                for car_id, fuel in resident:
+                    out.append(dict(
+                        car_id=car_id, zone_id=zone_id,
+                        fuel_level=fuel, pollution_level=pollution,
+                    ))
+        if pollution is not None:
+            self._zone.update((pollution,))
+        if out:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def symmetric_one_to_many_join_tws(tagged: DataFrame) -> DataFrame:
+    """Streaming O6+O7 on the Spark 4 typed-state API (see module doc).
+
+    Input: the tagged union produced by tag_car_moves/tag_zone_events.
+    """
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0 with protobuf "
+            "installed; use streaming.symmetric_one_to_many_join instead"
+        )
+    return tagged.groupBy("zone_id").transformWithStateInPandas(
+        statefulProcessor=SymmetricJoinProcessor(),
+        outputStructType=JOINED_STREAM,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -328,3 +328,124 @@ def test_streaming_latest_by_key_changelog(spark, tmp_path):
     for r in sorted(rows, key=lambda t: t[1]):
         final[r[0]] = r
     assert final[1] == (1, 3, 102, 3.0) and final[2] == (2, 1, 100, 9.0)
+
+
+def test_tws_join_matches_edge_cases(spark, tmp_path):
+    """The transformWithStateInPandas variant (ValueState + MapState) must
+    produce the identical emission trace as the applyInPandasWithState one
+    on the FIXTURES.md edge-case scenario."""
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        symmetric_one_to_many_join_tws,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.join_tws import HAS_TWS
+
+    if not HAS_TWS:
+        pytest.skip("Spark < 4.0: no transformWithStateInPandas")
+
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/cars", exist_ok=True)
+    spark.createDataFrame(CAR_ROWS, CAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{tmp}/cars")
+    spark.createDataFrame(ZONE_ROWS, ZONE_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp}/zones"
+    )
+    cars_stream = read_stream(
+        spark, "parquet", f"{tmp}/cars",
+        schema=spark.createDataFrame([], CAR_SCHEMA).schema,
+    )
+    moves = car_move_detection(cars_stream)
+    q1 = write_stream(
+        moves, "parquet", f"{tmp}/through", checkpoint=f"{tmp}/cp1",
+        query_name="tws_moves",
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    moves_stream = read_stream(spark, "parquet", f"{tmp}/through", schema=moves.schema)
+    zones_stream = read_stream(
+        spark, "parquet", f"{tmp}/zones",
+        schema=spark.createDataFrame([], ZONE_SCHEMA).schema,
+    )
+    tagged = tag_car_moves(moves_stream).unionByName(tag_zone_events(zones_stream))
+    joined = symmetric_one_to_many_join_tws(tagged)
+    q2 = write_stream(joined, "memory", query_name="tws_joined", checkpoint=f"{tmp}/cp2")
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(tuple(r) for r in spark.sql("select * from tws_joined").collect())
+    assert got == EXPECTED
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def removeKey(self, k):
+        self._m.pop(k, None)
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return _FakeValueState()
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return _FakeMapState()
+
+
+def test_tws_processor_logic_matches_fixture():
+    """Drive SymmetricJoinProcessor.handleInputRows directly with stub
+    state handles: the upsert/probe/delete/fan-out logic must reproduce
+    the FIXTURES.md emission trace (the streaming integration test skips
+    where the TWS protobuf protocol is unavailable)."""
+    import pandas as pd
+
+    from kafka_streams_one_to_many_join_spark.streaming.join_tws import (
+        SymmetricJoinProcessor,
+    )
+
+    # tagged rows for zone 100, derived from CAR_ROWS/ZONE_ROWS by hand
+    # (car1 arr@0; z=50@1; car2 arr@2; z=60@3; car1 leave@4; z=70@5;
+    #  car2 arr+leave@6 (quirk); z=80@7)
+    rows = [
+        dict(kind="car", seq=0, emit_rank=0, car_id=1, is_arriving=True, fuel_level=10.0, pollution_level=None),
+        dict(kind="zone", seq=1, emit_rank=2, car_id=None, is_arriving=None, fuel_level=None, pollution_level=50.0),
+        dict(kind="car", seq=2, emit_rank=0, car_id=2, is_arriving=True, fuel_level=20.0, pollution_level=None),
+        dict(kind="zone", seq=3, emit_rank=2, car_id=None, is_arriving=None, fuel_level=None, pollution_level=60.0),
+        dict(kind="car", seq=4, emit_rank=1, car_id=1, is_arriving=False, fuel_level=11.0, pollution_level=None),
+        dict(kind="zone", seq=5, emit_rank=2, car_id=None, is_arriving=None, fuel_level=None, pollution_level=70.0),
+        dict(kind="car", seq=6, emit_rank=0, car_id=2, is_arriving=True, fuel_level=21.0, pollution_level=None),
+        dict(kind="car", seq=6, emit_rank=1, car_id=2, is_arriving=False, fuel_level=21.0, pollution_level=None),
+        dict(kind="zone", seq=7, emit_rank=2, car_id=None, is_arriving=None, fuel_level=None, pollution_level=80.0),
+    ]
+    proc = SymmetricJoinProcessor()
+    proc.init(_FakeHandle())
+    out = list(proc.handleInputRows((100,), iter([pd.DataFrame(rows)]), None))
+    got = sorted(
+        (int(r.car_id), int(r.zone_id), float(r.fuel_level), float(r.pollution_level))
+        for pdf in out
+        for r in pdf.itertuples(index=False)
+    )
+    assert got == EXPECTED
