@@ -522,6 +522,22 @@ def q_brand_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MAX_ORDER_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def q_max_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL entry point + correlated scalar subquery (Catalyst decorrelates
+    it into an aggregate + join — no per-row re-execution)."""
+    from kafka_streams_one_to_many_join_spark.model import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_MAX_ORDER_SQL)
+
+
 def q_string_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar string-function surface (upper/length/substr/lpad/concat_ws)."""
     cust = load_table(spark, sf, "customer")
@@ -874,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "promo_revenue": q_promo_revenue,
         "brand_stats": q_brand_stats,
+        "max_order_per_customer": q_max_order_per_customer,
         "string_normalize": q_string_normalize,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -1152,6 +1169,8 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(p_retailprice), 4) AS avg_price
             FROM part GROUP BY p_brand
         """,
+        # the Spark query IS this SQL text — same string, two engines
+        "max_order_per_customer": _MAX_ORDER_SQL,
         "string_normalize": """
             SELECT c_custkey, upper(c_name) AS name_upper,
                    length(c_name) AS name_len,

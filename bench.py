@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "orders_by_month",
     "promo_revenue",
     "brand_stats",
+    "max_order_per_customer",
     # pipeline operators
     "dedup_exact",
     "doc_fingerprint",

@@ -116,3 +116,30 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     df = sessionize(ev, "user_id", "ts", gap=1_800_000_000_000)
     assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet: a filter on the partition column
+    becomes a PartitionFilter (directories skipped), not a data filter."""
+    from kafka_streams_one_to_many_join_spark.sources import read_batch, write_batch
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_batch(orders, "parquet", f"{tmp_path}/by_year", partition_by=["o_year"])
+    back = read_batch(spark, "parquet", f"{tmp_path}/by_year").filter(
+        F.col("o_year") == 1997
+    )
+    plan = plans.formatted_plan(back)
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters")[1][:120], plan
+    n_all = read_batch(spark, "parquet", f"{tmp_path}/by_year").count()
+    assert back.count() < n_all
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """Catalyst rewrites the correlated scalar subquery into agg + join —
+    no per-row subquery nodes survive in the physical plan."""
+    df = entry_mod.q_max_order_per_customer(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Subquery" not in plan, plan
+    assert "Join" in plan or "BroadcastHashJoin" in plan, plan
