@@ -669,6 +669,45 @@ def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_features(assets)
 
 
+def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, deterministic top-20.
+    explode → codegen hash agg with map-side partials; only (token, count)
+    pairs shuffle."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def q_doc_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Length distribution in 100-char buckets."""
+    docs = load_table(spark, sf, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("bigint")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroid, element-wise: posexplode → (label,
+    dim) aggregate — the shuffle-friendly formulation (no array state in
+    the agg buffer, plain double avg with map-side partials)."""
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+    )
+
+
 def q_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: documents as opaque binary assets + metadata."""
     docs = load_table(spark, sf, "documents")
@@ -908,6 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "audio_features": q_audio_features,
         "asset_metadata": q_asset_metadata,
+        "top_tokens": q_top_tokens,
+        "doc_length_histogram": q_doc_length_histogram,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -1340,6 +1382,22 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
     }
+    d["top_tokens"] = f"""
+        SELECT tk AS token, count(*) AS n
+        FROM (SELECT unnest({tok}) AS tk FROM documents)
+        GROUP BY tk ORDER BY n DESC, tk LIMIT 20
+    """
+    d["doc_length_histogram"] = """
+        SELECT (n_chars // 100 * 100)::BIGINT AS bucket, count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+    d["label_centroids"] = """
+        SELECT label, p - 1 AS dim, round(avg(x::DOUBLE), 6) AS centroid
+        FROM (SELECT label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS p
+              FROM embeddings)
+        GROUP BY label, p - 1
+    """
     # same semantics, different physical path (Arrow/numpy) — same oracle
     d["ann_topk_pandas"] = d["ann_topk"]
     return d

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "audio_features",
     "asset_metadata",
+    "top_tokens",
+    "doc_length_histogram",
+    "label_centroids",
 ]
 
 

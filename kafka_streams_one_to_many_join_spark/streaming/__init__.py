@@ -21,6 +21,10 @@ from kafka_streams_one_to_many_join_spark.streaming.join_tws import (
 from kafka_streams_one_to_many_join_spark.streaming.latest import (
     streaming_latest_by_key,
 )
+from kafka_streams_one_to_many_join_spark.streaming.stream_join import (
+    stream_static_join,
+    stream_stream_join,
+)
 from kafka_streams_one_to_many_join_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -31,6 +35,8 @@ __all__ = [
     "car_move_detection",
     "session_agg",
     "sliding_agg",
+    "stream_static_join",
+    "stream_stream_join",
     "streaming_dedup",
     "streaming_dedup_within_watermark",
     "streaming_latest_by_key",

@@ -449,3 +449,56 @@ def test_tws_processor_logic_matches_fixture():
         for r in pdf.itertuples(index=False)
     )
     assert got == EXPECTED
+
+
+def test_stream_stream_join_inner(spark, tmp_path):
+    from kafka_streams_one_to_many_join_spark.streaming import stream_stream_join
+
+    l_schema = "lts timestamp, zone_id int, car_id int"
+    r_schema = "rts timestamp, zone_id int, pollution double"
+    lrows = [
+        (datetime(2024, 1, 1, 10, 0), 100, 1),
+        (datetime(2024, 1, 1, 10, 1), 101, 2),
+        (datetime(2024, 1, 1, 10, 2), 999, 3),  # no matching zone
+    ]
+    rrows = [
+        (datetime(2024, 1, 1, 10, 0), 100, 50.0),
+        (datetime(2024, 1, 1, 10, 1), 100, 60.0),  # APPEND: both match car1
+        (datetime(2024, 1, 1, 10, 2), 101, 70.0),
+    ]
+    spark.createDataFrame(lrows, l_schema).coalesce(1).write.parquet(f"{tmp_path}/l")
+    spark.createDataFrame(rrows, r_schema).coalesce(1).write.parquet(f"{tmp_path}/r")
+    ls = read_stream(spark, "parquet", f"{tmp_path}/l",
+                     schema=spark.createDataFrame([], l_schema).schema)
+    rs = read_stream(spark, "parquet", f"{tmp_path}/r",
+                     schema=spark.createDataFrame([], r_schema).schema)
+    joined = stream_stream_join(ls, rs, on="zone_id", left_ts="lts", right_ts="rts")
+    q = write_stream(joined, "memory", query_name="ssj", checkpoint=f"{tmp_path}/cp")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.zone_id, r.car_id, r.pollution)
+        for r in spark.sql("select * from ssj").collect()
+    )
+    # append semantics: car1 joins BOTH zone-100 rows (no upsert);
+    # car3's zone 999 never arrives → suppressed (inner)
+    assert got == [(100, 1, 50.0), (100, 1, 60.0), (101, 2, 70.0)]
+
+
+def test_stream_static_join(spark, tmp_path):
+    from kafka_streams_one_to_many_join_spark.streaming import stream_static_join
+
+    s_schema = "ts timestamp, zone_id int, car_id int"
+    srows = [(datetime(2024, 1, 1, 10, 0), 100, 1),
+             (datetime(2024, 1, 1, 10, 1), 999, 2)]
+    spark.createDataFrame(srows, s_schema).coalesce(1).write.parquet(f"{tmp_path}/s")
+    stream = read_stream(spark, "parquet", f"{tmp_path}/s",
+                         schema=spark.createDataFrame([], s_schema).schema)
+    static = spark.createDataFrame([(100, 50.0)], "zone_id int, pollution double")
+    joined = stream_static_join(stream, static, on="zone_id")
+    q = write_stream(joined, "memory", query_name="ssj2", checkpoint=f"{tmp_path}/cp")
+    q.processAllAvailable()
+    q.stop()
+    got = [(r.zone_id, r.car_id, r.pollution)
+           for r in spark.sql("select * from ssj2").collect()]
+    assert got == [(100, 1, 50.0)]
