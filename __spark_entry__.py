@@ -43,6 +43,7 @@ from kafka_streams_one_to_many_join_spark.functions.text import (
     doc_fingerprint,
     language_id,
     text_stats,
+    winnowing_fingerprints,
 )
 from kafka_streams_one_to_many_join_spark.model import load_table
 from kafka_streams_one_to_many_join_spark.operators import (
@@ -669,6 +670,13 @@ def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_features(assets)
 
 
+def q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling k-gram fingerprints with winnowing (MOSS scheme)."""
+    return winnowing_fingerprints(
+        load_table(spark, sf, "documents"), k=8, window=4
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary: global token frequencies, deterministic top-20.
     explode → codegen hash agg with map-side partials; only (token, count)
@@ -778,18 +786,18 @@ def _near_dup_sql(
     """
 
 
-# DuckDB 31-bit md5-prefix shingle hash — nibble-decoded, matching Spark's
-# conv(substring(md5(shingle), 1, 8), 16, 10) % P literal-for-literal
-_DUCK_SHINGLE_H = (
-    "((strpos('0123456789abcdef', substr(md5(shingle), 1, 1)) - 1) * 268435456"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 2, 1)) - 1) * 16777216"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 3, 1)) - 1) * 1048576"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 4, 1)) - 1) * 65536"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 5, 1)) - 1) * 4096"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 6, 1)) - 1) * 256"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 7, 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 8, 1)) - 1)) % 2147483647"
-)
+def _duck_md5_prefix32(e: str) -> str:
+    """DuckDB: first 8 hex chars of md5(e) as a 32-bit integer — matches
+    Spark's conv(substring(md5(e), 1, 8), 16, 10) nibble-for-nibble."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({e}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+# 31-bit shingle hash: md5 prefix mod the MinHash modulus
+_DUCK_SHINGLE_H = f"({_duck_md5_prefix32('shingle')} % 2147483647)"
 
 
 def _minhash_lsh_sql(
@@ -934,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnowing": q_winnowing,
         "text_stats": q_text_stats,
         "token_count_by_lang": q_token_count_by_lang,
         "lang_id": q_lang_id,
@@ -1382,6 +1391,34 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
     }
+    d["winnowing"] = f"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nm
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CASE WHEN length(nm) < 8 THEN []
+                        ELSE list_transform(generate_series(1, length(nm) - 7),
+                             i -> {_duck_md5_prefix32("substr(nm, i, 8)")}::BIGINT)
+                   END AS hs
+            FROM n
+        ),
+        m AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) = 0 THEN []
+                        WHEN len(hs) < 4 THEN [list_min(hs)]
+                        ELSE list_distinct(list_transform(
+                            generate_series(1, len(hs) - 3),
+                            j -> list_min(hs[j:j+3])))
+                   END AS fps
+            FROM h
+        )
+        SELECT DISTINCT doc_id, fingerprint
+        FROM (SELECT doc_id, unnest(fps) AS fingerprint FROM m)
+    """
     d["top_tokens"] = f"""
         SELECT tk AS token, count(*) AS n
         FROM (SELECT unnest({tok}) AS tk FROM documents)

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     # pipeline operators
     "dedup_exact",
     "doc_fingerprint",
+    "winnowing",
     "text_stats",
     "lang_id",
     "ngram_jaccard",

@@ -7,31 +7,57 @@ appears only in the explicitly-marked vectorized Pandas-UDF variants used
 when numpy beats expression trees (dense linear algebra).
 """
 
+from kafka_streams_one_to_many_join_spark.functions.dedup import (
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
+    exact_duplicates,
+    minhash_coeffs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+    asset_metadata,
+    extract_audio_features,
+    extract_image_features,
+    sample_frames_stub,
+)
+from kafka_streams_one_to_many_join_spark.functions.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    cosine_expr,
+    hyperplane_lsh_bucket,
+    lsh_topk,
+    seeded_planes,
+)
 from kafka_streams_one_to_many_join_spark.functions.text import (
     doc_fingerprint,
     language_id,
     text_stats,
     tokens_expr,
 )
-from kafka_streams_one_to_many_join_spark.functions.dedup import (
-    exact_duplicates,
-    minhash_lsh_pairs,
-    ngram_jaccard_pairs,
-    simhash_buckets,
-)
-from kafka_streams_one_to_many_join_spark.functions.similarity import (
-    brute_force_topk,
-    cosine_expr,
-)
 
 __all__ = [
+    "asset_metadata",
     "brute_force_topk",
+    "brute_force_topk_pandas",
     "cosine_expr",
     "doc_fingerprint",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
     "exact_duplicates",
+    "extract_audio_features",
+    "extract_image_features",
+    "hyperplane_lsh_bucket",
     "language_id",
+    "lsh_topk",
+    "minhash_coeffs",
     "minhash_lsh_pairs",
+    "minhash_signatures",
     "ngram_jaccard_pairs",
+    "sample_frames_stub",
+    "seeded_planes",
     "simhash_buckets",
     "text_stats",
     "tokens_expr",

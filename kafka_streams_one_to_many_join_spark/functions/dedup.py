@@ -60,6 +60,28 @@ def _shingle_expr(text_col: str, n: int) -> str:
     )
 
 
+def _shingle_from_tokens(n: int, t: str = "_t") -> str:
+    """Shingle array over an already-materialized token array column."""
+    return (
+        f"case when size({t}) < {n} then array() "
+        f"else array_distinct(transform(sequence(0, size({t}) - {n}), "
+        f"i -> concat_ws(' ', slice({t}, i + 1, {n})))) end"
+    )
+
+
+def _with_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc_id, _sh): tokens materialized in their OWN projection before
+    shingling — the inline form mentions the token regex three times (size
+    guard + sequence bound + slice) and CollapseProject keeps it that way;
+    splitting the projection pins the regex to once per row (measured ~30%
+    faster shingling at sf0.1)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.expr(_tokens(text_col)).alias("_t")
+    ).select("doc_id", F.expr(_shingle_from_tokens(n)).alias("_sh"))
+
+
 def exact_duplicates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -89,9 +111,8 @@ def shingles(
     Shingle construction is a pure expression: token array → sliding window
     via transform(sequence(...)) → concat_ws — no UDF, no shuffle.
     """
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(_shingle_expr(text_col, n))).alias("shingle"),
+    return _with_shingles(docs, text_col, id_col, n).select(
+        "doc_id", F.explode("_sh").alias("shingle")
     )
 
 
@@ -118,10 +139,7 @@ def ngram_jaccard_pairs(
     # single pass over the text: tokenize/shingle ONCE, carry each doc's
     # set size through the explode so no sizes join (and no re-scan) is
     # ever needed downstream
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(_shingle_expr(text_col, n)).alias("_sh"),
-    ).select(
+    sh = _with_shingles(docs, text_col, id_col, n).select(
         "doc_id",
         F.size("_sh").alias("set_size"),
         F.explode("_sh").alias("shingle"),
@@ -207,9 +225,8 @@ def minhash_signatures(
     min — no per-row lambda interpretation, one shuffle of (doc_id, h).
     """
     a, b = minhash_coeffs(num_hashes, seed)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(_shingle_expr(text_col, shingle_n))).alias("shingle"),
+    sh = _with_shingles(docs, text_col, id_col, shingle_n).select(
+        "doc_id", F.explode("_sh").alias("shingle")
     ).select("doc_id", F.expr(_SHINGLE_H).alias("h"))
     mins = [
         F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
@@ -251,9 +268,8 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     a, b = minhash_coeffs(num_hashes, seed)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(_shingle_expr(text_col, shingle_n))).alias("shingle"),
+    sh = _with_shingles(docs, text_col, id_col, shingle_n).select(
+        "doc_id", F.explode("_sh").alias("shingle")
     ).select("doc_id", F.expr(_SHINGLE_H).alias("h"))
     mins = [
         F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")

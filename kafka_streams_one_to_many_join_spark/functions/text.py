@@ -96,6 +96,50 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return scored.select(F.col(id_col), best.alias("lang_pred"))
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): position-sliding
+    character k-gram hashes, min per window of ``window`` consecutive
+    hashes, deduplicated.  Two documents sharing any substring of length
+    ≥ window+k-1 (after normalization) share at least one fingerprint —
+    the local similarity guarantee exact/minhash dedup lacks.
+
+    Output: (doc_id, fingerprint BIGINT), several rows per document.
+    Hashes are md5-prefix based (portable; an incremental Rabin-Karp
+    rolling hash is an engine optimization with the same output — the
+    expression engine recomputes per position, still one projection,
+    no shuffle except the final distinct).
+    """
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), "
+        "'[^a-z0-9 ]', ' '), ' +', ' '))"
+    )
+    gram_h = (
+        f"cast(conv(substring(md5(substring(_n, i, {k})), 1, 8), 16, 10) as bigint)"
+    )
+    hashes = (
+        f"case when length(_n) < {k} then array() "
+        f"else transform(sequence(1, length(_n) - {k} + 1), i -> {gram_h}) end"
+    )
+    mins = (
+        f"case when size(_h) = 0 then array() "
+        f"when size(_h) < {window} then array(array_min(_h)) "
+        f"else array_distinct(transform(sequence(1, size(_h) - {window} + 1), "
+        f"j -> array_min(slice(_h, j, {window})))) end"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(norm).alias("_n"))
+        .select(id_col, F.expr(hashes).alias("_h"))
+        .select(id_col, F.explode(F.expr(mins)).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalization fingerprint: md5 of the whitespace-collapsed,
     lower-cased, punctuation-stripped text.  Two documents with the same

@@ -213,3 +213,31 @@ def test_extract_audio_features_matches_stub(spark):
         assert out[i].sample_rate == rate
         assert out[i].n_samples == n
         assert out[i].duration_s == n / rate
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa common fragment of text zzz"),
+            (2, "bbb common fragment of text yyy"),  # long shared substring
+            (3, "totally unrelated words qqq"),
+            (4, "xy"),  # shorter than k → no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs, k=8, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]            # shared window+k-1 substring
+    assert not (by_doc[1] & by_doc[3])      # unrelated: disjoint (w.h.p.)
+    assert 4 not in by_doc                  # too short
+    # deterministic
+    again = {}
+    for r in winnowing_fingerprints(docs, k=8, window=4).collect():
+        again.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert again == by_doc
