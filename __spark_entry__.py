@@ -32,6 +32,8 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
 from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     asset_metadata,
     extract_audio_features,
+    extract_image_features,
+    sample_frames_stub,
 )
 from kafka_streams_one_to_many_join_spark.functions.similarity import (
     brute_force_topk,
@@ -716,6 +718,30 @@ def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal image plumbing: mapInPandas decode (deterministic stub)
+    over fabricated image assets."""
+    docs = load_table(spark, sf, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return extract_image_features(assets)
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plumbing: every-10th frame index per asset
+    (payload inflated 40× so multi-frame assets exist at small SF)."""
+    docs = load_table(spark, sf, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.encode(F.expr("repeat(text, 40)"), "UTF-8").alias("payload"),
+    )
+    return sample_frames_stub(assets, every_nth=10).select("asset_id", "frame_no")
+
+
 def q_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: documents as opaque binary assets + metadata."""
     docs = load_table(spark, sf, "documents")
@@ -955,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "audio_features": q_audio_features,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
         "asset_metadata": q_asset_metadata,
         "top_tokens": q_top_tokens,
         "doc_length_histogram": q_doc_length_histogram,
@@ -1391,6 +1419,27 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
     }
+    d["image_features"] = """
+        WITH h AS (
+            SELECT doc_id AS asset_id,
+                   coalesce(list_sum(list_transform(
+                       generate_series(1, least(16, length(text))),
+                       i -> ord(substr(text, i, 1)))), 0)::BIGINT AS hv,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        )
+        SELECT asset_id, (64 + hv % 256)::INTEGER AS width,
+               (64 + (hv // 7) % 256)::INTEGER AS height, n_bytes
+        FROM h
+    """
+    d["frame_sample"] = """
+        SELECT asset_id,
+               unnest(list_transform(
+                   generate_series(0, floor(octet_length(encode(repeat(text, 40)))::DOUBLE
+                       / 10240)::BIGINT),
+                   i -> i * 10)) AS frame_no
+        FROM (SELECT doc_id AS asset_id, text FROM documents)
+    """
     d["winnowing"] = f"""
         WITH n AS (
             SELECT doc_id,

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "audio_features",
+    "image_features",
+    "frame_sample",
     "asset_metadata",
     "top_tokens",
     "doc_length_histogram",
@@ -78,8 +80,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # warm up the JVM + parquet footer caches with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm up the JVM, codegen, window/agg/broadcast paths, and parquet
+    # footer caches on the TINY tables so one-time costs aren't charged to
+    # whichever suite query happens to run first
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    from pyspark.sql import Window
+
+    warm = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("r_regionkey").orderBy("n_nationkey")
+            ),
+        )
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("rn").alias("m"))
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
