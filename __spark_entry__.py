@@ -1328,10 +1328,13 @@ def oracle_sql() -> dict[str, str]:
                     FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
                 ) WHERE t_last IS NOT NULL
             ),
+            hs AS (
+                SELECT doc_id, {_duck_md5_prefix32("shingle")}::BIGINT AS h FROM sh
+            ),
             sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
             pairs AS (
                 SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
-                FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+                FROM hs l JOIN hs r ON l.h = r.h AND l.doc_id < r.doc_id
                 GROUP BY l.doc_id, r.doc_id
             )
             SELECT doc_a, doc_b,

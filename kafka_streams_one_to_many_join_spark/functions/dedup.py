@@ -138,20 +138,32 @@ def ngram_jaccard_pairs(
 
     # single pass over the text: tokenize/shingle ONCE, carry each doc's
     # set size through the explode so no sizes join (and no re-scan) is
-    # ever needed downstream
+    # ever needed downstream.  Shingle strings are replaced by their
+    # 32-bit md5 prefix immediately after the explode (codegen'd, one md5
+    # per shingle occurrence): every downstream shuffle and comparison
+    # moves 8-byte ints instead of ~25-byte strings.  Set sizes stay
+    # STRING-distinct counts and intersections are counted by hash
+    # equality with multiplicity — the oracle mirrors exactly, so a
+    # 2^-32 prefix collision perturbs both engines identically.
     sh = _with_shingles(docs, text_col, id_col, n).select(
         "doc_id",
         F.size("_sh").alias("set_size"),
         F.explode("_sh").alias("shingle"),
+    ).select(
+        "doc_id",
+        "set_size",
+        F.expr(
+            "cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)"
+        ).alias("h"),
     )
-    # document frequency via a window over the ONE shuffle by shingle —
-    # the groupBy(shingle) below reuses the same hash partitioning, so
+    # document frequency via a window over the ONE shuffle by hash —
+    # the groupBy(h) below reuses the same hash partitioning, so
     # candidate generation adds no exchange
-    df_w = Window.partitionBy("shingle")
+    df_w = Window.partitionBy("h")
     buckets = (
         sh.withColumn("df", F.count(F.lit(1)).over(df_w))
         .filter(F.col("df") <= max_shingle_freq)
-        .groupBy("shingle")
+        .groupBy("h")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("doc_id", "set_size"))
@@ -170,6 +182,9 @@ def ngram_jaccard_pairs(
     )
     return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        # under a hash collision a doc can appear twice in one bucket;
+        # self-pairs must not count (the oracle's l.doc_id < r.doc_id)
+        .filter(F.col("p.doc_a") < F.col("p.doc_b"))
         .groupBy("p.doc_a", "p.doc_b", "p.size_a", "p.size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
