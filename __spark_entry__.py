@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -532,6 +533,54 @@ _MAX_ORDER_SQL = """
 """
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_segment_priority_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (crosstab): order counts per segment × priority.  The value
+    list is pinned so the schema is static (a pivot without one triggers
+    a distinct-values job first)."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    cols = {p: f"p{p[0]}" for p in _PRIORITIES}
+    pivoted = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(cols[p]) for p in _PRIORITIES],
+    )
+    return out
+
+
+def q_quality_score_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar @pandas_udf: a vectorized numpy quality score per document.
+    Arrow-batched — the UDF sees numpy-backed Series, not rows; the same
+    closed-form formula is the SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(n_chars: pd.Series, n_tokens: pd.Series) -> pd.Series:
+        import numpy as np
+
+        density = n_tokens.to_numpy(dtype="float64") / np.maximum(
+            n_chars.to_numpy(dtype="float64"), 1.0
+        )
+        return pd.Series(np.round(np.minimum(density * 5.0, 1.0), 6))
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+    return docs.select(
+        "doc_id",
+        score(F.col("n_chars").cast("double"), toks.cast("double")).alias(
+            "quality"
+        ),
+    )
+
+
 def q_max_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     """SQL entry point + correlated scalar subquery (Catalyst decorrelates
     it into an aggregate + join — no per-row re-execution)."""
@@ -964,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "brand_stats": q_brand_stats,
         "max_order_per_customer": q_max_order_per_customer,
+        "segment_priority_matrix": q_segment_priority_matrix,
+        "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -1250,6 +1301,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the Spark query IS this SQL text — same string, two engines
         "max_order_per_customer": _MAX_ORDER_SQL,
+        "segment_priority_matrix": """
+            SELECT c_mktsegment,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS p1,
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS p2,
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS p3,
+                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS p4,
+                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p5
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "quality_score_udf": f"""
+            SELECT doc_id,
+                   round(least(len({tok})::DOUBLE / greatest(n_chars::DOUBLE, 1.0)
+                       * 5.0, 1.0), 6) AS quality
+            FROM documents
+        """,
         "string_normalize": """
             SELECT c_custkey, upper(c_name) AS name_upper,
                    length(c_name) AS name_len,

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "promo_revenue",
     "brand_stats",
     "max_order_per_customer",
+    "segment_priority_matrix",
+    "quality_score_udf",
     # pipeline operators
     "dedup_exact",
     "doc_fingerprint",
