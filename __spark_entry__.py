@@ -29,6 +29,7 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_buckets,
+    simhash_near_dup_pairs,
 )
 from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     asset_metadata,
@@ -655,6 +656,11 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_buckets(load_table(spark, sf, "documents"))
 
 
+def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (exact for Hamming ≤ 3, pigeonhole)."""
+    return simhash_near_dup_pairs(load_table(spark, sf, "documents"))
+
+
 def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -875,6 +881,40 @@ def _duck_md5_prefix32(e: str) -> str:
 _DUCK_SHINGLE_H = f"({_duck_md5_prefix32('shingle')} % 2147483647)"
 
 
+def _simhash_sql(tok: str) -> str:
+    """The 32-bit SimHash construction (token md5 nibbles, majority vote)
+    as one self-contained SELECT — reused by the signature query and as
+    the CTE of the banded near-dup query."""
+    return f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({tok}) AS t FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 268435456
+                     + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16777216
+                     + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 1048576
+                     + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) * 65536
+                     + (strpos('0123456789abcdef', substr(md5(t), 5, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(md5(t), 6, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(md5(t), 7, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(t), 8, 1)) - 1) AS h
+                FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, b.b,
+                       sum(CASE WHEN (h // power(2, b.b)::BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
+                       count(*) AS total
+                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+                GROUP BY doc_id, b.b
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN ones * 2 > total
+                       THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+    """
+
+
 def _minhash_lsh_sql(
     tok: str, threshold: float, num_hashes: int = 16, bands: int = 8
 ) -> str:
@@ -1026,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_pandas": q_ann_topk_pandas,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1411,33 +1452,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_common::DOUBLE / (sa.set_size + sb.set_size - n_common) >= 0.7
         """,
         "minhash_lsh": _minhash_lsh_sql(tok, threshold=0.7),
-        "simhash": f"""
-            WITH toks AS (
-                SELECT DISTINCT doc_id, unnest({tok}) AS t FROM documents
+        "simhash": _simhash_sql(tok),
+        "simhash_near_dup": f"""
+            WITH s AS ({_simhash_sql(tok)}),
+            bands AS (
+                SELECT doc_id, simhash, b.b AS band,
+                       (simhash // power(2, b.b * 8)::BIGINT) % 256 AS bval
+                FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
             ),
-            th AS (
-                SELECT doc_id,
-                       (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 268435456
-                     + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16777216
-                     + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 1048576
-                     + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) * 65536
-                     + (strpos('0123456789abcdef', substr(md5(t), 5, 1)) - 1) * 4096
-                     + (strpos('0123456789abcdef', substr(md5(t), 6, 1)) - 1) * 256
-                     + (strpos('0123456789abcdef', substr(md5(t), 7, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef', substr(md5(t), 8, 1)) - 1) AS h
-                FROM toks
-            ),
-            bits AS (
-                SELECT doc_id, b.b,
-                       sum(CASE WHEN (h // power(2, b.b)::BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
-                       count(*) AS total
-                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
-                GROUP BY doc_id, b.b
+            cand AS (
+                SELECT DISTINCT l.doc_id AS doc_a, l.simhash AS sa,
+                                r.doc_id AS doc_b, r.simhash AS sb
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
             )
-            SELECT doc_id,
-                   sum(CASE WHEN ones * 2 > total
-                       THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
-            FROM bits GROUP BY doc_id
+            SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "ann_topk": """
             WITH q AS (

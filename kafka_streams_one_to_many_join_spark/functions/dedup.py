@@ -371,6 +371,57 @@ def simhash_buckets(
     return hashed.select("doc_id", F.expr(sim).alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking + exact Hamming verify.
+
+    The 32-bit simhash splits into 4 bytes; by pigeonhole, two hashes
+    within Hamming distance 3 agree on at least one byte — so the
+    byte-bucket blocking is EXACT (recall 1.0) for ``max_hamming`` ≤ 3.
+    Same single-pass bucket dataflow as minhash_lsh_pairs: groupBy
+    (band, byte) + in-bucket pair expansion, no self-join, 3 shuffles.
+
+    Output: (doc_a < doc_b, hamming BIGINT ≤ max_hamming).
+    """
+    sigs = simhash_buckets(docs, text_col, id_col)
+    band_rows = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> named_struct("
+                "'band', b, 'bval', pmod(shiftright(simhash, b * 8), 256)))"
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"))
+    buckets = (
+        band_rows.groupBy("band", "bval")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), y -> "
+        "struct(x.doc_id as doc_a, x.simhash as sim_a, "
+        "y.doc_id as doc_b, y.simhash as sim_b))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .filter(F.col("p.doc_a") < F.col("p.doc_b"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.expr("cast(bit_count(p.sim_a ^ p.sim_b) as bigint)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -241,3 +241,17 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
     for r in winnowing_fingerprints(docs, k=8, window=4).collect():
         again.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert again == by_doc
+
+
+def test_simhash_near_dup_pairs(spark):
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(_docs(spark), max_hamming=3).collect()
+    }
+    assert out.get((1, 4)) == 0  # identical docs: distance 0
+    # every reported pair verified within the bound
+    assert all(h <= 3 for h in out.values())
