@@ -143,3 +143,35 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "Subquery" not in plan, plan
     assert "Join" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key join WITHOUT any exchange: the
+    pre-partitioned layout satisfies the join's distribution requirement.
+    This is the co-location strategy for repeated large-large joins at
+    100 TB (pay the shuffle once at write time, never again)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_b")
+    cust.withColumnRenamed("c_custkey", "o_custkey").write.bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").mode("overwrite").saveAsTable("customer_b")
+    try:
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"), on="o_custkey"
+        )
+        assert plans.count_shuffles(joined) == 0, plans.formatted_plan(joined)
+        assert "SortMergeJoin" in plans.formatted_plan(joined)
+        # sanity: results match the plain join
+        n_plain = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
