@@ -881,8 +881,18 @@ def _duck_md5_prefix32(e: str) -> str:
 _DUCK_SHINGLE_H = f"({_duck_md5_prefix32('shingle')} % 2147483647)"
 
 
+def _duck_md5_prefix(e: str, nhex: int) -> str:
+    """DuckDB: first ``nhex`` hex chars of md5(e) as an integer — matches
+    Spark's conv(substring(md5(e), 1, nhex), 16, 10) nibble-for-nibble."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({e}), {i + 1}, 1)) - 1) * {16 ** (nhex - 1 - i)}"
+        for i in range(nhex)
+    )
+    return f"({terms})"
+
+
 def _simhash_sql(tok: str) -> str:
-    """The 32-bit SimHash construction (token md5 nibbles, majority vote)
+    """The 60-bit SimHash construction (token md5 prefix, majority vote)
     as one self-contained SELECT — reused by the signature query and as
     the CTE of the banded near-dup query."""
     return f"""
@@ -890,22 +900,14 @@ def _simhash_sql(tok: str) -> str:
                 SELECT DISTINCT doc_id, unnest({tok}) AS t FROM documents
             ),
             th AS (
-                SELECT doc_id,
-                       (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 268435456
-                     + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16777216
-                     + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 1048576
-                     + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) * 65536
-                     + (strpos('0123456789abcdef', substr(md5(t), 5, 1)) - 1) * 4096
-                     + (strpos('0123456789abcdef', substr(md5(t), 6, 1)) - 1) * 256
-                     + (strpos('0123456789abcdef', substr(md5(t), 7, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef', substr(md5(t), 8, 1)) - 1) AS h
+                SELECT doc_id, {_duck_md5_prefix("t", 15)}::BIGINT AS h
                 FROM toks
             ),
             bits AS (
                 SELECT doc_id, b.b,
                        sum(CASE WHEN (h // power(2, b.b)::BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
                        count(*) AS total
-                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
                 GROUP BY doc_id, b.b
             )
             SELECT doc_id,
@@ -1457,7 +1459,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS ({_simhash_sql(tok)}),
             bands AS (
                 SELECT doc_id, simhash, b.b AS band,
-                       (simhash // power(2, b.b * 8)::BIGINT) % 256 AS bval
+                       (simhash // power(2, b.b * 15)::BIGINT) % 32768 AS bval
                 FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
             ),
             cand AS (

@@ -255,3 +255,16 @@ def test_simhash_near_dup_pairs(spark):
     assert out.get((1, 4)) == 0  # identical docs: distance 0
     # every reported pair verified within the bound
     assert all(h <= 3 for h in out.values())
+
+
+def test_dedup_functions_on_empty_docs(spark):
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert simhash_near_dup_pairs(empty).count() == 0

@@ -159,3 +159,42 @@ def test_salted_join_matches_plain(spark):
         for r in many.join(one, on="fk").select("rid", "fk", "v", "dim").collect()
     )
     assert got == want and len(got) == 75
+
+
+def test_operators_on_empty_inputs(spark):
+    """Empty inputs flow through every core operator without error."""
+    from kafka_streams_one_to_many_join_spark.operators import (
+        fanout_counts,
+        one_to_many_join,
+        session_stats,
+    )
+
+    cars = spark.createDataFrame([], "car_id int, zone_id int, fuel double")
+    zones = spark.createDataFrame([], "zone_id int, pollution double")
+    assert one_to_many_join(cars, zones, fk="zone_id").count() == 0
+    assert fanout_counts(cars, "zone_id").count() == 0
+    assert latest_by_key(cars, keys="car_id", order_by="zone_id").count() == 0
+    ev = spark.createDataFrame([], "user_id int, ts long")
+    assert session_stats(ev, "user_id", "ts", gap=10).count() == 0
+
+
+def test_trace_empty_sides(spark):
+    from kafka_streams_one_to_many_join_spark.operators import (
+        one_to_many_join_trace,
+    )
+
+    cars = spark.createDataFrame(
+        [(0, 1, 100, 1.0)], "seq long, car_id int, zone_id int, fuel_level double"
+    )
+    no_zones = spark.createDataFrame(
+        [], "seq long, zone_id int, pollution_level double"
+    )
+    # no zone events: nothing can ever be emitted (inner character)
+    assert one_to_many_join_trace(cars, no_zones).count() == 0
+    no_cars = spark.createDataFrame(
+        [], "seq long, car_id int, zone_id int, fuel_level double"
+    )
+    zones = spark.createDataFrame(
+        [(1, 100, 5.0)], "seq long, zone_id int, pollution_level double"
+    )
+    assert one_to_many_join_trace(no_cars, zones).count() == 0
