@@ -76,8 +76,12 @@ def _with_shingles(
     shingling — the inline form mentions the token regex three times (size
     guard + sequence bound + slice) and CollapseProject keeps it that way;
     splitting the projection pins the regex to once per row (measured ~30%
-    faster shingling at sf0.1)."""
-    return docs.select(
+    faster shingling at sf0.1).  Input spread across cores first: a
+    single-row-group parquet scan would otherwise run the whole
+    tokenize+shingle on one core."""
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.expr(_tokens(text_col)).alias("_t")
     ).select("doc_id", F.expr(_shingle_from_tokens(n)).alias("_sh"))
 
@@ -358,11 +362,13 @@ def simhash_buckets(
     # Materialize per-token hashes once via codegen'd conv (no per-nibble
     # lambda), THEN take the majority votes over the materialized array —
     # inlining would re-hash every token 120×.
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
     tok_hash = (
         "transform(array_distinct({t}), t -> "
         "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
     ).format(t=_tokens(text_col))
-    hashed = docs.select(
+    hashed = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.expr(tok_hash).alias("_th")
     )
     # for each bit position: count tokens with that bit set, majority vote
@@ -448,16 +454,18 @@ def embedding_near_dup_pairs(
         norm_expr,
     )
 
-    normed = emb.select(
-        F.col(id_col), F.col(vec_col), F.expr(norm_expr(vec_col)).alias("_n")
-    )
-    a = normed.select(
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    # probe side spread across cores (cosines are evaluated here); the
+    # broadcast side stays un-repartitioned — shuffling before a
+    # broadcast would be pure waste
+    a = ensure_parallelism(emb).select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
+        F.expr(norm_expr(vec_col)).alias("_na"),
     )
-    b = normed.select(
+    b = emb.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
+        F.expr(norm_expr(vec_col)).alias("_nb"),
     )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
@@ -490,7 +498,9 @@ def embedding_near_dup_pairs_lsh(
         norm_expr,
     )
 
-    bucketed = emb.select(
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    bucketed = ensure_parallelism(emb).select(
         F.col(id_col), F.col(vec_col),
         F.expr(norm_expr(vec_col)).alias("_n"),
         hyperplane_lsh_bucket(vec_col, planes).alias("_bucket"),

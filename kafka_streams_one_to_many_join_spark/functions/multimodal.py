@@ -87,7 +87,11 @@ def extract_image_features(assets: DataFrame, batch_size_hint: int = 1024) -> Da
                 }
             )
 
-    return assets.filter(F.col("media_type") == "image").mapInPandas(
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    return ensure_parallelism(
+        assets.filter(F.col("media_type") == "image")
+    ).mapInPandas(
         decode_batches, schema="asset_id bigint, width int, height int, n_bytes bigint"
     )
 
@@ -151,7 +155,11 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.filter(F.col("media_type") == "audio").mapInPandas(
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    return ensure_parallelism(
+        assets.filter(F.col("media_type") == "audio")
+    ).mapInPandas(
         decode_batches,
         schema="asset_id bigint, sample_rate int, n_samples bigint, duration_s double",
     )

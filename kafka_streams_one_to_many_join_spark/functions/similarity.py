@@ -78,13 +78,16 @@ def brute_force_topk(
     boundary deterministic across engines, the id makes ties stable.
     Self-matches (same id) are excluded.
     """
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
         F.expr(norm_expr(vec_col)).alias("_qn"),
     )
     scored = (
-        corpus.select(
+        ensure_parallelism(corpus)
+        .select(
             F.col(id_col), F.col(vec_col), F.expr(norm_expr(vec_col)).alias("_n")
         )
         .join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col))
@@ -145,7 +148,9 @@ def brute_force_topk_pandas(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    partials = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         part, schema=f"query_id bigint, {id_col} bigint, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -184,7 +189,9 @@ def lsh_topk(
     At scale the bucket equi-join replaces the all-pairs nested loop; the
     planes are caller-provided (seeded numpy) so results are deterministic.
     """
-    c = corpus.select(
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         F.expr(norm_expr(vec_col)).alias("_n"),

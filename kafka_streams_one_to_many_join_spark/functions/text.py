@@ -132,8 +132,11 @@ def winnowing_fingerprints(
         f"else array_distinct(transform(sequence(1, size(_h) - {window} + 1), "
         f"j -> array_min(slice(_h, j, {window})))) end"
     )
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
     return (
-        docs.select(F.col(id_col), F.expr(norm).alias("_n"))
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.expr(norm).alias("_n"))
         .select(id_col, F.expr(hashes).alias("_h"))
         .select(id_col, F.explode(F.expr(mins)).alias("fingerprint"))
         .distinct()

@@ -98,6 +98,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned input across the cluster before
+    expression-heavy per-row work.
+
+    A small parquet file is one scan partition (one row group), so every
+    downstream projection — tokenization, hashing, cosine — runs on ONE
+    core no matter how many the session has.  Repartitioning costs one
+    shuffle of the (small, by definition) input and unlocks full map-side
+    parallelism.  When the input already has at least half the session's
+    default parallelism (any real at-scale table: many files / row groups),
+    this is a NO-OP — no shuffle is ever added to a well-partitioned
+    100 TB scan.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

@@ -68,6 +68,15 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0` from
+        # explode(e) and pushes it below exchanges — for expression-heavy
+        # generators (tokenize→shingle→explode) that re-evaluates the
+        # whole expression in a scan-side filter, single-threaded and
+        # twice per row (measured 10× slowdown on the dedup pipelines).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
         # natively; surface it as BIGINT nanos (no query depends on ts as a
         # timestamp — arrival order is the unique event_id/seq column).
