@@ -111,6 +111,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     this is a NO-OP — no shuffle is ever added to a well-partitioned
     100 TB scan.
     """
+    if df.isStreaming:  # micro-batch partitioning is the engine's concern
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
