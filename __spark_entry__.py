@@ -51,6 +51,7 @@ from kafka_streams_one_to_many_join_spark.functions.text import (
 )
 from kafka_streams_one_to_many_join_spark.model import load_table
 from kafka_streams_one_to_many_join_spark.operators import (
+    apply_upserts,
     arrive_leave_events,
     asof_join,
     car_moves,
@@ -161,6 +162,21 @@ def q_arrive_leave(spark: SparkSession, sf: str) -> DataFrame:
     return arrive_leave_events(moves).select(
         "seq", "car_id", "zone_id", "is_arriving", "emit_rank", "fuel_level"
     )
+
+
+def q_incremental_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance: a snapshot built from the first ~60%
+    of events, refreshed with the remaining delta via apply_upserts —
+    must equal the full recompute (the oracle), which is exactly the
+    reference's never-recompute store discipline in batch form."""
+    cars = _car_events(spark, sf)
+    cut = cars.agg(F.floor(F.max("seq") * 0.6).cast("bigint").alias("_cut"))
+    with_cut = cars.crossJoin(F.broadcast(cut))
+    base_ev = with_cut.filter(F.col("seq") <= F.col("_cut")).drop("_cut")
+    delta = with_cut.filter(F.col("seq") > F.col("_cut")).drop("_cut")
+    pay = ["seq", "zone_id", "fuel_level"]
+    snap0 = latest_by_key(base_ev, keys="car_id", order_by="seq", payload=pay)
+    return apply_upserts(snap0, delta, keys="car_id", order_by="seq", payload=pay)
 
 
 def q_zone_occupancy(spark: SparkSession, sf: str) -> DataFrame:
@@ -1028,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "car_moves": q_car_moves,
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
+        "incremental_snapshot": q_incremental_snapshot,
         "union_merge": q_union_merge,
         "filter_nonnull": q_filter_nonnull,
         "asof_prior_purchase": q_asof_prior_purchase,
@@ -1149,6 +1166,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT seq, car_id, from_zone_id AS zone_id, FALSE AS is_arriving,
                    1::INTEGER AS emit_rank, fuel_level FROM m
             WHERE from_zone_id IS NOT NULL
+        """,
+        "incremental_snapshot": f"""
+            SELECT car_id, seq, zone_id, fuel_level FROM ({_CAR_EV_SQL})
+            QUALIFY row_number() OVER (PARTITION BY car_id ORDER BY seq DESC) = 1
         """,
         "zone_occupancy": f"""
             WITH cars AS (

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "car_moves",
     "arrive_leave",
     "zone_occupancy",
+    "incremental_snapshot",
     "asof_prior_purchase",
     "orders_with_customer",
     "fanout_per_customer",

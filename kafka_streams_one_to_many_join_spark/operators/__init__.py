@@ -35,8 +35,10 @@ from kafka_streams_one_to_many_join_spark.operators.skew import (
     salted_count,
     salted_one_to_many_join,
 )
+from kafka_streams_one_to_many_join_spark.operators.upsert import apply_upserts
 
 __all__ = [
+    "apply_upserts",
     "arrive_leave_events",
     "asof_join",
     "car_moves",

@@ -198,3 +198,28 @@ def test_trace_empty_sides(spark):
         [(1, 100, 5.0)], "seq long, zone_id int, pollution_level double"
     )
     assert one_to_many_join_trace(no_cars, zones).count() == 0
+
+
+def test_apply_upserts_semantics(spark):
+    from kafka_streams_one_to_many_join_spark.operators import apply_upserts
+
+    snapshot = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (2, 5, 101, 2.0)],
+        "car_id int, seq long, zone_id int, fuel double",
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, 12, 102, 1.5),   # newer: replaces car1
+            (2, 3, 999, 9.9),    # STALE (seq 3 < snapshot 5): ignored
+            (3, 7, 103, 3.0),    # brand-new key
+        ],
+        "car_id int, seq long, zone_id int, fuel double",
+    )
+    out = {
+        r.car_id: (r.seq, r.zone_id, r.fuel)
+        for r in apply_upserts(
+            snapshot, delta, keys="car_id", order_by="seq",
+            payload=["seq", "zone_id", "fuel"],
+        ).collect()
+    }
+    assert out == {1: (12, 102, 1.5), 2: (5, 101, 2.0), 3: (7, 103, 3.0)}

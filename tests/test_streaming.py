@@ -502,3 +502,13 @@ def test_stream_static_join(spark, tmp_path):
     got = [(r.zone_id, r.car_id, r.pollution)
            for r in spark.sql("select * from ssj2").collect()]
     assert got == [(100, 1, 50.0)]
+
+
+def test_streaming_join_multi_zone_isolation(spark, tmp_path):
+    """Keys are isolated: state/fan-out for one zone never leaks into
+    another (hash-partitioned keyed state, the Spark analog of the
+    reference's per-key store entries)."""
+    cars = [(0, 1, 100, 1.0), (1, 2, 200, 2.0)]
+    zones = [(2, 100, 10.0), (3, 200, 20.0), (4, 300, 30.0)]
+    got = _run_topology(spark, str(tmp_path), [cars], zones, "_mz")
+    assert got == sorted([(1, 100, 1.0, 10.0), (2, 200, 2.0, 20.0)])
