@@ -24,9 +24,10 @@ Scale architecture (the part that matters at 100 TB):
   32 bits is caught with high probability).
 
 - **embedding_near_dup_pairs**: exact cosine over all id-ordered pairs —
-  the verification baseline.  O(N²) similarity evaluations but zero
-  shuffle of the corpus (one side broadcast); correct at any scale where
-  N² work is affordable (e.g. per-bucket after blocking).
+  the verification baseline.  O(N²) similarity evaluations with one side
+  broadcast and no BY-KEY shuffle of the corpus (only the round-robin
+  input spread when the scan is under-partitioned); correct at any scale
+  where N² work is affordable (e.g. per-bucket after blocking).
 - **embedding_near_dup_pairs_lsh**: the 100 TB path — random-hyperplane
   bucketing first (an equi-join key), exact cosine verification only
   within buckets.  Candidates drop from O(N²) to O(Σ bucket²); recall is
