@@ -546,3 +546,44 @@ def test_streaming_matches_batch_trace_randomized(spark, tmp_path):
     )
     assert len(got) > 100  # non-trivial workload actually joined
     assert got == trace
+
+
+def test_tumbling_agg_finalized_windows_exclude_late_rows(spark, tmp_path):
+    """Append mode emits a window once the watermark passes its end and
+    evicts its state; a row arriving AFTER that finalization is dropped —
+    it neither changes the emitted count nor re-emits the window (the
+    append-mode exactly-once contract).  Three micro-batches: (1) window
+    data + watermark-advancing row, (2) benign row — eviction happens
+    here, (3) the late row against evicted state."""
+    from kafka_streams_one_to_many_join_spark.streaming import tumbling_agg
+
+    batches = [
+        [(datetime(2024, 1, 1, 10, 5), "click", 1.0),
+         (datetime(2024, 1, 1, 13, 0), "click", 2.0)],   # watermark -> 12:50
+        [(datetime(2024, 1, 1, 13, 2), "click", 2.5)],   # 10:00 finalizes now
+        [(datetime(2024, 1, 1, 10, 10), "click", 9.0)],  # LATE: state evicted
+    ]
+    for b in batches:
+        _write_events(spark, f"{tmp_path}/ev", b)
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/ev",
+        schema=spark.createDataFrame([], EV_SCHEMA).schema,
+        maxFilesPerTrigger="1",
+    )
+    agg = tumbling_agg(stream, "ts", ["event_type"], window="1 hour",
+                       watermark="10 minutes")
+    q = write_stream(
+        agg, "memory", query_name="late", output_mode="append",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [tuple(r) for r in spark.sql("select * from late").collect()]
+    finalized = [r for r in rows if r[0] == datetime(2024, 1, 1, 10, 0)]
+    # exactly one emission, count 1 - the late row was dropped
+    assert finalized == [
+        (datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 11, 0), "click", 1)
+    ]
+    # the 13:00 window is still open (watermark < 14:00): not emitted
+    assert all(r[0] != datetime(2024, 1, 1, 13, 0) for r in rows)
