@@ -425,6 +425,27 @@ def q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)
 
 
+def q_props_map_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType surface: parse props into MAP<STRING,INT>, explode entries."""
+    ev = load_table(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
+def q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function surface: per-vector element stats via array_min/max
+    and an ordered higher-order sum — no explode, no shuffle."""
+    emb = load_table(spark, sf, "embeddings")
+    total = "aggregate(embedding, cast(0.0 as double), (s, v) -> s + cast(v as double))"
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.expr("cast(array_min(embedding) as double)"), 6).alias("min_v"),
+        F.round(F.expr("cast(array_max(embedding) as double)"), 6).alias("max_v"),
+        F.round(F.expr(total), 6).alias("sum_v"),
+    )
+
+
 def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Statistical aggregate surface: stddev + exact interpolated median."""
     ev = load_table(spark, sf, "events")
@@ -1062,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "props_extract": q_props_extract,
+        "props_map_entries": q_props_map_entries,
+        "embedding_stats": q_embedding_stats,
         "event_type_stats": q_event_type_stats,
         "users_click_and_purchase": q_users_click_and_purchase,
         "users_click_no_purchase": q_users_click_no_purchase,
@@ -1294,6 +1317,19 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": """
             SELECT event_id, json_extract(props, '$.k')::INT AS k
             FROM events WHERE json_extract(props, '$.k')::INT >= 50
+        """,
+        "props_map_entries": """
+            SELECT event_id, k AS prop_key,
+                   json_extract(props, '$.' || k)::INT AS prop_value
+            FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+                  FROM events)
+        """,
+        "embedding_stats": """
+            SELECT vec_id, len(embedding) AS dim,
+                   round(list_min(embedding)::DOUBLE, 6) AS min_v,
+                   round(list_max(embedding)::DOUBLE, 6) AS max_v,
+                   round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 6) AS sum_v
+            FROM embeddings
         """,
         "event_type_stats": """
             SELECT event_type, count(*) AS n_events,

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "sessionization",
     "props_extract",
+    "props_map_entries",
+    "embedding_stats",
     "event_type_stats",
     "cube_returnflag",
     "customer_order_totals",

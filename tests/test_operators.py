@@ -223,3 +223,53 @@ def test_apply_upserts_semantics(spark):
         ).collect()
     }
     assert out == {1: (12, 102, 1.5), 2: (5, 101, 2.0), 3: (7, 103, 3.0)}
+
+
+def test_sessionize_matches_python_model_randomized(spark):
+    """Seeded random workload vs a pure-Python reference model."""
+    import random
+
+    from kafka_streams_one_to_many_join_spark.operators import sessionize
+
+    rng = random.Random(7)
+    rows = []
+    t = 0
+    for _ in range(400):
+        t += rng.randint(1, 60)
+        rows.append((rng.randint(1, 9), t))
+    # python model: per key, sorted ts, split on gap > 25
+    model = {}
+    by_key = {}
+    for k, ts in sorted(rows, key=lambda r: (r[0], r[1])):
+        sessions = by_key.setdefault(k, [])
+        if sessions and ts - sessions[-1][-1] <= 25:
+            sessions[-1].append(ts)
+        else:
+            sessions.append([ts])
+    for k, sessions in by_key.items():
+        for sid, sess in enumerate(sessions, start=1):
+            for ts in sess:
+                model[(k, ts)] = sid
+    df = spark.createDataFrame(rows, "user_id int, ts long")
+    got = {
+        (r.user_id, r.ts): r.session_id
+        for r in sessionize(df, "user_id", "ts", gap=25).collect()
+    }
+    assert got == model
+
+
+def test_latest_by_key_matches_python_model_randomized(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(1, 15), rng.random()) for i in range(500)]
+    model = {}
+    for seq, k, v in rows:  # ascending seq: later wins
+        model[k] = (seq, v)
+    df = spark.createDataFrame(rows, "seq long, k int, v double")
+    got = {
+        r.k: (r.seq, r.v)
+        for r in latest_by_key(df, keys="k", order_by="seq",
+                               payload=["seq", "v"]).collect()
+    }
+    assert got == model
