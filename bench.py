@@ -110,6 +110,15 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
+    # spin up the Python/Arrow worker pool too (reused across queries);
+    # otherwise the first pandas-UDF query is charged the fork+import cost
+    def _noop_batches(batches):
+        yield from batches
+
+    region.mapInPandas(_noop_batches, schema=region.schema).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
