@@ -35,12 +35,16 @@ from kafka_streams_one_to_many_join_spark.operators.skew import (
     salted_count,
     salted_one_to_many_join,
 )
+from kafka_streams_one_to_many_join_spark.operators.interval import (
+    bucketed_interval_join,
+)
 from kafka_streams_one_to_many_join_spark.operators.upsert import apply_upserts
 
 __all__ = [
     "apply_upserts",
     "arrive_leave_events",
     "asof_join",
+    "bucketed_interval_join",
     "car_moves",
     "fanout_counts",
     "latest_by_key",

@@ -1,0 +1,88 @@
+"""Bucketed interval join: points ⋈ intervals containing them.
+
+The naive formulation — equi-join on the partition key with a range
+residual — evaluates |points per key| × |intervals per key| pairs,
+quadratic per key.  Bucketing the ordinal domain makes the pair count
+proportional to matches: every interval is replicated onto the fixed-width
+buckets it overlaps, every point probes exactly ONE bucket, and the join
+becomes equi on (key, bucket) with the range check as a residual.  No
+duplicate results by construction (a point has one bucket).
+
+This is the engine behind the trace operator's zone-side fan-out
+(operators/trace.py, measured 18.1s → 2.8s at sf0.1) and the general
+scale answer for point-in-interval workloads (IP→range lookups, slowly
+changing dimensions, validity windows).
+
+Replication factor per interval = interval length / bucket width (+1);
+pick ``bucket`` near the typical interval length so most intervals copy
+into O(1) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ord: str,
+    start: str,
+    end: str,
+    bucket: int = 1024,
+    end_exclusive: bool = True,
+    end_open_max: Column | None = None,
+) -> DataFrame:
+    """Rows of ``points`` joined to every interval of the same key
+    containing their ordinal: start < point_ord (< or <=) end.
+
+    ``end`` may be NULL (open interval); open intervals extend to
+    ``end_open_max`` (default: the max point ordinal, computed via a
+    1-row broadcast).  Output: all columns of both inputs (except
+    internal bucket columns); the point must lie strictly after
+    ``start`` and before ``end`` (exclusive by default, mirroring
+    interval semantics [start, end)).
+    """
+    if end_open_max is None:
+        bound = points.agg(F.max(point_ord).alias("_omax"))
+    else:
+        bound = points.sparkSession.range(1).select(end_open_max.alias("_omax"))
+    upper = f"coalesce({end} - 1, _omax)" if end_exclusive else f"coalesce({end}, _omax)"
+    iv = (
+        intervals.crossJoin(F.broadcast(bound))
+        # intervals starting at/after the last point can never match, and
+        # would make the bucket sequence descend
+        .filter(F.col(start) <= F.col("_omax"))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.expr(
+                    f"sequence(cast({start} div {bucket} as bigint), "
+                    f"cast(least({upper}, _omax) div {bucket} as bigint))"
+                )
+            ),
+        )
+        .drop("_omax")
+    )
+    pts = points.withColumn(
+        "_bkt", F.expr(f"cast({point_ord} div {bucket} as bigint)")
+    )
+    end_pred = (
+        F.col(end).isNull()
+        | (F.col(point_ord) < F.col(end) if end_exclusive else F.col(point_ord) <= F.col(end))
+    )
+    return (
+        pts.alias("p")
+        .join(
+            iv.alias("i"),
+            on=(
+                (F.col(f"p.{on}") == F.col(f"i.{on}"))
+                & (F.col("p._bkt") == F.col("i._bkt"))
+                & (F.col(point_ord) > F.col(start))
+                & end_pred
+            ),
+        )
+        .drop("_bkt")
+    )

@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_one_to_many_join_spark.operators.asof import asof_join
+from kafka_streams_one_to_many_join_spark.operators.interval import (
+    bucketed_interval_join,
+)
 
 
 def one_to_many_join_trace(car_ev: DataFrame, zone_ev: DataFrame) -> DataFrame:
@@ -60,61 +63,33 @@ def one_to_many_join_trace(car_ev: DataFrame, zone_ev: DataFrame) -> DataFrame:
 
     # --- zone-triggered fan-out: cars resident in the zone at z.seq ---
     # Residency is an interval [arrival.seq, next_event.seq); the naive
-    # equi-join on zone_id with a range residual evaluates |zone events per
-    # zone| × |intervals per zone| pairs — quadratic per key (measured 390M
-    # evaluations for 11.8M matches at sf0.1).  Bucketing the seq domain
-    # turns it into an equi-join on (zone_id, seq-bucket): each interval is
-    # replicated onto the buckets it overlaps, each zone event probes its
-    # ONE bucket, and pairs evaluated ≈ matches + per-bucket slack.  No
-    # duplicates by construction (a zone event has exactly one bucket).
-    bucket = 1024
+    # equi-join on zone_id with a range residual is quadratic per key
+    # (measured 390M evaluations for 11.8M matches at sf0.1).  The
+    # bucketed interval join makes pairs evaluated ≈ matches (see
+    # operators/interval.py; 18.1s → 2.8s at sf0.1).
     w = Window.partitionBy("car_id").orderBy("seq")
     moves = car_ev.select(
         "car_id",
-        "zone_id",
         "fuel_level",
-        "seq",
+        F.col("zone_id").alias("_m_zone"),
+        F.col("seq").alias("_start_seq"),
         F.lag("zone_id").over(w).alias("_prev_zone"),
-        F.lead("seq").over(w).alias("_end_seq"),
+        F.lead(F.col("seq")).over(w).alias("_end_seq"),
     )
     sticky = moves.filter(
-        F.col("_prev_zone").isNull() | (F.col("_prev_zone") != F.col("zone_id"))
-    )
-    # open intervals (car never moved again) must cover buckets up to the
-    # last zone event — a 1-row broadcast supplies the bound
-    zmax = zone_ev.agg(F.max("seq").alias("_zmax"))
-    sticky_b = (
-        sticky.crossJoin(F.broadcast(zmax))
-        # intervals starting after the last zone event can never match and
-        # would make the bucket sequence count DOWN — drop them up front
-        .filter(F.col("seq") <= F.col("_zmax"))
-        .withColumn(
-            "_bkt",
-            F.explode(
-                F.expr(
-                    f"sequence(cast(seq div {bucket} as bigint), "
-                    f"cast(least(coalesce(_end_seq - 1, _zmax), _zmax) div {bucket} as bigint))"
-                )
-            ),
-        )
-    )
-    zone_emit = (
-        zone_ev.withColumn("_bkt", F.expr(f"cast(seq div {bucket} as bigint)"))
-        .alias("z")
-        .join(
-            sticky_b.alias("m"),
-            on=(
-                (F.col("m.zone_id") == F.col("z.zone_id"))
-                & (F.col("m._bkt") == F.col("z._bkt"))
-                & (F.col("z.seq") > F.col("m.seq"))
-                & (F.col("m._end_seq").isNull() | (F.col("z.seq") < F.col("m._end_seq")))
-            ),
-        )
-        .select(
-            F.col("m.car_id").alias("car_id"),
-            F.col("z.zone_id").alias("zone_id"),
-            F.col("m.fuel_level").alias("fuel_level"),
-            F.col("z.pollution_level").alias("pollution_level"),
-        )
+        F.col("_prev_zone").isNull() | (F.col("_prev_zone") != F.col("_m_zone"))
+    ).withColumnRenamed("_m_zone", "zone_id").drop("_prev_zone")
+    zone_emit = bucketed_interval_join(
+        points=zone_ev,
+        intervals=sticky,
+        on="zone_id",
+        point_ord="seq",
+        start="_start_seq",
+        end="_end_seq",
+    ).select(
+        F.col("i.car_id").alias("car_id"),
+        F.col("p.zone_id").alias("zone_id"),
+        F.col("i.fuel_level").alias("fuel_level"),
+        F.col("p.pollution_level").alias("pollution_level"),
     )
     return car_emit.unionByName(zone_emit)

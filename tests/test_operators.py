@@ -273,3 +273,36 @@ def test_latest_by_key_matches_python_model_randomized(spark):
                                payload=["seq", "v"]).collect()
     }
     assert got == model
+
+
+def test_bucketed_interval_join_matches_naive(spark):
+    """Bucketed interval join == naive range join on a seeded workload
+    (open intervals, tiny bucket width to force multi-bucket replication)."""
+    import random
+
+    from kafka_streams_one_to_many_join_spark.operators import (
+        bucketed_interval_join,
+    )
+
+    rng = random.Random(5)
+    intervals = []
+    for i in range(120):
+        s = rng.randint(0, 900)
+        e = None if rng.random() < 0.2 else s + rng.randint(1, 200)
+        intervals.append((i, rng.randint(1, 4), s, e))
+    points = [(j, rng.randint(1, 4), rng.randint(0, 1000)) for j in range(300)]
+    iv = spark.createDataFrame(intervals, "iid long, k int, s long, e long")
+    pt = spark.createDataFrame(points, "pid long, k int, o long")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bucketed_interval_join(
+            pt, iv, on="k", point_ord="o", start="s", end="e", bucket=64
+        ).collect()
+    )
+    naive = sorted(
+        (p[0], i[0])
+        for p in points
+        for i in intervals
+        if p[1] == i[1] and p[2] > i[2] and (i[3] is None or p[2] < i[3])
+    )
+    assert got == naive and len(got) > 100
