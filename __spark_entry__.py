@@ -31,6 +31,10 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
     simhash_buckets,
     simhash_near_dup_pairs,
 )
+from kafka_streams_one_to_many_join_spark.functions.sampling import (
+    deterministic_sample,
+    train_val_split,
+)
 from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     asset_metadata,
     extract_audio_features,
@@ -771,6 +775,25 @@ def q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-addressed ~10% sample: stable under repartitioning, retries,
+    engines, and corpus growth — the reproducible alternative to
+    df.sample's per-task RNG."""
+    return deterministic_sample(
+        load_table(spark, sf, "documents"), "doc_id", 0.10
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Stable train/val membership by id hash, counted per split/lang."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        train_val_split(docs, "doc_id", val_fraction=0.1)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary: global token frequencies, deterministic top-20.
     explode → codegen hash agg with map-side partials; only (token, count)
@@ -1118,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
         "asset_metadata": q_asset_metadata,
+        "deterministic_sample": q_deterministic_sample,
+        "train_val_split": q_train_val_split,
         "top_tokens": q_top_tokens,
         "doc_length_histogram": q_doc_length_histogram,
         "label_centroids": q_label_centroids,
@@ -1626,6 +1651,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT doc_id, fingerprint
         FROM (SELECT doc_id, unnest(fps) AS fingerprint FROM m)
+    """
+    _bucket = f"({_duck_md5_prefix32('doc_id::VARCHAR')} % 10000)"
+    d["deterministic_sample"] = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {_bucket} < 1000
+    """
+    d["train_val_split"] = f"""
+        SELECT CASE WHEN {_bucket} < 9000 THEN 'train' ELSE 'val' END AS split,
+               lang, count(*) AS n_docs
+        FROM documents GROUP BY 1, 2
     """
     d["top_tokens"] = f"""
         SELECT tk AS token, count(*) AS n

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "image_features",
     "frame_sample",
     "asset_metadata",
+    "deterministic_sample",
+    "train_val_split",
     "top_tokens",
     "doc_length_histogram",
     "label_centroids",

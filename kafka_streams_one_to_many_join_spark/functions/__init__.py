@@ -23,6 +23,10 @@ from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     extract_image_features,
     sample_frames_stub,
 )
+from kafka_streams_one_to_many_join_spark.functions.sampling import (
+    deterministic_sample,
+    train_val_split,
+)
 from kafka_streams_one_to_many_join_spark.functions.similarity import (
     brute_force_topk,
     brute_force_topk_pandas,
@@ -43,6 +47,7 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_pandas",
     "cosine_expr",
+    "deterministic_sample",
     "doc_fingerprint",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
@@ -61,4 +66,5 @@ __all__ = [
     "simhash_buckets",
     "text_stats",
     "tokens_expr",
+    "train_val_split",
 ]

@@ -268,3 +268,24 @@ def test_dedup_functions_on_empty_docs(spark):
     assert ngram_jaccard_pairs(empty).count() == 0
     assert minhash_lsh_pairs(empty).count() == 0
     assert simhash_near_dup_pairs(empty).count() == 0
+
+
+def test_deterministic_sampling_stability(spark):
+    from kafka_streams_one_to_many_join_spark.functions.sampling import (
+        deterministic_sample,
+        train_val_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s1 = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(df.repartition(7), "doc_id", 0.1).collect()}
+    assert s1 == s2                      # partitioning-invariant
+    assert 100 <= len(s1) <= 320         # ≈10% of 2000
+    # growing the corpus never moves existing rows between splits
+    small = train_val_split(df.filter(F.col("doc_id") < 1000), "doc_id")
+    big = train_val_split(df, "doc_id")
+    small_map = {r.doc_id: r.split for r in small.collect()}
+    big_map = {r.doc_id: r.split for r in big.collect()}
+    assert all(big_map[k] == v for k, v in small_map.items())
+    vals = sum(1 for v in big_map.values() if v == "val")
+    assert 100 <= vals <= 320
