@@ -632,6 +632,22 @@ def q_max_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_MAX_ORDER_SQL)
 
 
+def q_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING filter over an aggregate, consumed as an
+    IN-subquery (left-semi join of orders against qualifying keys)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 200)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return orders.join(big, on="o_orderkey", how="left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 def q_string_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar string-function surface (upper/length/substr/lpad/concat_ws)."""
     cust = load_table(spark, sf, "customer")
@@ -1118,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "brand_stats": q_brand_stats,
         "max_order_per_customer": q_max_order_per_customer,
+        "big_orders": q_big_orders,
         "segment_priority_matrix": q_segment_priority_matrix,
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -1426,6 +1443,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the Spark query IS this SQL text — same string, two engines
         "max_order_per_customer": _MAX_ORDER_SQL,
+        "big_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        """,
         "segment_priority_matrix": """
             SELECT c_mktsegment,
                    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS p1,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "promo_revenue",
     "brand_stats",
     "max_order_per_customer",
+    "big_orders",
     "segment_priority_matrix",
     "quality_score_udf",
     # pipeline operators
