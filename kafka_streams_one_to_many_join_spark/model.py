@@ -94,7 +94,15 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated parquet table (TESTDATA.md)."""
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    Session-agnostic: ``events.parquet`` carries INT64 TIMESTAMP(NANOS),
+    which a vanilla SparkSession rejects with PARQUET_TYPE_ILLEGAL.  The
+    legacy conf is runtime-settable, so set it here rather than relying on
+    the caller having built the session via :func:`session.get_session` —
+    any SparkSession (the driver's, a notebook's) can then read every table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
