@@ -12,9 +12,10 @@ DemoApp.scala:187-298), but expressed on the typed state API:
   §4.3 maps the RocksDB prefix-range-scan store onto: Spark keyed state is
   hash-addressed, so "all cars in zone Z" is the one map for key Z, and
   the MapState API gives per-entry put/remove — a car arriving or leaving
-  touches ONE RocksDB entry, not a re-serialized blob of the whole zone
-  (the applyInPandasWithState version rewrites its csv-encoded state per
-  batch; at 100 TB fan-in that rewrite is the bottleneck).
+  touches ONE RocksDB entry, not a rewrite of the whole zone's state row
+  (the applyInPandasWithState version rewrites its array-typed state value
+  per zone per batch; fine up to very large fan-in, but per-entry MapState
+  is the asymptotically tighter shape for extreme cars-per-zone).
 
 Prefer this operator on Spark ≥ 4.0 with protobuf available (the TWS
 state-server wire protocol is protobuf-based); keep the

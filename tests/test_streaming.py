@@ -333,14 +333,34 @@ def test_streaming_latest_by_key_changelog(spark, tmp_path):
 def test_tws_join_matches_edge_cases(spark, tmp_path):
     """The transformWithStateInPandas variant (ValueState + MapState) must
     produce the identical emission trace as the applyInPandasWithState one
-    on the FIXTURES.md edge-case scenario."""
+    on the FIXTURES.md edge-case scenario.
+
+    Where TWS is unavailable (no protobuf in the container — the TWS
+    state-server protocol needs it), the contract under test is the gate
+    itself: the operator must fail fast with NotImplementedError at plan
+    construction, not crash workers at runtime.  The processor logic is
+    covered either way by the stub-state unit test below; the portable
+    applyInPandasWithState operator (array-typed state) is the active
+    implementation and is integration-tested above.
+    """
     from kafka_streams_one_to_many_join_spark.streaming import (
         symmetric_one_to_many_join_tws,
     )
     from kafka_streams_one_to_many_join_spark.streaming.join_tws import HAS_TWS
 
     if not HAS_TWS:
-        pytest.skip("Spark < 4.0: no transformWithStateInPandas")
+        tagged = tag_car_moves(
+            car_move_detection(
+                read_stream(spark, "rate").selectExpr(
+                    "value as seq", "cast(value as int) as car_id",
+                    "cast(value % 5 as int) as to_zone_id",
+                    "cast(value as double) as fuel_level",
+                )
+            )
+        )
+        with pytest.raises(NotImplementedError):
+            symmetric_one_to_many_join_tws(tagged)
+        return
 
     tmp = str(tmp_path)
     os.makedirs(f"{tmp}/cars", exist_ok=True)
