@@ -1112,27 +1112,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver verifies entries in dict order and may
-    # cap how many it checks per round (round 1 stopped at 50).  Queries
-    # that do not yet have a green CORRECTNESS row in any round go FIRST;
-    # queries proven green in a previous round rotate to the back, where
-    # falling past the cap loses nothing.  Rotate per round.
+    # Ordering contract: the driver verifies entries in dict order and caps
+    # how many it checks per round (observed cap: 50).  Queries whose most
+    # recent green CORRECTNESS row is oldest go FIRST (never-checked or new
+    # queries first of all); queries green in the immediately preceding
+    # round rotate to the back, where falling past the cap loses nothing.
+    # Rotate per round.
     return {
-        # --- never driver-checked in r01 (past the 50-entry window) ---
-        "ann_topk_pandas": q_ann_topk_pandas,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "audio_features": q_audio_features,
-        "image_features": q_image_features,
-        "frame_sample": q_frame_sample,
-        "asset_metadata": q_asset_metadata,
-        "deterministic_sample": q_deterministic_sample,
-        "train_val_split": q_train_val_split,
-        "top_tokens": q_top_tokens,
-        "doc_length_histogram": q_doc_length_histogram,
-        "label_centroids": q_label_centroids,
-        # --- errored in r01 (events.parquet loader, fixed in model.py) ---
+        # --- last green in r01 (rotated out of r02/r03 windows) ---
+        "quality_score_udf": q_quality_score_udf,
+        "string_normalize": q_string_normalize,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "winnowing": q_winnowing,
+        "text_stats": q_text_stats,
+        "token_count_by_lang": q_token_count_by_lang,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_topk": q_ann_topk,
+        # --- green in r03 (fresh; order within the block is arbitrary) ---
         "latest_by_key": q_latest_by_key,
         "one_to_many_snapshot": q_one_to_many_snapshot,
         "join_trace": q_join_trace,
@@ -1152,7 +1153,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_click_no_purchase": q_users_click_no_purchase,
         "zone_pollution_full": q_zone_pollution_full,
         "max_order_per_customer": q_max_order_per_customer,
-        # --- proven green in CORRECTNESS_r01 (rotate to back) ---
+        "ann_topk_pandas": q_ann_topk_pandas,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "audio_features": q_audio_features,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+        "asset_metadata": q_asset_metadata,
+        "deterministic_sample": q_deterministic_sample,
+        "train_val_split": q_train_val_split,
+        "top_tokens": q_top_tokens,
+        "doc_length_histogram": q_doc_length_histogram,
+        "label_centroids": q_label_centroids,
         "orders_with_customer": q_orders_with_customer,
         "fanout_per_customer": q_fanout_per_customer,
         "pricing_summary": q_pricing_summary,
@@ -1171,19 +1184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_stats": q_brand_stats,
         "big_orders": q_big_orders,
         "segment_priority_matrix": q_segment_priority_matrix,
-        "quality_score_udf": q_quality_score_udf,
-        "string_normalize": q_string_normalize,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "winnowing": q_winnowing,
-        "text_stats": q_text_stats,
-        "token_count_by_lang": q_token_count_by_lang,
-        "lang_id": q_lang_id,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash_near_dup": q_simhash_near_dup,
-        "ann_topk": q_ann_topk,
     }
 
 

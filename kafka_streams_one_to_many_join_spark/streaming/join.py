@@ -48,6 +48,12 @@ changing the emission contract.  Per-event cost is constant and small;
 aggregate throughput scales with ``spark.sql.shuffle.partitions`` × number
 of executors, exactly like the reference scales with Kafka partitions ×
 stream threads.  At 100 TB the knob is partition count, not per-row cost.
+
+Checkpoint compatibility: the switch from CSV-string state columns to
+array-typed state columns (round 3) is a state-schema BREAK.  A streaming
+query restarted from a checkpoint written by the string-state version fails
+Spark's state schema compatibility check — discard old checkpoints (or run
+with a fresh checkpointLocation) when upgrading across that change.
 """
 
 from __future__ import annotations

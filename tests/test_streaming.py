@@ -330,18 +330,39 @@ def test_streaming_latest_by_key_changelog(spark, tmp_path):
     assert final[1] == (1, 3, 102, 3.0) and final[2] == (2, 1, 100, 9.0)
 
 
+def test_tws_gate_fails_fast_without_protobuf(spark):
+    """Where TWS is unavailable (no protobuf in the container — the TWS
+    state-server protocol needs it), the operator must fail fast with
+    NotImplementedError at plan construction, not crash workers at runtime.
+    This gate contract is checked unconditionally; the end-to-end
+    equivalence check lives in test_tws_join_matches_edge_cases, which
+    *skips* where TWS is absent so the coverage gap stays visible."""
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        symmetric_one_to_many_join_tws,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.join_tws import HAS_TWS
+
+    if HAS_TWS:
+        pytest.skip("TWS available: gate inactive; integration test covers it")
+    tagged = tag_car_moves(
+        car_move_detection(
+            read_stream(spark, "rate").selectExpr(
+                "value as seq", "cast(value as int) as car_id",
+                "cast(value % 5 as int) as to_zone_id",
+                "cast(value as double) as fuel_level",
+            )
+        )
+    )
+    with pytest.raises(NotImplementedError):
+        symmetric_one_to_many_join_tws(tagged)
+
+
 def test_tws_join_matches_edge_cases(spark, tmp_path):
     """The transformWithStateInPandas variant (ValueState + MapState) must
     produce the identical emission trace as the applyInPandasWithState one
-    on the FIXTURES.md edge-case scenario.
-
-    Where TWS is unavailable (no protobuf in the container — the TWS
-    state-server protocol needs it), the contract under test is the gate
-    itself: the operator must fail fast with NotImplementedError at plan
-    construction, not crash workers at runtime.  The processor logic is
-    covered either way by the stub-state unit test below; the portable
-    applyInPandasWithState operator (array-typed state) is the active
-    implementation and is integration-tested above.
+    on the FIXTURES.md edge-case scenario.  Skipped (visibly) where the TWS
+    protobuf protocol is unavailable; the processor logic is still covered
+    by the stub-state unit test below, and the gate by the test above.
     """
     from kafka_streams_one_to_many_join_spark.streaming import (
         symmetric_one_to_many_join_tws,
@@ -349,18 +370,7 @@ def test_tws_join_matches_edge_cases(spark, tmp_path):
     from kafka_streams_one_to_many_join_spark.streaming.join_tws import HAS_TWS
 
     if not HAS_TWS:
-        tagged = tag_car_moves(
-            car_move_detection(
-                read_stream(spark, "rate").selectExpr(
-                    "value as seq", "cast(value as int) as car_id",
-                    "cast(value % 5 as int) as to_zone_id",
-                    "cast(value as double) as fuel_level",
-                )
-            )
-        )
-        with pytest.raises(NotImplementedError):
-            symmetric_one_to_many_join_tws(tagged)
-        return
+        pytest.skip("transformWithStateInPandas needs protobuf (absent here)")
 
     tmp = str(tmp_path)
     os.makedirs(f"{tmp}/cars", exist_ok=True)
