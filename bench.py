@@ -4,15 +4,23 @@
 JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is executed once after a warm-up action that triggers JVM/codegen
-warm paths; timing is wall clock per query (plan + execute + collect-count).
-The headline metric is the total wall time of the suite.
+Each query is executed $SPARK_GRAFT_REPEATS times (default 3) after a
+warm-up action that triggers JVM/codegen warm paths; the reported per-query
+number is the MEDIAN wall clock (plan + execute + noop-sink materialize),
+so single-run scheduler/GC outliers don't read as regressions (two phantom
+>1.5x "regressions" in round 2 were exactly that).  The headline metric is
+the sum of medians.  The JSON line also carries `repeats` and, when a prior
+round's BENCH_r*.json is present, per-query ratios vs it for any query that
+moved more than 1.5x either way (`deltas_vs_prior`).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import time
 
 from pyspark.sql import functions as F
@@ -122,31 +130,69 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink materializes EVERY output column without driver-side
-        # transfer; a count(1) would let Catalyst prune expensive
-        # projections and under-measure projection-heavy queries.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink materializes EVERY output column without driver-side
+            # transfer; a count(1) would let Catalyst prune expensive
+            # projections and under-measure projection-heavy queries.
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": repeats,
+        "stat": "median",
+    }
+    prior = _prior_round_timings()
+    if prior and prior[2] == out["sf"]:
+        fname, prev, _ = prior
+        deltas = {
+            n: round(timings[n] / prev[n], 2)
+            for n in timings
+            if n in prev and prev[n] > 0
+            and not (1 / 1.5 <= timings[n] / prev[n] <= 1.5)
+        }
+        out["prior"] = fname
+        out["deltas_vs_prior"] = deltas
+    print(json.dumps(out))
     spark.stop()
+
+
+def _prior_round_timings() -> tuple[str, dict[str, float], object] | None:
+    """(filename, per-query timings, sf) from the highest-numbered
+    BENCH_r*.json, if any.  The caller only reports deltas when the prior
+    run's scale factor matches this run's — cross-sf ratios are meaningless.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            parsed = json.load(f).get("parsed") or {}
+        q = parsed.get("queries")
+        return (os.path.basename(best[1]), q, parsed.get("sf")) if q else None
+    except (OSError, ValueError):
+        return None
 
 
 if __name__ == "__main__":
