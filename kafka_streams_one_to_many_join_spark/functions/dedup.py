@@ -389,27 +389,45 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking + exact Hamming verify.
 
-    The 60-bit simhash splits into 4 15-bit bands; by pigeonhole, two
-    hashes within Hamming distance 3 agree on at least one band — so the
-    band-bucket blocking is EXACT (recall 1.0) for ``max_hamming`` ≤ 3.
-    15-bit bands give 32768 buckets per band: on clustery corpora (similar
-    docs → similar hashes) 8-bit bands degenerate into huge buckets and a
-    quadratic pair explosion (measured 17s vs 2s at sf0.1).  Same
-    single-pass bucket dataflow as minhash_lsh_pairs: groupBy (band,
-    band-value) + in-bucket pair expansion, no self-join, 3 shuffles.
+    The 60-bit simhash splits into ``max_hamming + 1`` bands (pigeonhole:
+    two hashes within Hamming distance h differ in ≤ h bands, so they
+    AGREE on at least one of h+1 — the band-bucket blocking is EXACT,
+    recall 1.0, for any ``max_hamming`` the 60 bits can cover).  Deriving
+    the band count from the threshold is also the scale knob: the default
+    h=3 gives 4 bands × 15 bits = 32768 buckets per band; a stricter h=2
+    gives 3 bands × 20 bits = 1M buckets — tighter thresholds get smaller
+    buckets exactly when corpus growth would otherwise inflate them.  On
+    clustery corpora wide buckets mean a quadratic pair explosion
+    (measured 17s vs 2s at sf0.1 for 8-bit bands), so never band wider
+    than the threshold requires.  Same single-pass bucket dataflow as
+    minhash_lsh_pairs: groupBy (band, band-value) + in-bucket pair
+    expansion, no self-join, 3 shuffles.
 
     Output: (doc_a < doc_b, hamming BIGINT ≤ max_hamming).
     """
+    bands = max_hamming + 1
+    if not 1 <= bands <= SIMHASH_BITS // 8:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {bands} bands; {SIMHASH_BITS}-bit "
+            f"simhash supports 0 <= max_hamming <= {SIMHASH_BITS // 8 - 1} "
+            "(narrower bands than 8 bits degenerate into quadratic buckets)"
+        )
+    width, extra = divmod(SIMHASH_BITS, bands)
+    offsets, off = [], 0
+    for b in range(bands):
+        w = width + (1 if b < extra else 0)
+        offsets.append((off, w))
+        off += w
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, "
+        f"'bval', pmod(shiftright(simhash, {o}), {1 << w}))"
+        for b, (o, w) in enumerate(offsets)
+    )
     sigs = simhash_buckets(docs, text_col, id_col)
     band_rows = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> named_struct("
-                "'band', b, 'bval', pmod(shiftright(simhash, b * 15), 32768)))"
-            )
-        ).alias("bs"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bs"),
     ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"))
     buckets = (
         band_rows.groupBy("band", "bval")

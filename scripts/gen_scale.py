@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Generate seeded sf-scaled twins of the driver testdata tables.
+
+The driver ships sf0.001/sf0.01/sf0.1; the 100 TB story needs at least one
+measured point ABOVE the bench scale to show sub-quadratic growth for the
+bucketed pipelines (SCALE.md).  This writes `documents`, `embeddings` and
+`events` parquet files whose schemas match /root/testdata exactly
+(documents: doc_id/text/lang/source/n_chars; embeddings: vec_id/
+embedding list<float>/label; events: event_id/ts timestamp[ns]/user_id/
+event_type/value/props) and whose distributions mirror the originals:
+
+- documents: bag-of-words text over a small vocab (the originals are
+  random short words, avg ~300 chars), ~2% mutated near-duplicates and
+  ~0.2% exact duplicates so dedup pipelines have real positives;
+- embeddings: 64-dim float32 N(0,1), 10 labels, ~1% near-duplicate
+  vectors (small perturbation of an earlier row) for the LSH path;
+- events: uniform user/event_type/value with JSON props, timestamp[ns]
+  (parquet TIMESTAMP(NANOS), same as the originals — the session reads it
+  via nanosAsLong).
+
+Usage:  python scripts/gen_scale.py --mult 10 --out /tmp/scale_sf1
+`--mult` scales row counts relative to sf0.1 (10 → "sf1").  Fully seeded:
+same args → byte-identical output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# sf0.1 row counts (TESTDATA.md)
+BASE = {"documents": 5_000, "embeddings": 2_000, "events": 100_000}
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan slow "
+    "group agg filter query big key window join hash merge shuffle stage "
+    "task node rack disk page cache read write push prune skew salt plan "
+    "cost rule tree scan row map list set dict heap stack queue log index"
+).split()
+
+LANGS = ["en", "de", "fr", "es", "pt"]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+    lens = rng.integers(8, 110, size=n)
+    vocab = np.array(VOCAB)
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 100 and r < 0.002:  # exact duplicate of an earlier doc
+            texts.append(texts[rng.integers(0, i)])
+        elif i > 100 and r < 0.022:  # near-duplicate: few word swaps
+            words = texts[rng.integers(0, i)].split()
+            for _ in range(max(1, len(words) // 20)):
+                words[rng.integers(0, len(words))] = vocab[
+                    rng.integers(0, len(vocab))
+                ]
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                np.array(LANGS)[rng.integers(0, len(LANGS), n)], pa.string()
+            ),
+            "source": pa.array(
+                [f"src_{i:02d}" for i in rng.integers(0, 20, n)], pa.string()
+            ),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+
+
+def gen_embeddings(n: int, rng: np.random.Generator, dim: int = 64) -> pa.Table:
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # ~1% near-duplicates: tiny perturbation of an earlier vector
+    n_dup = n // 100
+    src = rng.integers(0, n // 2, n_dup)
+    dst = rng.integers(n // 2, n, n_dup)
+    vecs[dst] = vecs[src] + rng.standard_normal((n_dup, dim)).astype(np.float32) * 0.01
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, n).astype(np.int32)),
+        }
+    )
+
+
+def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
+    base_ns = np.int64(1_704_067_200_000_000_000)  # 2024-01-01T00:00:00Z
+    ts = base_ns + np.cumsum(rng.integers(1, 60_000, n)).astype(np.int64) * 1_000_000
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array(rng.integers(0, 1_500 * max(1, n // BASE["events"]), n)),
+            "event_type": pa.array(
+                np.array(EVENT_TYPES)[rng.integers(0, len(EVENT_TYPES), n)],
+                pa.string(),
+            ),
+            "value": pa.array(np.round(rng.random(n) * 150, 2)),
+            "props": pa.array(
+                [f'{{"k": {v}}}' for v in rng.integers(0, 100, n)], pa.string()
+            ),
+        }
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10, help="row-count multiple of sf0.1")
+    ap.add_argument("--out", default="/tmp/scale_sf1")
+    ap.add_argument("--seed", type=int, default=20260813)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    for name, gen in [
+        ("documents", gen_documents),
+        ("embeddings", gen_embeddings),
+        ("events", gen_events),
+    ]:
+        table = gen(BASE[name] * args.mult, rng)
+        # multiple row groups → parallel scan partitions, like real 100 TB
+        # inputs (the shipped testdata is single-row-group; model.py's
+        # ensure_parallelism exists to compensate for exactly that)
+        pq.write_table(
+            table,
+            os.path.join(args.out, f"{name}.parquet"),
+            row_group_size=max(10_000, len(table) // 32),
+        )
+        print(name, len(table), "rows ->", args.out)
+
+
+if __name__ == "__main__":
+    main()

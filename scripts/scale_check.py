@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Measure wall-time growth of the heavy pipelines across scale factors.
+
+Runs the bucketed/heavy queries against two (or more) data dirs produced by
+`scripts/gen_scale.py` and prints a growth table — the measured backing for
+SCALE.md's claim that the bucketed pipelines grow sub-quadratically while
+the documented exact baselines grow quadratically.
+
+Usage:
+  python scripts/gen_scale.py --mult 1  --out /tmp/scale_sf01
+  python scripts/gen_scale.py --mult 10 --out /tmp/scale_sf1
+  python scripts/scale_check.py /tmp/scale_sf01 /tmp/scale_sf1
+
+Both dirs come from the SAME seeded generator, so the sf1 point is a true
+10x of the sf0.1 point (not a different distribution).  Each timing is the
+median of $SPARK_GRAFT_REPEATS (default 3) noop-sink materializations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from kafka_streams_one_to_many_join_spark.session import get_session
+
+# (query, tables it reads) — only queries over the generated tables
+SCALE_QUERIES = [
+    ("join_trace", "events"),
+    ("ngram_jaccard", "documents"),
+    ("minhash_lsh", "documents"),
+    ("simhash_near_dup", "documents"),
+    ("winnowing", "documents"),
+    ("embedding_near_dup_lsh", "embeddings"),
+    ("ann_topk_lsh", "embeddings"),
+    # documented exact baselines — expected to grow ~quadratically; kept in
+    # the table as the contrast that motivates the LSH scale paths
+    ("embedding_near_dup", "embeddings"),
+]
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["/tmp/scale_sf01", "/tmp/scale_sf1"]
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_session("scale", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    results: dict[str, dict[str, float]] = {}
+    for d in dirs:
+        for name, _tables in SCALE_QUERIES:
+            samples = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                queries[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[d] = round(statistics.median(samples), 2)
+            print(f"  {name} @ {d}: {results[name][d]}s", file=sys.stderr)
+
+    print(json.dumps({"repeats": repeats, "cpus": cpus, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

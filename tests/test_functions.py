@@ -257,6 +257,37 @@ def test_simhash_near_dup_pairs(spark):
     assert all(h <= 3 for h in out.values())
 
 
+def test_simhash_banding_exact_recall_any_threshold(spark):
+    """Banding derives from max_hamming (h+1 bands): for every supported
+    threshold, the banded pipeline must find EXACTLY the pairs brute-force
+    Hamming comparison finds — the pigeonhole guarantee, now threshold-
+    parametric instead of hard-coded to h=3."""
+    import itertools
+
+    import pytest as _pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        simhash_buckets,
+        simhash_near_dup_pairs,
+    )
+
+    docs = _docs(spark)
+    sigs = {r.doc_id: r.simhash for r in simhash_buckets(docs).collect()}
+    for h in (0, 2, 4, 6):
+        want = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= h
+        }
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_near_dup_pairs(docs, max_hamming=h).collect()
+        }
+        assert got == want, f"h={h}: {got} != {want}"
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=7)  # 8 bands < 8 bits each
+
+
 def test_dedup_functions_on_empty_docs(spark):
     from kafka_streams_one_to_many_join_spark.functions.dedup import (
         minhash_lsh_pairs,

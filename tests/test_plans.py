@@ -179,3 +179,75 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_spreads_hot_key_under_aqe(spark, sf_dir):
+    """Forced-skew fixture: 90% of the many side shares ONE fk value.  The
+    salted join must (a) shuffle on (fk, _salt) — the exchange partitioning
+    carries the salt column, so no reducer owns the whole hot key — and
+    (b) at runtime, with AQE on (adaptive + coalescePartitions + skewJoin,
+    session.py), land the hot key's rows in multiple output partitions.
+    AQE's own skew-join splitting handles sort-merge joins it can see; the
+    salt is the explicit formulation that also covers what AQE cannot fix
+    (first-shuffle skew, holistic agg state), and the two must compose —
+    AQE coalescing must not undo the salt spread."""
+    from kafka_streams_one_to_many_join_spark.operators import (
+        salted_one_to_many_join,
+    )
+
+    n = 20_000
+    many = spark.range(n).select(
+        F.col("id").alias("rid"),
+        # 90% hot key 0, the rest spread over 99 cold keys
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise((F.col("id") % 99) + 1)
+        .cast("int")
+        .alias("fk"),
+    )
+    one = spark.range(100).select(
+        F.col("id").cast("int").alias("fk"),
+        F.concat(F.lit("dim_"), F.col("id")).alias("payload"),
+    )
+    try:
+        # keep it a shuffle join: broadcast would hide the skew entirely
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # at test scale every partition is a few KB, so AQE coalescing
+        # (correctly) merges them all; shrink the advisory size so the
+        # coalescer sees test partitions the way it would see at-scale
+        # (hundreds-of-MB) partitions — i.e. not worth merging
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8kb")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1kb"
+        )
+        joined = salted_one_to_many_join(
+            many, one, fk="fk", identity_cols=["rid"], buckets=16
+        )
+        plan = plans.formatted_plan(joined)
+        # (a) the exchanges partition on the salt, not on fk alone
+        assert "_salt" in plan and "hashpartitioning" in plan, plan
+        import re
+
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+            args = m.group(1)
+            if "fk" in args:
+                assert "_salt" in args, f"shuffle on fk without salt: {args}"
+        # (b) runtime: the hot key's rows occupy many partitions even after
+        # AQE coalescing, and no partition holds a majority of them
+        dist = (
+            joined.where(F.col("fk") == 0)
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        hot_total = sum(r["count"] for r in dist)
+        assert hot_total == int(n * 0.9)
+        assert len(dist) >= 8, f"hot key confined to {len(dist)} partitions"
+        assert max(r["count"] for r in dist) < hot_total * 0.5
+        # results identical to the plain join
+        assert joined.count() == many.join(one, "fk").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+        )
