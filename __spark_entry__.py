@@ -27,6 +27,7 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
     embedding_near_dup_pairs_lsh,
     exact_duplicates,
     minhash_lsh_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_buckets,
     simhash_near_dup_pairs,
@@ -707,9 +708,35 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH candidates over trigram shingles, exact-verified."""
+    return _minhash_pairs(spark, sf)
+
+
+def _minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(
         load_table(spark, sf, "documents"), num_hashes=16, bands=8,
         threshold=0.7, shingle_n=3,
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH pair
+    graph — each clustered doc labeled with the smallest doc_id reachable
+    from it (the canonical representative)."""
+    return near_dup_clusters(_minhash_pairs(spark, sf))
+
+
+def q_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The deduplicated corpus: drop every clustered doc except its
+    cluster's canonical (minimum) doc_id.  Singletons survive untouched —
+    the anti-join only removes non-canonical cluster members, so the big
+    side streams through with one broadcast-able exclusion list (the dup
+    graph is orders smaller than the corpus)."""
+    clusters = near_dup_clusters(_minhash_pairs(spark, sf))
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        load_table(spark, sf, "documents")
+        .join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
     )
 
 
@@ -823,6 +850,60 @@ def q_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
         train_val_split(docs, "doc_id", val_fraction=0.1)
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed quota per label (20 vectors each), chosen by id-hash order —
+    balanced curation that ignores raw label skew and stays stable under
+    corpus growth."""
+    from kafka_streams_one_to_many_join_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        load_table(spark, sf, "embeddings").select("vec_id", "label"),
+        ["label"], "vec_id", per_stratum=20,
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition/length quality rules with a keep verdict.
+    Thresholds tuned to this corpus's short docs (min 20 words)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        gopher_quality,
+    )
+
+    return gopher_quality(
+        load_table(spark, sf, "documents"), min_words=20,
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination audit: training docs sharing any 4-gram
+    with the held-out benchmark slice (doc_id % 97 == 0)."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        contamination_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_pairs(train, bench, n=4, min_common=1)
+
+
+def q_source_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document-length distribution: exact linear-interpolation
+    percentiles (p25/p50/p90) + mean.  Exact `percentile` (not approx_)
+    so the oracle matches bit-for-bit; at 100 TB swap in
+    approx_percentile — same plan shape, bounded state."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
     )
 
 
@@ -1119,6 +1200,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round rotate to the back, where falling past the cap loses nothing.
     # Rotate per round.
     return {
+        # --- new this round (never driver-checked) ---
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "stratified_sample": q_stratified_sample,
+        "gopher_quality": q_gopher_quality,
+        "contamination_check": q_contamination_check,
+        "source_percentiles": q_source_percentiles,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -1580,6 +1668,113 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_common::DOUBLE / (sa.set_size + sb.set_size - n_common) >= 0.7
         """,
         "minhash_lsh": _minhash_lsh_sql(tok, threshold=0.7),
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_lsh_sql(tok, threshold=0.7)}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "dedup_canonical": f"""
+            WITH RECURSIVE pairs AS ({_minhash_lsh_sql(tok, threshold=0.7)}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            clusters AS (
+                SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (
+                SELECT doc_id FROM clusters WHERE doc_id != cluster_id
+            )
+        """,
+        "stratified_sample": f"""
+            SELECT vec_id, label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (
+                           PARTITION BY label
+                           ORDER BY ({_duck_md5_prefix32("vec_id::VARCHAR")} % 10000) ASC,
+                                    vec_id ASC
+                       ) AS rk
+                FROM embeddings
+            ) WHERE rk <= 20
+        """,
+        "gopher_quality": f"""
+            WITH words AS (
+                SELECT doc_id, unnest({tok}) AS w FROM documents
+            ),
+            per_word AS (
+                SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum(c)::BIGINT AS n_words,
+                       sum(c * length(w))::BIGINT AS chars,
+                       count(*)::BIGINT AS n_distinct,
+                       max(c)::BIGINT AS top,
+                       sum(CASE WHEN w IN ('the','a','and','of','to')
+                                THEN c ELSE 0 END)::BIGINT AS n_stopwords
+                FROM per_word GROUP BY doc_id
+            )
+            SELECT doc_id, n_words,
+                   round(chars::DOUBLE / n_words, 6) AS mean_word_len,
+                   round(n_distinct::DOUBLE / n_words, 6) AS distinct_ratio,
+                   round(top::DOUBLE / n_words, 6) AS top_word_ratio,
+                   n_stopwords,
+                   (n_words BETWEEN 20 AND 100000
+                    AND chars::DOUBLE / n_words BETWEEN 3.0 AND 10.0
+                    AND top::DOUBLE / n_words <= 0.2
+                    AND n_distinct::DOUBLE / n_words >= 0.3
+                    AND n_stopwords >= 2) AS keep
+            FROM agg
+        """,
+        "contamination_check": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+            pos AS (
+                SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           concat_ws(' ', tk, lead(tk,1) OVER w, lead(tk,2) OVER w,
+                                     lead(tk,3) OVER w) AS shingle,
+                           lead(tk, 3) OVER w AS t_last
+                    FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+                ) WHERE t_last IS NOT NULL
+            )
+            SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+                   count(*)::BIGINT AS n_common
+            FROM sh t JOIN sh b ON t.shingle = b.shingle
+            WHERE t.doc_id % 97 != 0 AND b.doc_id % 97 = 0
+            GROUP BY 1, 2
+            HAVING count(*) >= 1
+        """,
+        "source_percentiles": """
+            SELECT source, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(avg(n_chars), 6) AS mean_chars
+            FROM documents GROUP BY source
+        """,
         "simhash": _simhash_sql(tok),
         "simhash_near_dup": f"""
             WITH s AS ({_simhash_sql(tok)}),

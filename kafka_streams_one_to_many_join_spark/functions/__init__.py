@@ -14,6 +14,7 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
     minhash_coeffs,
     minhash_lsh_pairs,
     minhash_signatures,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_buckets,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "minhash_coeffs",
     "minhash_lsh_pairs",
     "minhash_signatures",
+    "near_dup_clusters",
     "ngram_jaccard_pairs",
     "sample_frames_stub",
     "seeded_planes",

@@ -542,3 +542,106 @@ def embedding_near_dup_pairs_lsh(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph.
+
+    Turns any pair list (ngram_jaccard_pairs / minhash_lsh_pairs /
+    simhash_near_dup_pairs / embedding twins) into cluster assignments:
+    one output row per node that appears in ANY pair, with
+    ``cluster_id`` = the smallest node id reachable from it.  Singleton
+    docs (no pairs) are intentionally absent — callers anti-join.
+
+    Algorithm: iterative min-label propagation (the standard Spark
+    formulation of connected components, cf. GraphX/GraphFrames): every
+    node starts labeled with itself; each round, labels flow across edges
+    and each node keeps the minimum seen.  Converges in O(component
+    diameter) rounds — near-dup clusters are dense and shallow (diameter
+    a handful), so the round count is small and data-independent of
+    corpus size.
+
+    Scale: the label table is O(|nodes in the dup graph|) — orders of
+    magnitude smaller than the corpus (only docs with at least one
+    near-dup edge).  Each round is one shuffle join on node id plus a
+    groupBy(min); the one driver-side scalar per round is the convergence
+    test (label sums decrease monotonically, so sum-unchanged ⇔ fixpoint
+    — no row-level collect).  ``localCheckpoint`` truncates the growing
+    lineage each round; on a cluster with an unreliable driver, switch to
+    a checkpoint directory.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), F.col("lbl"))
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_common: int = 1,
+) -> DataFrame:
+    """Benchmark contamination: training docs sharing ≥ ``min_common``
+    word-n-gram shingles with any benchmark/eval document.
+
+    The decontamination primitive of every pre-training pipeline: before
+    training, anti-join the corpus against the eval suites' n-grams.
+    Output (train_id, bench_id, n_common) — one row per contaminated
+    (train, bench) pair with the shared-shingle count, for audit; the
+    anti-join form is ``train.join(result.select('train_id'), 'left_anti')``.
+
+    Scale: both sides reduce to distinct (id, shingle) — text never
+    shuffles.  The equi-join keys on the shingle string; the benchmark
+    side is the small one by construction (eval suites are fixed-size
+    while the corpus grows), so Spark broadcasts it and the corpus side
+    streams map-side with NO shuffle of the training corpus.  Work is
+    O(|train shingles| + matches).
+    """
+    st = shingles(train, text_col, id_col, n).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    sb = shingles(bench, text_col, id_col, n).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    return (
+        st.join(F.broadcast(sb), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

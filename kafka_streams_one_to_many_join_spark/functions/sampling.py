@@ -46,3 +46,31 @@ def train_val_split(
         "split",
         F.when(_hash_bucket(id_col) < cut, F.lit("train")).otherwise(F.lit("val")),
     )
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], id_col: str, per_stratum: int
+) -> DataFrame:
+    """Deterministic fixed-quota sample: up to ``per_stratum`` rows per
+    stratum, chosen by id-hash order (ties broken by id for totality).
+
+    The quota version of deterministic_sample for balanced curation
+    (equal docs per language/source/label regardless of raw skew).
+    Hash-ordering keeps membership stable under corpus growth *within the
+    quota*: a new row displaces at most one existing member (the largest
+    hash), never reshuffles the stratum.
+
+    Scale: one shuffle on the strata columns for the rank window; skewed
+    strata cost O(stratum) like any top-k-per-group — for quotas small
+    enough to matter, AQE's skew split handles the hot stratum.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_bucket(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_stratum)
+        .drop("_rk")
+    )

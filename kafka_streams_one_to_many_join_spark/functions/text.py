@@ -158,3 +158,74 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.col(id_col),
         F.md5(F.trim(normalized)).alias("fingerprint"),
     )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_top_word_ratio: float = 0.2,
+    min_distinct_ratio: float = 0.3,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape):
+    repetition and length signals plus a combined ``keep`` verdict.
+
+    Signals per document: word count, mean word length, distinct-word
+    ratio, most-frequent-word ratio (the two repetition filters), and
+    English stopword count.  ``keep`` is the AND of the thresholds —
+    callers tune per corpus or use the signal columns directly.
+
+    Dataflow: explode tokens → count per (doc, word) → aggregate per doc.
+    Two linear shuffles; deliberately NOT an array higher-order-function
+    one-liner — interpreted HOF lambdas cost ~10x codegen and the
+    per-(doc,word) aggregate is the scalable formulation of "top word
+    ratio" (partial aggregation before each exchange, no per-row
+    quadratic scan).  Empty docs yield n_words=0 and keep=false.
+    """
+    toks = tokens_expr(text_col)
+    per_word = (
+        docs.select(F.col(id_col), F.explode_outer(toks).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    agg = per_word.groupBy(id_col).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_w").isNotNull(), F.col("_c"))), F.lit(0)
+        ).cast("bigint").alias("n_words"),
+        F.sum(
+            F.when(F.col("_w").isNotNull(), F.col("_c") * F.length("_w"))
+        ).cast("bigint").alias("_chars"),
+        F.count(F.col("_w")).cast("bigint").alias("_distinct"),
+        F.coalesce(F.max(F.when(F.col("_w").isNotNull(), F.col("_c"))), F.lit(0))
+        .cast("bigint").alias("_top"),
+        F.coalesce(
+            F.sum(F.expr(f"case when _w in ({stop_list}) then _c else 0 end")),
+            F.lit(0),
+        ).cast("bigint").alias("n_stopwords"),
+    )
+    nw = F.col("n_words")
+    mean_len = F.when(nw > 0, F.col("_chars").cast("double") / nw).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(nw > 0, F.col("_distinct").cast("double") / nw).otherwise(F.lit(0.0))
+    top_ratio = F.when(nw > 0, F.col("_top").cast("double") / nw).otherwise(F.lit(0.0))
+    keep = (
+        nw.between(min_words, max_words)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (top_ratio <= max_top_word_ratio)
+        & (distinct_ratio >= min_distinct_ratio)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return agg.select(
+        F.col(id_col),
+        nw,
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_ratio, 6).alias("top_word_ratio"),
+        F.col("n_stopwords"),
+        keep.alias("keep"),
+    )

@@ -320,3 +320,110 @@ def test_deterministic_sampling_stability(spark):
     assert all(big_map[k] == v for k, v in small_map.items())
     vals = sum(1 for v in big_map.values() if v == "val")
     assert 100 <= vals <= 320
+
+
+def test_near_dup_clusters_multi_hop(spark):
+    """Transitive closure: a chain a-b, b-c, c-d must collapse into ONE
+    cluster labeled with the minimum id, across multiple propagation
+    rounds (diameter 3 > 1 round); disjoint components stay separate."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (9, 11), (20, 21), (30, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 21: 20, 30: 20}
+
+
+def test_near_dup_clusters_empty(spark):
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        near_dup_clusters,
+    )
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert near_dup_clusters(empty).count() == 0
+
+
+def test_stratified_sample_quota_and_stability(spark):
+    from kafka_streams_one_to_many_join_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    emb = _emb(spark, n=60)  # labels 0/1/2, 20 each
+    out = stratified_sample(emb, ["label"], "vec_id", per_stratum=5)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.label, set()).add(r.vec_id)
+    assert all(len(v) == 5 for v in per.values()) and len(per) == 3
+    # deterministic: same membership on re-run and after repartitioning
+    again = {
+        (r.label, r.vec_id)
+        for r in stratified_sample(
+            emb.repartition(7), ["label"], "vec_id", per_stratum=5
+        ).collect()
+    }
+    assert again == {(r.label, r.vec_id) for r in rows}
+    # growth stability: ONE added row (vec_id 60, label 0) displaces at
+    # most one member of its own stratum and touches no other stratum
+    grown = _emb(spark, n=61)
+    grown_per = {}
+    for r in stratified_sample(grown, ["label"], "vec_id", per_stratum=5).collect():
+        grown_per.setdefault(r.label, set()).add(r.vec_id)
+    assert grown_per[1] == per[1] and grown_per[2] == per[2]
+    assert len(per[0] & grown_per[0]) >= 4
+
+
+def test_gopher_quality_signals(spark):
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        gopher_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 'the' thrice → top ratio 0.5, distinct 4/6
+            (1, "the cat the dog the bird"),
+            # repetitive single word
+            (2, "spam spam spam spam"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(docs, min_words=2).collect()}
+    r1 = out[1]
+    assert r1.n_words == 6 and r1.top_word_ratio == 0.5
+    assert r1.distinct_ratio == round(4 / 6, 6) and r1.n_stopwords == 3
+    r2 = out[2]
+    assert r2.top_word_ratio == 1.0 and not r2.keep  # repetition filter
+    r3 = out[3]
+    assert r3.n_words == 0 and not r3.keep  # empty doc present, rejected
+
+
+def test_contamination_pairs_finds_shared_ngrams(spark):
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        contamination_pairs,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon unrelated tail"),
+            (2, "nothing in common with the benchmark at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.train_id, r.bench_id): r.n_common
+        for r in contamination_pairs(train, bench, n=4).collect()
+    }
+    # doc 1 shares the 4-grams "alpha beta gamma delta" and
+    # "beta gamma delta epsilon" with the benchmark doc; doc 2 shares none
+    assert got == {(1, 100): 2}
