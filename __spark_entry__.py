@@ -797,6 +797,26 @@ def q_ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, planes, k=10)
 
 
+_IVF_NLIST, _IVF_NPROBE, _IVF_SEED = 16, 3, 23
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style approximate top-k: nearest-centroid cell sharding with
+    nprobe cell probes + exact cosine re-rank (the cell-probe counterpart
+    to the hyperplane-LSH path)."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        ivf_topk,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
+    return ivf_topk(emb, queries, cents, nprobe=_IVF_NPROBE, k=10)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs on a 1/4 corpus sample.
 
@@ -1182,6 +1202,50 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _ann_ivf_sql() -> str:
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
+    cent_rows = ", ".join(
+        f"({cell + 1}, [{', '.join(repr(x) for x in cvec)}]::DOUBLE[])"
+        for cell, cvec in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cell, cvec) AS (VALUES {cent_rows}),
+        dots AS (
+            SELECT e.vec_id, e.embedding, {_DUCK_NORM} AS nn, c.cell,
+                   list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+                       i -> e.embedding[i]::DOUBLE * c.cvec[i])) AS dot
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        corpus AS (
+            SELECT vec_id, embedding, nn, cell FROM dots
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS qe, nn AS qn, cell
+            FROM dots WHERE vec_id % 100 = 0
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) <= {_IVF_NPROBE}
+        ),
+        s AS (
+            SELECT p.query_id, b.vec_id,
+                   round(list_sum(list_transform(generate_series(1, len(p.qe)),
+                       i -> p.qe[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / nullif(p.qn * b.nn, 0.0), 6) AS sim
+            FROM corpus b JOIN probes p ON b.cell = p.cell
+            WHERE b.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS rank FROM s
+        ) WHERE rank <= 10
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1207,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "contamination_check": q_contamination_check,
         "source_percentiles": q_source_percentiles,
+        "ann_topk_ivf": q_ann_topk_ivf,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -1820,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_topk_ivf": _ann_ivf_sql(),
         "embedding_near_dup": _near_dup_sql(0.35, bucketed=False, subset_mod=4),
         "embedding_near_dup_lsh": _near_dup_sql(0.35, bucketed=True),
         "audio_features": """

@@ -30,10 +30,12 @@ from kafka_streams_one_to_many_join_spark.functions.sampling import (
 )
 from kafka_streams_one_to_many_join_spark.functions.similarity import (
     brute_force_topk,
+    ivf_topk,
     brute_force_topk_pandas,
     cosine_expr,
     hyperplane_lsh_bucket,
     lsh_topk,
+    seeded_centroids,
     seeded_planes,
 )
 from kafka_streams_one_to_many_join_spark.functions.text import (
@@ -56,6 +58,7 @@ __all__ = [
     "extract_audio_features",
     "extract_image_features",
     "hyperplane_lsh_bucket",
+    "ivf_topk",
     "language_id",
     "lsh_topk",
     "minhash_coeffs",
@@ -64,6 +67,7 @@ __all__ = [
     "near_dup_clusters",
     "ngram_jaccard_pairs",
     "sample_frames_stub",
+    "seeded_centroids",
     "seeded_planes",
     "simhash_buckets",
     "text_stats",

@@ -231,3 +231,105 @@ def seeded_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
 
     rng = np.random.default_rng(seed)
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def seeded_centroids(nlist: int, dim: int, seed: int = 23) -> list[list[float]]:
+    """Deterministic unit-norm coarse-quantizer centroids (numpy PCG64),
+    rounded to 6 decimals so the Spark expression and the SQL oracle embed
+    byte-identical literals.
+
+    Random centroids make this IVF-*flat with a random coarse quantizer* —
+    the honest unlearned baseline.  At 100 TB the centroids would come
+    from a k-means sample pass; everything downstream (assignment, probe,
+    re-rank) is unchanged — training only moves the literals.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((nlist, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return [[float(round(x, 6)) for x in row] for row in mat]
+
+
+def _cell_dots_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """SQL text: array of <vec, centroid_i> dot products, ordered sums."""
+    dots = []
+    for c in centroids:
+        arr = "array(" + ",".join(f"cast({x!r} as double)" for x in c) + ")"
+        dots.append(dot_expr(vec_col, arr))
+    return "array(" + ", ".join(dots) + ")"
+
+
+def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (1-based).  Centroids are unit-norm, so
+    argmax dot == argmax cosine; ties resolve to the lowest cell id
+    (array_position returns the first occurrence of the max)."""
+    ds = _cell_dots_expr(vec_col, centroids)
+    return F.expr(f"array_position({ds}, array_max({ds}))").cast("int")
+
+
+def ivf_probe_cells(
+    vec_col: str, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cell ids for a query vector, best first
+    (sorted by dot DESC, cell ASC — same tiebreak as ivf_cell)."""
+    n = len(centroids)
+    ds = _cell_dots_expr(vec_col, centroids)
+    return F.expr(
+        f"slice(transform(array_sort(zip_with({ds}, sequence(1, {n}), "
+        "(d, i) -> struct(-d as nd, i as cell))), s -> s.cell), "
+        f"1, {nprobe})"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus sharded into nearest-centroid
+    cells, each query probes its ``nprobe`` nearest cells, candidates get
+    an exact cosine re-rank.
+
+    The cell-probe counterpart to lsh_topk: recall degrades gracefully
+    with nprobe (probe all cells ⇒ exact), and corpus work per query is
+    O(N·nprobe/nlist + rerank) instead of O(N).  Scale shape: the corpus
+    is scanned ONCE to tag cells (a projection — never shuffled); the
+    (query, cell) probe list is broadcast; candidates flow map-side into
+    the per-query top-k window whose input is bounded by the probed
+    cells' occupancy.
+    """
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(norm_expr(vec_col)).alias("_n"),
+        ivf_cell(vec_col, centroids).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
+        F.explode(ivf_probe_cells(vec_col, centroids, nprobe)).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_from_norms("_qvec", vec_col, "_qn", "_n"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

@@ -427,3 +427,34 @@ def test_contamination_pairs_finds_shared_ngrams(spark):
     # doc 1 shares the 4-grams "alpha beta gamma delta" and
     # "beta gamma delta epsilon" with the benchmark doc; doc 2 shares none
     assert got == {(1, 100): 2}
+
+
+def test_ivf_topk_probe_all_is_exact(spark):
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        ivf_topk,
+        seeded_centroids,
+    )
+
+    emb = _emb(spark, n=40)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = seeded_centroids(4, 8, seed=23)
+    # probing every cell degenerates to exact search
+    full = ivf_topk(emb, queries, cents, nprobe=4, k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    exact = brute_force_topk(emb, queries, k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert [(r.query_id, r.vec_id, r.sim) for r in full] == [
+        (r.query_id, r.vec_id, r.sim) for r in exact
+    ]
+    # partial probe: every neighbor is a real vector with its exact sim
+    part = ivf_topk(emb, queries, cents, nprobe=1, k=5).collect()
+    exact_all = {
+        (r.query_id, r.vec_id): r.sim
+        for r in brute_force_topk(emb, queries, k=40).collect()
+    }
+    for r in part:
+        assert exact_all[(r.query_id, r.vec_id)] == r.sim
