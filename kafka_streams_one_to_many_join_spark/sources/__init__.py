@@ -13,7 +13,11 @@ from kafka_streams_one_to_many_join_spark.sources.readers import (
     read_stream,
     synthetic_car_zone_events,
 )
-from kafka_streams_one_to_many_join_spark.sources.writers import write_batch, write_stream
+from kafka_streams_one_to_many_join_spark.sources.writers import (
+    write_batch,
+    write_stream,
+    write_stream_exactly_once,
+)
 
 __all__ = [
     "read_batch",
@@ -21,4 +25,5 @@ __all__ = [
     "synthetic_car_zone_events",
     "write_batch",
     "write_stream",
+    "write_stream_exactly_once",
 ]

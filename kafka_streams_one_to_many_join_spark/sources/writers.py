@@ -57,3 +57,45 @@ def write_stream(
     for k, v in options.items():
         writer = writer.option(k, v)
     return writer.start(path) if path is not None else writer.start()
+
+
+def write_stream_exactly_once(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Idempotent foreachBatch parquet sink: exactly-once across restarts.
+
+    Spark's file sinks are exactly-once on their own, but foreachBatch —
+    the escape hatch every real pipeline ends up in for multi-sink or
+    JDBC-style writes — is only at-least-once: after a crash between the
+    batch commit and the checkpoint write, the SAME (batch_id, data) is
+    re-delivered.  The standard fix, implemented here: make the write
+    idempotent by keying the output on batch_id (one
+    ``batch_id=<n>`` partition directory per micro-batch, written with
+    dynamic partition overwrite) so a replayed batch overwrites its own
+    previous attempt instead of duplicating it.
+
+    Scale: per-batch work is a plain parquet write, partitioned however
+    ``df`` already is; the batch_id directory layout also gives readers
+    incremental-consumption boundaries for free.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()
