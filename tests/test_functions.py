@@ -458,3 +458,48 @@ def test_ivf_topk_probe_all_is_exact(spark):
     }
     for r in part:
         assert exact_all[(r.query_id, r.vec_id)] == r.sim
+
+
+def test_near_dup_clusters_matches_union_find_on_random_graphs(spark):
+    """Property check: on seeded random pair graphs (including long
+    chains, stars, and disjoint unions), the distributed min-label
+    propagation must produce exactly the components a reference
+    union-find computes."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        near_dup_clusters,
+    )
+
+    rng = np.random.RandomState(42)
+    for trial in range(3):
+        n_nodes = [30, 80, 150][trial]
+        n_edges = [15, 60, 100][trial]
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, n_nodes, size=(n_edges, 2))
+            if a != b
+        ]
+        # force a long chain so convergence needs several rounds
+        chain = list(range(n_nodes, n_nodes + 12))
+        edges += list(zip(chain, chain[1:]))
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        got = {
+            r.doc_id: r.cluster_id
+            for r in near_dup_clusters(
+                spark.createDataFrame(edges, "doc_a long, doc_b long")
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
