@@ -927,6 +927,72 @@ def q_source_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top-20 token bigrams by pointwise mutual
+    information (min count 5).  Corpus-stats shape: two explode→count
+    aggregations (bigrams, unigrams) + two equi-joins of the bigram
+    counts against the unigram vocabulary + 1-row total broadcasts —
+    every join keys on the word, partial aggregation everywhere, nothing
+    quadratic."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - 1, 0)), "
+                "i -> struct(regexp_extract_all(lower(text), '[a-z0-9]+', 0)[i - 1] as w1, "
+                "regexp_extract_all(lower(text), '[a-z0-9]+', 0)[i] as w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    bg_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
+    # 1-row totals broadcast-crossJoined: lazy, no driver-side action
+    totals = (
+        bg_counts.agg(F.sum("cab").cast("double").alias("nb"))
+        .crossJoin(uni.agg(F.sum("cw").cast("double").alias("nu")))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))
+    return (
+        bg_counts.filter(F.col("cab") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", F.col("cab").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("cab").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("nu"))
+                        * (F.col("cb").cast("double") / F.col("nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+def q_length_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source length quartile assignment (ntile) — the bucketing step
+    of length-balanced corpus sampling.  One shuffle on source; the
+    window order includes doc_id so bucket boundaries are deterministic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "source", "n_chars",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary: global token frequencies, deterministic top-20.
     explode → codegen hash agg with map-side partials; only (token, count)
@@ -1272,6 +1338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "source_percentiles": q_source_percentiles,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "bigram_pmi": q_bigram_pmi,
+        "length_quartiles": q_length_quartiles,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -1831,6 +1899,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.doc_id % 97 != 0 AND b.doc_id % 97 = 0
             GROUP BY 1, 2
             HAVING count(*) >= 1
+        """,
+        "bigram_pmi": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+            pos AS (
+                SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p
+                FROM toks
+            ),
+            big AS (
+                SELECT tk AS w1, lead(tk) OVER w AS w2
+                FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+                QUALIFY w2 IS NOT NULL
+            ),
+            uni AS (
+                SELECT tk AS w, count(*) AS cw FROM pos GROUP BY tk
+            ),
+            bgc AS (
+                SELECT w1, w2, count(*) AS cab FROM big GROUP BY w1, w2
+            ),
+            tot AS (
+                SELECT (SELECT sum(cab)::DOUBLE FROM bgc) AS nb,
+                       (SELECT sum(cw)::DOUBLE FROM uni) AS nu
+            )
+            SELECT b.w1, b.w2, b.cab AS n,
+                   round(ln((b.cab::DOUBLE / t.nb) /
+                         ((ua.cw::DOUBLE / t.nu) * (ub.cw::DOUBLE / t.nu))), 6)
+                       AS pmi
+            FROM bgc b
+            JOIN uni ua ON ua.w = b.w1
+            JOIN uni ub ON ub.w = b.w2
+            CROSS JOIN tot t
+            WHERE b.cab >= 5
+            ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
+        """,
+        "length_quartiles": """
+            SELECT doc_id, source, n_chars,
+                   ntile(4) OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS quartile
+            FROM documents
         """,
         "source_percentiles": """
             SELECT source, count(*) AS n_docs,
