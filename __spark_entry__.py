@@ -929,43 +929,62 @@ def q_source_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining: top-20 token bigrams by pointwise mutual
-    information (min count 5).  Corpus-stats shape: two explode→count
-    aggregations (bigrams, unigrams) + two equi-joins of the bigram
-    counts against the unigram vocabulary + 1-row total broadcasts —
-    every join keys on the word, partial aggregation everywhere, nothing
-    quadratic."""
-    docs = load_table(spark, sf, "documents")
-    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-    big = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - 1, 0)), "
-                "i -> struct(regexp_extract_all(lower(text), '[a-z0-9]+', 0)[i - 1] as w1, "
-                "regexp_extract_all(lower(text), '[a-z0-9]+', 0)[i] as w2))"
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("cw")
+    information (min count 5).
+
+    Single-pass corpus-stats shape: tokenize once, emit every token as
+    ``(w1, next-token-or-null w2)``, then ONE grouping-sets aggregation
+    over ``((w1, w2), (w1), ())`` produces bigram counts, unigram counts
+    and the corpus totals together — a single O(tokens) shuffle.  Unigram
+    counts are re-attached to bigram rows by two vocabulary-sized window
+    passes (partition by ``w1``, then by ``coalesce(w2, w1)`` so the
+    unigram row lands in its w2-consumers' partition) instead of two
+    equi-joins: no plan diamond re-executing the tokenize→explode subtree
+    per join branch.  Only the 1-row totals branch re-reads the corpus
+    (2 heavy passes total; a production run over a persisted corpus-stats
+    table would make it 1).  Nothing quadratic; totals broadcast."""
+    from pyspark.sql import Window
+
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
+    # get(t, i+1) is 0-based and NULL past the end → the doc-final token
+    # still yields a (w1, NULL) row, so grouping set (w1) counts EVERY
+    # token occurrence (matching the oracle's positional unigram counts).
+    pairs = (
+        docs.select(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t")
+        )
+        .select(
+            F.explode(
+                F.expr("transform(t, (w, i) -> struct(w AS w1, get(t, i + 1) AS w2))")
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
     )
-    bg_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
-    # 1-row totals broadcast-crossJoined: lazy, no driver-side action
-    totals = (
-        bg_counts.agg(F.sum("cab").cast("double").alias("nb"))
-        .crossJoin(uni.agg(F.sum("cw").cast("double").alias("nu")))
+    counts = pairs.groupingSets([["w1", "w2"], ["w1"], []], "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("w2").alias("cnt_pairs"),  # at gid=3: total bigrams nb
+        F.grouping_id().alias("gid"),
     )
-    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
-    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))
+    uni_cnt = F.max(F.when(F.col("gid") == 1, F.col("cnt")))
+    with_ca = counts.withColumn("ca", uni_cnt.over(Window.partitionBy("w1")))
+    with_cb = with_ca.withColumn(
+        "cb", uni_cnt.over(Window.partitionBy(F.coalesce("w2", "w1")))
+    )
+    totals = counts.filter(F.col("gid") == 3).select(
+        F.col("cnt_pairs").cast("double").alias("nb"),
+        F.col("cnt").cast("double").alias("nu"),
+    )
     return (
-        bg_counts.filter(F.col("cab") >= 5)
-        .join(u1, "w1")
-        .join(u2, "w2")
+        with_cb.filter(
+            (F.col("gid") == 0) & F.col("w2").isNotNull() & (F.col("cnt") >= 5)
+        )
         .crossJoin(F.broadcast(totals))
         .select(
-            "w1", "w2", F.col("cab").alias("n"),
+            "w1", "w2", F.col("cnt").alias("n"),
             F.round(
                 F.log(
-                    (F.col("cab").cast("double") / F.col("nb"))
+                    (F.col("cnt").cast("double") / F.col("nb"))
                     / (
                         (F.col("ca").cast("double") / F.col("nu"))
                         * (F.col("cb").cast("double") / F.col("nu"))
