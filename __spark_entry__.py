@@ -1012,6 +1012,236 @@ def q_length_quartiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition filter (Gopher-style, token-based):
+    duplicate-trigram fraction and most-common-bigram fraction per doc.
+
+    Single corpus pass: tokenize once, compute the trigram dedup stats as
+    array expressions (codegen'd ``array_distinct``/``size``, no explode),
+    then carry those two per-doc scalars THROUGH the bigram explode so the
+    two-level aggregation (count per (doc, bigram) → max/sum per doc)
+    needs no join back to the documents.  Shuffles are O(bigrams) then
+    O(docs); nothing re-scans the corpus."""
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
+    base = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+        ).alias("tris"),
+        F.expr(
+            "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"
+        ).alias("bigs"),
+    )
+    # NOTE: no filter on size(tris) here — a predicate over a computed
+    # array gets pushed below the repartition exchange and re-evaluates
+    # the whole transform single-threaded on the scan.  Docs too short to
+    # have trigrams are instead dropped by the cheap n_tri >= 1 filter on
+    # the per-doc AGGREGATED frame below (docs with <2 tokens never
+    # survive the explode at all).
+    per_big = base.select(
+        "doc_id",
+        F.expr("size(tris)").alias("n_tri"),
+        F.expr("size(array_distinct(tris))").alias("n_tri_distinct"),
+        F.explode("bigs").alias("big"),
+    )
+    bg_counts = per_big.groupBy("doc_id", "big").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("n_tri").alias("n_tri"),
+        F.first("n_tri_distinct").alias("n_tri_distinct"),
+    )
+    return (
+        bg_counts.groupBy("doc_id")
+        .agg(
+            F.max("c").alias("max_big"),
+            F.sum("c").alias("n_big"),
+            F.first("n_tri").alias("n_tri"),
+            F.first("n_tri_distinct").alias("n_tri_distinct"),
+        )
+        .filter(F.col("n_tri") >= 1)
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_tri_distinct").cast("double") / F.col("n_tri"),
+                6,
+            ).alias("dup_tri_frac"),
+            F.round(
+                F.col("max_big").cast("double") / F.col("n_big"), 6
+            ).alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("dup_tri_frac") > 0.6) | (F.col("top_bigram_frac") > 0.1),
+        )
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf (df >= 2).
+
+    One explode → (doc, term) count shuffle; document frequency attached
+    by a vocabulary-keyed window over the SAME aggregated frame (no
+    diamond, no self-join); the corpus size N is a 1-row column-pruned
+    count branch, broadcast.  Top-k per doc via row_number — ties broken
+    by term so the result is deterministic."""
+    from pyspark.sql import Window
+
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ensure_parallelism(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    tf = pairs.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranked = (
+        with_df.filter(F.col("df") >= 2)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tfidf").desc(), "w"
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= 3).select(
+        "doc_id", F.col("w").alias("term"), "tf", "df", "tfidf"
+    )
+
+
+def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index construction: per term, the exact document
+    frequency plus a TRUNCATED sorted posting list (first 20 doc ids) —
+    the impact-ordered-prefix shape search engines ship.
+
+    Scale order matters: distinct (term, doc) pairs first (one shuffle),
+    df via a term-keyed window on that frame, and the row_number cap
+    BEFORE collect_list — so even a stop-word present in every document
+    materializes a 20-element array, never an unbounded one."""
+    from pyspark.sql import Window
+
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    ).groupBy("w", "doc_id").agg(F.lit(1).alias("_one"))
+    wspec = Window.partitionBy("w")
+    capped = (
+        pairs.withColumn("df", F.count(F.lit(1)).over(wspec))
+        .withColumn(
+            "rk", F.row_number().over(wspec.orderBy("doc_id"))
+        )
+        .filter(F.col("rk") <= 20)
+    )
+    return (
+        capped.groupBy(F.col("w").alias("term"))
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(doc_id)), x -> cast(x as string))"
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+def q_grouping_sets_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-level rollup via GROUPING SETS ((segment, priority),
+    (segment), ()) in ONE aggregation — subtotals and grand total without
+    re-scanning or unioning three groupBys.  The customer dim is
+    broadcast; the single shuffle is on the grouping keys (Expand
+    triples rows pre-shuffle, partial aggs absorb it map-side)."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = joined.groupingSets(
+        [["c_mktsegment", "o_orderpriority"], ["c_mktsegment"], []],
+        "c_mktsegment",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return agg.select(
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "revenue",
+    )
+
+
+def q_rolling_avg_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user rolling mean of the last 3 event values (ROWS BETWEEN 2
+    PRECEDING) — the feature-engineering shape for per-entity time-series
+    smoothing.  One shuffle on user_id; order includes event_id so the
+    frame is total-ordered and deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+
+
+def q_daily_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER JOIN of daily click counts vs daily purchase counts —
+    days with activity on either side survive, missing side coalesced to
+    0.  Both branches are column-pruned scans with the event_type filter
+    pushed to parquet; the join shuffles only (day, count) pairs."""
+    ev = load_table(spark, sf, "events")
+    day = F.expr("date_trunc('day', timestamp_micros(ts div 1000))")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary: global token frequencies, deterministic top-20.
     explode → codegen hash agg with map-side partials; only (token, count)
@@ -1359,6 +1589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "bigram_pmi": q_bigram_pmi,
         "length_quartiles": q_length_quartiles,
+        "doc_repetition": q_doc_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "posting_lists": q_posting_lists,
+        "grouping_sets_segments": q_grouping_sets_segments,
+        "rolling_avg_value": q_rolling_avg_value,
+        "daily_click_purchase": q_daily_click_purchase,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -1956,6 +2192,88 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER (PARTITION BY source
                                   ORDER BY n_chars, doc_id) AS quartile
             FROM documents
+        """,
+        "doc_repetition": f"""
+            WITH base AS (
+                SELECT doc_id, {tok} AS t FROM documents
+            ),
+            arrs AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tris,
+                       list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i+1]) AS bigs
+                FROM base WHERE len(t) >= 3
+            ),
+            bg AS (SELECT doc_id, unnest(bigs) AS big FROM arrs),
+            bc AS (SELECT doc_id, big, count(*) AS c FROM bg GROUP BY 1, 2),
+            ba AS (SELECT doc_id, max(c) AS max_big, sum(c) AS n_big
+                   FROM bc GROUP BY 1)
+            SELECT a.doc_id,
+                   round(1.0 - len(list_distinct(a.tris))::DOUBLE / len(a.tris), 6)
+                       AS dup_tri_frac,
+                   round(ba.max_big::DOUBLE / ba.n_big, 6) AS top_bigram_frac,
+                   (round(1.0 - len(list_distinct(a.tris))::DOUBLE / len(a.tris), 6) > 0.6
+                    OR round(ba.max_big::DOUBLE / ba.n_big, 6) > 0.1) AS repetitive
+            FROM arrs a JOIN ba USING (doc_id)
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+            pairs AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM pairs GROUP BY 1, 2),
+            wd AS (SELECT *, count(*) OVER (PARTITION BY w) AS df FROM tf),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT doc_id, w AS term, tf, df,
+                   round(tf * ln(n.n / df), 6) AS tfidf
+            FROM wd, n
+            WHERE df >= 2
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, w) <= 3
+        """,
+        "posting_lists": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+            pairs AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            dp AS (SELECT DISTINCT w, doc_id FROM pairs),
+            wd AS (
+                SELECT *, count(*) OVER (PARTITION BY w) AS df,
+                       row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rk
+                FROM dp
+            )
+            SELECT w AS term, max(df) AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+            FROM wd WHERE rk <= 20
+            GROUP BY w
+        """,
+        "grouping_sets_segments": """
+            SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                                    (c_mktsegment), ())
+        """,
+        "rolling_avg_value": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 2 PRECEDING
+                                          AND CURRENT ROW), 6) AS rolling_avg
+            FROM events
+        """,
+        "daily_click_purchase": """
+            WITH c AS (
+                SELECT date_trunc('day', ts) AS day, count(*) AS n_clicks
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ),
+            p AS (
+                SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT coalesce(c.day, p.day) AS day,
+                   coalesce(n_clicks, 0) AS n_clicks,
+                   coalesce(n_purchases, 0) AS n_purchases
+            FROM c FULL OUTER JOIN p ON c.day = p.day
         """,
         "source_percentiles": """
             SELECT source, count(*) AS n_docs,

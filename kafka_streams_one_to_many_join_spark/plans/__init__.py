@@ -55,3 +55,13 @@ def count_shuffles(df: DataFrame) -> int:
     import re
 
     return len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", formatted_plan(df)))
+
+
+def count_scans(df: DataFrame) -> int:
+    """Number of file-scan leaves in the plan — each is a full pass over
+    its table, so a 1-table pipeline with N scans reads the data N times.
+    Counts the per-node detail headers ('(n) Scan parquet'), not the tree
+    rendering, so each scan is counted exactly once."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan ", formatted_plan(df), re.M))

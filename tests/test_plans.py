@@ -251,3 +251,69 @@ def test_salted_join_spreads_hot_key_under_aqe(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize"
         )
+
+
+def test_bigram_pmi_single_aggregation_no_vocab_joins(spark, sf_dir):
+    """PMI needs bigram counts, unigram counts and totals — the plan must
+    get all three from ONE grouping-sets aggregation (Expand) plus
+    window re-attachment, not from unigram/bigram equi-joins whose
+    branches would each re-run the tokenize→explode subtree."""
+    df = entry_mod.q_bigram_pmi(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Expand" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # main pipeline + the 1-row totals branch: at most 2 corpus scans
+    assert plans.count_scans(df) <= 2, plan
+
+
+def test_doc_repetition_single_corpus_scan(spark, sf_dir):
+    """Trigram stats are carried through the bigram explode, so the whole
+    repetition filter is one corpus pass — no join back to documents."""
+    df = entry_mod.q_doc_repetition(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.count_scans(df) == 1, plan
+    assert "Join" not in plan, plan
+    # the short-doc filter must NOT sit below the exchange recomputing the
+    # trigram transform on the unparallelized scan side
+    scan_to_exchange = plan.split("Exchange")[0]
+    assert "transform" not in scan_to_exchange, scan_to_exchange
+
+
+def test_posting_lists_caps_before_collect(spark, sf_dir):
+    """The row_number cap must sit BELOW collect_list in the plan so no
+    stop-word ever materializes an unbounded posting array."""
+    df = entry_mod.q_posting_lists(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.count_scans(df) == 1, plan
+    cap_pos = plan.find("row_number")
+    collect_pos = plan.find("collect_list")
+    assert cap_pos != -1 and collect_pos != -1
+    # detail sections print leaf-first (node 1 = scan), so the cap
+    # (producer) must appear BEFORE the collect agg (consumer)
+    assert cap_pos < collect_pos, plan
+    # Spark should push the cap into the sort via WindowGroupLimit
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_tfidf_attaches_df_without_self_join(spark, sf_dir):
+    """Document frequency comes from a vocabulary-keyed window over the
+    (doc, term) aggregate — not a second explode branch equi-joined back."""
+    df = entry_mod.q_tfidf_top_terms(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    # corpus pass + column-pruned count(*) branch
+    assert plans.count_scans(df) <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row N broadcast
+
+
+def test_daily_click_purchase_pushes_event_type(spark, sf_dir):
+    pushed = plans.pushed_filters(entry_mod.q_daily_click_purchase(spark, sf_dir))
+    assert "event_type" in pushed, pushed
+
+
+def test_grouping_sets_one_expand_broadcast_dim(spark, sf_dir):
+    df = entry_mod.q_grouping_sets_segments(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("Expand") >= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
