@@ -1242,6 +1242,68 @@ def q_daily_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch (m=256 registers,
+    md5 hash) per event_type, reported next to the exact distinct count.
+
+    Unlike ``approx_count_distinct`` (whose sketch is engine-internal and
+    not reproducible elsewhere), every step here is portable arithmetic:
+    48-bit md5 prefix → 8-bit register index + 40-bit value, rho = leading
+    zeros + 1, register max per bucket, and the harmonic-mean estimate
+    computed from an EXACT integer register sum (2^(50-M) per register,
+    max 256·2^49 < 2^63 — no float-order nondeterminism), so the estimate
+    hash-matches an independent SQL engine bit-for-bit.
+
+    Scale: the register aggregation shuffles O(types × 256) rows with full
+    map-side partial max — the classic sketch property that the shuffle
+    volume is the sketch size, not the data size.  The exact count
+    (countDistinct, one extra shuffle) is attached for error reporting —
+    at 100 TB you would drop that column and keep only the sketch.  The
+    standard small-range correction applies (raw estimate <= 2.5m with
+    empty registers → linear counting m·ln(m/V)) — also deterministic."""
+    ev = load_table(spark, sf, "events")
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10) as bigint)"
+        ).alias("h"),
+    ).select(
+        "event_type",
+        (F.col("h") % 256).alias("bucket"),
+        F.expr("h div 256").alias("v"),
+    )
+    regs = hashed.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("v") == 0, F.lit(41))
+        .otherwise(F.lit(41) - F.length(F.expr("bin(v)")))
+        .alias("rho"),
+    ).groupBy("event_type", "bucket").agg(F.max("rho").alias("m_reg"))
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("cast(power(2, 50 - m_reg) as bigint)")).alias("sum_int"),
+        F.count(F.lit(1)).alias("m_filled"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    raw = (0.7213 / (1 + 1.079 / 256)) * 65536.0 / (
+        F.col("sum_int") / 1125899906842624.0 + (256 - F.col("m_filled"))
+    )
+    empty = 256 - F.col("m_filled")
+    corrected = F.when(
+        (raw <= 2.5 * 256) & (empty > 0),
+        256.0 * F.log(256.0 / empty),
+    ).otherwise(raw)
+    return (
+        per_type.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            F.round(corrected, 4).alias("hll_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary: global token frequencies, deterministic top-20.
     explode → codegen hash agg with map-side partials; only (token, count)
@@ -1595,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_segments": q_grouping_sets_segments,
         "rolling_avg_value": q_rolling_avg_value,
         "daily_click_purchase": q_daily_click_purchase,
+        "hll_distinct": q_hll_distinct,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -2260,6 +2323,43 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS BETWEEN 2 PRECEDING
                                           AND CURRENT ROW), 6) AS rolling_avg
             FROM events
+        """,
+        "hll_distinct": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+                FROM events
+            ),
+            rv AS (
+                SELECT event_type, h % 256 AS bucket, h // 256 AS v FROM h
+            ),
+            regs AS (
+                SELECT event_type, bucket,
+                       max(CASE WHEN v = 0 THEN 41
+                           ELSE 41 - length(format('{:b}', v)) END) AS m_reg
+                FROM rv GROUP BY 1, 2
+            ),
+            pt AS (
+                SELECT event_type,
+                       sum(CAST(power(2, 50 - m_reg) AS BIGINT)) AS sum_int,
+                       count(*) AS m_filled
+                FROM regs GROUP BY 1
+            ),
+            ex AS (
+                SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT pt.event_type,
+                   round(CASE WHEN raw <= 2.5 * 256 AND (256 - m_filled) > 0
+                              THEN 256.0 * ln(256.0 / (256 - m_filled))
+                              ELSE raw END, 4) AS hll_estimate,
+                   exact_distinct
+            FROM (
+                SELECT *, (0.7213 / (1 + 1.079 / 256)) * 65536.0
+                          / (sum_int / 1125899906842624.0
+                             + (256 - m_filled)) AS raw
+                FROM pt
+            ) pt JOIN ex USING (event_type)
         """,
         "daily_click_purchase": """
             WITH c AS (
