@@ -41,11 +41,25 @@ SCALE_QUERIES = [
     # documented exact baselines — expected to grow ~quadratically; kept in
     # the table as the contrast that motivates the LSH scale paths
     ("embedding_near_dup", "embeddings"),
+    # round-4 additions
+    ("bigram_pmi", "documents"),
+    ("tfidf_top_terms", "documents"),
+    ("doc_repetition", "documents"),
+    ("posting_lists", "documents"),
+    ("dedup_clusters", "documents"),
+    ("hll_distinct", "events"),
+    ("rolling_avg_value", "events"),
 ]
 
 
 def main() -> None:
     dirs = sys.argv[1:] or ["/tmp/scale_sf01", "/tmp/scale_sf1"]
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    scale_queries = (
+        [q for q in SCALE_QUERIES if q[0] in set(only.split(","))]
+        if only
+        else SCALE_QUERIES
+    )
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_session("scale", shuffle_partitions=cpus)
@@ -54,7 +68,7 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {}
     for d in dirs:
-        for name, _tables in SCALE_QUERIES:
+        for name, _tables in scale_queries:
             samples = []
             for _ in range(repeats):
                 t0 = time.perf_counter()
