@@ -15,7 +15,14 @@ from pyspark.sql.types import StructType
 
 from kafka_streams_one_to_many_join_spark.model import decode_json
 
-_BATCH_FORMATS = {"parquet", "json", "csv", "orc"}
+_BATCH_FORMATS = {"parquet", "json", "csv", "orc", "text"}
+
+# Read-only formats: binaryFile loads raw files as (path, modificationTime,
+# length, content BINARY) rows — the ingestion path for the multimodal
+# pipeline (functions/multimodal.py): raw image/audio files → binary
+# column → Arrow-batched feature extraction.  Supported in batch and
+# streaming; there is no binaryFile writer (persist assets as parquet).
+_READ_ONLY_FORMATS = {"binaryFile"}
 
 
 def read_batch(
@@ -25,9 +32,9 @@ def read_batch(
     schema: StructType | None = None,
     **options: str,
 ) -> DataFrame:
-    if fmt in _BATCH_FORMATS:
+    if fmt in _BATCH_FORMATS or fmt in _READ_ONLY_FORMATS:
         reader = spark.read.format(fmt)
-        if schema is not None:
+        if schema is not None and fmt not in _READ_ONLY_FORMATS:
             reader = reader.schema(schema)
         for k, v in options.items():
             reader = reader.option(k, v)

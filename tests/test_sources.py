@@ -120,3 +120,44 @@ def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
     )
     again = {(r.k, r.v, r.batch_id) for r in spark.read.parquet(out).collect()}
     assert again == got  # no duplicates, batch 1 untouched
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    write_batch(df, "orc", str(tmp_path / "o"))
+    back = read_batch(spark, "orc", str(tmp_path / "o"))
+    assert sorted(back.collect()) == sorted(df.collect())
+    assert back.schema == df.schema
+
+
+def test_text_reader(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("hello\nworld\n")
+    back = read_batch(spark, "text", str(tmp_path / "a.txt"))
+    assert [r.value for r in back.orderBy("value").collect()] == ["hello", "world"]
+
+
+def test_binary_file_feeds_multimodal_pipeline(spark, tmp_path):
+    """binaryFile is the raw-asset ingestion path: files on disk become
+    (path, content BINARY) rows that plug straight into the multimodal
+    feature extractors' (asset_id, payload) contract."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        asset_metadata,
+    )
+
+    payloads = {"x.bin": b"\x00\x01\x02imagebytes", "y.bin": b"\xff" * 64}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    raw = read_batch(
+        spark, "binaryFile", str(tmp_path), pathGlobFilter="*.bin"
+    )
+    assert set(raw.columns) == {"path", "modificationTime", "length", "content"}
+    assets = raw.select(
+        F.element_at(F.split("path", "/"), -1).alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("content").alias("payload"),
+    )
+    meta = {r.asset_id: r for r in asset_metadata(assets).collect()}
+    assert meta["y.bin"].n_bytes == 64
+    import hashlib
+
+    assert meta["x.bin"].digest == hashlib.md5(payloads["x.bin"]).hexdigest()
