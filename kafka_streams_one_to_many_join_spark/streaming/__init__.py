@@ -25,6 +25,9 @@ from kafka_streams_one_to_many_join_spark.streaming.stream_join import (
     stream_static_join,
     stream_stream_join,
 )
+from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+    streaming_hll_distinct,
+)
 from kafka_streams_one_to_many_join_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -33,6 +36,7 @@ from kafka_streams_one_to_many_join_spark.streaming.windows import (
 
 __all__ = [
     "car_move_detection",
+    "streaming_hll_distinct",
     "session_agg",
     "sliding_agg",
     "stream_static_join",

@@ -1,0 +1,126 @@
+"""Streaming distinct-count sketch — the stream twin of the batch
+HyperLogLog query (``__spark_entry__.q_hll_distinct``).
+
+State per key is the m=256 HLL register array (``ArrayType(Integer)``,
+native state-store round-trip — no string serialization); each
+micro-batch folds the new rows' (bucket, rho) values into the registers
+with ``max`` and emits the refreshed estimate.  Because the register
+update is commutative and idempotent, the state after ANY micro-batch
+partitioning of the input equals the batch sketch over the same rows —
+``tests/test_streaming.py`` asserts the final streaming estimates match
+the batch query's to rounding tolerance across a 3-batch split.
+
+The hash/register/estimator arithmetic is the exact deterministic recipe
+of the batch query (48-bit md5 prefix, 8-bit bucket, rho = leading zeros
++ 1, exact-integer register sum, linear-counting small-range
+correction), so batch, stream and any other engine implementing the
+recipe agree bit-for-bit on the registers.
+
+Scale: state is 256 ints per key regardless of stream volume — the
+sketch property that makes per-key cardinality tracking viable on a
+100 TB/day stream.  The only shuffle is the groupBy(key) partitioning
+of incoming events; with a bounded key domain, state is bounded too, so
+no watermark/timeout is needed (add ``timeoutConf`` for unbounded key
+domains).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_M = 256
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+_OUTPUT = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("n_seen", LongType(), False),
+        StructField("hll_estimate", DoubleType(), False),
+    ]
+)
+
+_STATE = StructType(
+    [
+        StructField("registers", ArrayType(IntegerType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def hll_register(value: object) -> tuple[int, int]:
+    """(bucket, rho) for one value — the portable md5 recipe shared with
+    the batch SQL implementation."""
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:12], 16)
+    bucket, v = h % _M, h // _M
+    rho = 41 - v.bit_length() if v > 0 else 41
+    return bucket, rho
+
+
+def hll_estimate(regs: list[int]) -> float:
+    """Harmonic-mean estimate with linear-counting small-range correction
+    — exact-integer register sum, so the float result is deterministic."""
+    sum_int = sum(1 << (50 - r) for r in regs if r > 0)
+    m_empty = sum(1 for r in regs if r == 0)
+    raw = _ALPHA * _M * _M / (sum_int / float(1 << 50) + m_empty)
+    if raw <= 2.5 * _M and m_empty > 0:
+        return _M * math.log(_M / m_empty)
+    return raw
+
+
+def _hll_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    regs, n = (
+        (list(state.get[0]), int(state.get[1]))
+        if state.exists
+        else ([0] * _M, 0)
+    )
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            bucket, rho = hll_register(v)
+            if rho > regs[bucket]:
+                regs[bucket] = rho
+            n += 1
+    state.update((regs, n))
+    yield pd.DataFrame(
+        [{"key": key[0], "n_seen": n, "hll_estimate": hll_estimate(regs)}]
+    )
+
+
+def streaming_hll_distinct(
+    events: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running distinct-count estimate over a stream.
+
+    Emits one (key, n_seen, hll_estimate) row per key per micro-batch
+    that touched the key (update semantics — pair with an update-mode
+    sink or an idempotent upsert writer)."""
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _hll_fn,
+        outputStructType=_OUTPUT,
+        stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

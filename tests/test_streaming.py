@@ -9,6 +9,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from kafka_streams_one_to_many_join_spark.operators import one_to_many_join_trace
 from kafka_streams_one_to_many_join_spark.sources import read_stream, write_stream
 from kafka_streams_one_to_many_join_spark.streaming import (
@@ -617,3 +619,91 @@ def test_tumbling_agg_finalized_windows_exclude_late_rows(spark, tmp_path):
     ]
     # the 13:00 window is still open (watermark < 14:00): not emitted
     assert all(r[0] != datetime(2024, 1, 1, 13, 0) for r in rows)
+
+
+def test_hll_register_recipe_matches_spark_expression(spark):
+    """The python (bucket, rho) recipe in streaming/sketch.py must agree
+    bit-for-bit with the SQL expression the batch query uses — this is
+    what makes the streaming state mergeable with batch sketches."""
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import hll_register
+
+    vals = [str(i) for i in range(64)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s",
+        F.expr(
+            "cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)"
+        ).alias("h"),
+    ).select(
+        "s",
+        (F.col("h") % 256).alias("bucket"),
+        F.when(F.expr("h div 256") == 0, F.lit(41))
+        .otherwise(F.lit(41) - F.length(F.expr("bin(h div 256)")))
+        .alias("rho"),
+    )
+    got = {r.s: (r.bucket, r.rho) for r in df.collect()}
+    for v in vals:
+        assert got[v] == hll_register(v), v
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path, sf_dir):
+    """Incremental 3-batch streaming sketch == one-shot batch sketch:
+    the register merge is commutative/idempotent, so the final streaming
+    estimate must equal the batch query's (and a python reference's)."""
+    import __spark_entry__ as entry_mod
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_hll_distinct,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        hll_estimate,
+        hll_register,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").cast("string"), F.col("user_id").cast("string")
+    )
+    rows = [(r[0], r[1]) for r in ev.collect()]
+    schema = "event_type string, user_id string"
+    os.makedirs(f"{tmp_path}/ev", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/ev")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/ev",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    est = streaming_hll_distinct(stream, "event_type", "user_id")
+    q = write_stream(
+        est, "memory", query_name="hll", output_mode="update",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from hll").collect()
+    final = {}
+    for r in out:
+        if r.key not in final or r.n_seen > final[r.key].n_seen:
+            final[r.key] = r
+    # python one-shot reference: identical floats expected (same code path)
+    ref_regs: dict[str, list[int]] = {}
+    ref_n: dict[str, int] = {}
+    for et, uid in rows:
+        regs = ref_regs.setdefault(et, [0] * 256)
+        b, rho = hll_register(uid)
+        regs[b] = max(regs[b], rho)
+        ref_n[et] = ref_n.get(et, 0) + 1
+    assert set(final) == set(ref_regs)
+    for et, r in final.items():
+        assert r.n_seen == ref_n[et]
+        assert r.hll_estimate == hll_estimate(ref_regs[et]), et
+    # batch Spark query agreement (rounded to 4 decimals there)
+    batch = {
+        r.event_type: r.hll_estimate
+        for r in entry_mod.q_hll_distinct(spark, sf_dir).collect()
+    }
+    for et, r in final.items():
+        assert abs(r.hll_estimate - batch[et]) < 1e-4, (et, r.hll_estimate, batch[et])
