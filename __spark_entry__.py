@@ -1304,6 +1304,64 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws a reproducible uniform u from its id's
+    md5, and the top-30 by ln(u)/weight (monotone with u^(1/w)) form the
+    sample — longer docs (weight = n_chars) proportionally likelier.
+
+    Hash-addressed like the unweighted sampler: stable under
+    repartitioning, retries, engines, and corpus growth.  The plan is a
+    projection + TakeOrdered (partial top-k per partition, no full
+    sort/shuffle of the corpus)."""
+    docs = load_table(spark, sf, "documents")
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+        )
+        + 1
+    ) / 281474976710656.0
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.round(key, 9).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(30)
+    )
+
+
+def q_click_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel: of users who ever clicked, how many purchased
+    within 1 hour AFTER their first click.  One shuffle on user_id with
+    map-side partial min aggregation; the funnel row is a 1-row final
+    reduce.  ts is nanos (BIGINT via nanosAsLong) — 1 h = 3.6e12 ns."""
+    ev = load_table(spark, sf, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    converted = (
+        F.col("fp").isNotNull()
+        & F.col("fc").isNotNull()
+        & (F.col("fp") >= F.col("fc"))
+        & (F.col("fp") - F.col("fc") <= F.lit(3_600_000_000_000))
+    )
+    return pu.agg(
+        F.count("fc").alias("n_clicked"),
+        F.sum(F.when(converted, 1).otherwise(0)).cast("bigint").alias("n_converted_1h"),
+    ).select(
+        "n_clicked",
+        "n_converted_1h",
+        F.round(
+            F.col("n_converted_1h").cast("double")
+            / F.col("n_clicked").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary: global token frequencies, deterministic top-20.
     explode → codegen hash agg with map-side partials; only (token, count)
@@ -1658,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg_value": q_rolling_avg_value,
         "daily_click_purchase": q_daily_click_purchase,
         "hll_distinct": q_hll_distinct,
+        "weighted_sample": q_weighted_sample,
+        "click_purchase_funnel": q_click_purchase_funnel,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -2323,6 +2383,30 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS BETWEEN 2 PRECEDING
                                           AND CURRENT ROW), 6) AS rolling_avg
             FROM events
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars,
+                   round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)
+                            / 281474976710656.0) / n_chars, 9) AS sample_key
+            FROM documents
+            ORDER BY sample_key DESC, doc_id LIMIT 30
+        """,
+        "click_purchase_funnel": """
+            WITH pu AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+                FROM events GROUP BY 1
+            )
+            SELECT count(fc) AS n_clicked,
+                   sum(CASE WHEN fp IS NOT NULL AND fc IS NOT NULL
+                            AND fp >= fc AND fp - fc <= INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END)::BIGINT AS n_converted_1h,
+                   round(sum(CASE WHEN fp IS NOT NULL AND fc IS NOT NULL
+                                  AND fp >= fc AND fp - fc <= INTERVAL 1 HOUR
+                                  THEN 1 ELSE 0 END)::DOUBLE
+                         / count(fc)::DOUBLE, 6) AS conversion_rate
+            FROM pu
         """,
         "hll_distinct": """
             WITH h AS (
