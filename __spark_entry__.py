@@ -1362,6 +1362,40 @@ def q_click_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One spherical k-means Lloyd iteration over the embeddings: assign
+    every vector to its nearest seeded unit-norm centroid (argmax dot —
+    the IVF coarse quantizer, `similarity.ivf_cell`), then recompute the
+    per-cell centroid element-wise.
+
+    The recompute uses the shuffle-friendly posexplode formulation (like
+    `label_centroids`): the agg state is a plain double sum per
+    (cell, dim), never an array buffer, with map-side partials — the
+    shape that iterates to convergence on a 100 TB corpus (each Lloyd
+    round = one projection + one O(cells × dim) shuffle; the updated
+    centroids come back to the driver as cells × dim rows, broadcast
+    into the next round's literals)."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        ivf_cell,
+        seeded_centroids,
+    )
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
+    emb = ensure_parallelism(load_table(spark, sf, "embeddings"))
+    assigned = emb.select(
+        "vec_id", "embedding", ivf_cell("embedding", cents).alias("cell")
+    )
+    return (
+        assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        )
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary: global token frequencies, deterministic top-20.
     explode → codegen hash agg with map-side partials; only (token, count)
@@ -1637,6 +1671,40 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _kmeans_sql() -> str:
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
+    cent_rows = ", ".join(
+        f"({cell + 1}, [{', '.join(repr(x) for x in cvec)}]::DOUBLE[])"
+        for cell, cvec in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cell, cvec) AS (VALUES {cent_rows}),
+        dots AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+                       i -> e.embedding[i]::DOUBLE * c.cvec[i])) AS dot
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        corpus AS (
+            SELECT vec_id, embedding, cell FROM dots
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        ),
+        ex AS (
+            SELECT cell, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM corpus
+        )
+        SELECT cell, dim, round(avg(x::DOUBLE), 6) AS centroid,
+               count(*)::BIGINT AS n_vecs
+        FROM ex GROUP BY 1, 2
+    """
+
+
 def _ann_ivf_sql() -> str:
     from kafka_streams_one_to_many_join_spark.functions.similarity import (
         seeded_centroids,
@@ -1718,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "click_purchase_funnel": q_click_purchase_funnel,
+        "kmeans_step": q_kmeans_step,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -2513,6 +2582,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_lsh": _ann_lsh_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
+        "kmeans_step": _kmeans_sql(),
         "embedding_near_dup": _near_dup_sql(0.35, bucketed=False, subset_mod=4),
         "embedding_near_dup_lsh": _near_dup_sql(0.35, bucketed=True),
         "audio_features": """
