@@ -503,3 +503,73 @@ def test_near_dup_clusters_matches_union_find_on_random_graphs(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_hll_error_bound_across_cardinalities():
+    """Sketch quality property: the deterministic HLL (m=256, expected
+    relative error ~1.04/sqrt(m) ≈ 6.5%) must estimate seeded random
+    cardinalities within 4 sigma at every scale, including the
+    linear-counting small range."""
+    import numpy as np
+
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        hll_estimate,
+        hll_register,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in [40, 200, 1_000, 5_000, 20_000]:
+        vals = rng.integers(0, 2**60, size=n)
+        regs = [0] * 256
+        for v in set(vals.tolist()):
+            b, rho = hll_register(v)
+            regs[b] = max(regs[b], rho)
+        est = hll_estimate(regs)
+        true = len(set(vals.tolist()))
+        assert abs(est - true) / true < 4 * 1.04 / 16, (n, est, true)
+
+
+def test_hll_incremental_merge_equals_oneshot():
+    """Register max-merge is order/split invariant — the property that
+    makes the streaming sketch equal the batch sketch."""
+    import numpy as np
+
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        hll_estimate,
+        hll_register,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 2**50, size=3_000).tolist()
+    oneshot = [0] * 256
+    for v in vals:
+        b, rho = hll_register(v)
+        oneshot[b] = max(oneshot[b], rho)
+    merged = [0] * 256
+    for chunk in (vals[:1000], vals[2000:], vals[1000:2000]):  # out of order
+        for v in chunk:
+            b, rho = hll_register(v)
+            merged[b] = max(merged[b], rho)
+    assert merged == oneshot
+    assert hll_estimate(merged) == hll_estimate(oneshot)
+
+
+def test_weighted_sample_prefers_heavy_items():
+    """A-ES property: with weights 10 vs 1, the top-100 of 1000 items is
+    dominated by heavy items (expected heavy fraction >> population's
+    50%), while remaining fully deterministic (pure function of ids)."""
+    import hashlib
+    import math
+
+    def key(item_id: int, w: float) -> float:
+        h = int(hashlib.md5(str(item_id).encode()).hexdigest()[:12], 16)
+        u = (h + 1) / 281474976710656.0
+        return math.log(u) / w
+
+    items = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(1000)]
+    top = sorted(items, key=lambda t: -key(*t))[:100]
+    heavy = sum(1 for i, w in top if w == 10.0)
+    assert heavy >= 80, heavy
+    # determinism: recomputation yields the identical sample
+    again = sorted(items, key=lambda t: -key(*t))[:100]
+    assert top == again
