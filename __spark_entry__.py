@@ -1362,6 +1362,39 @@ def q_click_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Clickstream path analysis: the top-10 most common within-session
+    event-type sequences (gap-sessionized, 30 min).
+
+    Path assembly is shuffle-frugal: sessionize reuses one (user, ts)
+    window shuffle, then collect_list of (ts, event_id, type) structs per
+    session sorts IN the aggregation buffer (array_sort after collect —
+    no extra exchange) with event_id breaking ts ties so the path string
+    is deterministic.  Session paths are bounded by session length, not
+    stream length — the state bound that makes this safe on unbounded
+    clickstreams."""
+    from kafka_streams_one_to_many_join_spark.operators import sessionize
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = sessionize(ev, key="user_id", ts_col="ts", gap=1_800_000_000_000)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))), s -> s.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
 def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     """One spherical k-means Lloyd iteration over the embeddings: assign
     every vector to its nearest seeded unit-norm centroid (argmax dot —
@@ -1787,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "click_purchase_funnel": q_click_purchase_funnel,
         "kmeans_step": q_kmeans_step,
+        "session_paths": q_session_paths,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -2452,6 +2486,26 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS BETWEEN 2 PRECEDING
                                           AND CURRENT ROW), 6) AS rolling_avg
             FROM events
+        """,
+        "session_paths": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+                FROM flagged
+            ),
+            paths AS (
+                SELECT user_id, session_id,
+                       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+            ORDER BY n_sessions DESC, path LIMIT 10
         """,
         "weighted_sample": """
             SELECT doc_id, source, n_chars,
