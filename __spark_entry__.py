@@ -1362,6 +1362,51 @@ def q_click_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zone_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2-style validity history of the car→zone table: each car's zone
+    assignments as [valid_from_seq, valid_to_seq) intervals, open-ended
+    for the current zone (valid_to NULL).
+
+    The temporal-table twin of `latest_by_key` (reference T1 store,
+    DemoApp.scala:171-185): latest == the valid_to-IS-NULL slice; as-of
+    queries become a range predicate on (valid_from, valid_to).  One
+    window shuffle on car_id, lead() over the same sort — no second
+    exchange."""
+    from pyspark.sql import Window
+
+    cars = _car_events(spark, sf)
+    w = Window.partitionBy("car_id").orderBy("seq")
+    return cars.select(
+        "car_id",
+        "zone_id",
+        F.col("seq").alias("valid_from_seq"),
+        F.lead("seq").over(w).alias("valid_to_seq"),
+    )
+
+
+def q_monthly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series growth: monthly order revenue with month-over-month
+    percent change (lag over the aggregated series).  The pct change is
+    computed FROM the already-rounded monthly totals, so both engines
+    divide identical inputs — no float-order drift.  One shuffle for the
+    monthly agg; the lag window runs on the months-sized frame."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("o_year", "o_month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_year",
+        "o_month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6).alias("pct_change"),
+    )
+
+
 def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     """Clickstream path analysis: the top-10 most common within-session
     event-type sequences (gap-sessionized, 30 min).
@@ -1821,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_purchase_funnel": q_click_purchase_funnel,
         "kmeans_step": q_kmeans_step,
         "session_paths": q_session_paths,
+        "zone_history": q_zone_history,
+        "monthly_revenue_growth": q_monthly_revenue_growth,
         # --- last green in r01 (rotated out of r02/r03 windows) ---
         "quality_score_udf": q_quality_score_udf,
         "string_normalize": q_string_normalize,
@@ -2486,6 +2533,23 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS BETWEEN 2 PRECEDING
                                           AND CURRENT ROW), 6) AS rolling_avg
             FROM events
+        """,
+        "zone_history": f"""
+            SELECT car_id, zone_id, seq AS valid_from_seq,
+                   lead(seq) OVER (PARTITION BY car_id ORDER BY seq)
+                       AS valid_to_seq
+            FROM ({_CAR_EV_SQL})
+        """,
+        "monthly_revenue_growth": """
+            WITH monthly AS (
+                SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT o_year, o_month, revenue,
+                   round((revenue - lag(revenue) OVER w)
+                         / lag(revenue) OVER w * 100.0, 6) AS pct_change
+            FROM monthly WINDOW w AS (ORDER BY o_year, o_month)
         """,
         "session_paths": """
             WITH flagged AS (
