@@ -1828,6 +1828,216 @@ def _ann_ivf_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-4 batch 2: classic relational shapes + corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between (supplier-nation, customer-nation)
+    pairs through the full lineitem→orders→customer / lineitem→supplier
+    snowflake.  Only the constant-size nation table is broadcast (twice,
+    under different aliases); supplier/customer/orders are SF-proportional
+    and shuffle-join under AQE — broadcasting them would OOM at 100 TB.
+    The pair filter (s nation < c nation) runs after the two broadcast
+    hash joins, before the aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(F.col("s_nk") < F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column predicate spanning both
+    join sides (brand × size-range × quantity-range triples OR-ed
+    together).  Catalyst extracts the common `p_brand IN (...)` conjunct
+    from the DNF and pushes it to the part scan; the residual OR runs
+    post-join.  Single-row aggregate — map-side partials, one shuffle of
+    32 partial rows."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    branch = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        joined.where(
+            branch("Brand#1", 15, 1, 20)
+            | branch("Brand#2", 25, 10, 30)
+            | branch("Brand#3", 35, 20, 40)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders having at least one
+    lineitem shipped >60 days after the order date — a correlated EXISTS,
+    expressed as a LEFT SEMI join with a non-equi residual on top of the
+    orderkey equi-condition.  The semi join deduplicates on the build
+    side; only (orderkey, priority) reaches the aggregate."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_brand_price_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-standing windows: percent_rank + cume_dist of each part's
+    retail price within its brand.  Tie-broken by p_partkey so both the
+    rank and the distribution value are deterministic.  One shuffle on
+    p_brand; both window functions share the same sorted frame."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — a classic
+    LLM-corpus quality signal (low entropy = repetitive/templated text).
+    Two hash aggregates, no window: H = ln(total) - Σ c·ln(c) / total
+    folds the per-token probabilities into plain sums, so the state per
+    (doc, token) and per doc is a fixed-width double — map-side partials
+    all the way, safe at any corpus size."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.log(F.sum("cnt"))
+            - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"),
+            6,
+        ).alias("entropy"),
+        F.count(F.lit(1)).alias("n_unique_tokens"),
+    )
+
+
+def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus Zipf-law fit: OLS slope of ln(freq) vs ln(rank) over the
+    top-100 tokens (regr_slope — JVM-side aggregate).  The top-100 is
+    taken with orderBy+limit (distributed TakeOrdered — per-partition
+    top-k then a 100-row merge), NOT a global row_number window, so no
+    single-partition sort of the whole vocabulary ever happens."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+    )
+    ranked = counts.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "tok"))
+        .cast("double")
+        .alias("rank"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("slope"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def q_acctbal_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature standardization: per-nation z-score of customer account
+    balance — the normalize step of a feature pipeline, as one window
+    shuffle on the group key (avg and stddev_pop share the frame).
+    nullif guards the single-customer-nation degenerate case the same
+    way in both engines."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey")
+    mu = F.avg("c_acctbal").over(w)
+    sd = F.stddev_pop("c_acctbal").over(w)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(
+            (F.col("c_acctbal") - mu) / F.nullif(sd, F.lit(0.0)), 4
+        ).alias("zscore"),
+    )
+
+
+def q_order_gap_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival analysis: days between consecutive orders of the
+    same customer (lead over the per-customer date order, tie-broken by
+    orderkey).  One shuffle on o_custkey; per-customer frames are tiny,
+    so the sort is cheap and skew-free."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt_date = F.lead("o_orderdate").over(w)
+    nxt_key = F.lead("o_orderkey").over(w)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            nxt_key.alias("next_orderkey"),
+            F.datediff(nxt_date.cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+        .where(F.col("next_orderkey").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1846,6 +2056,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotate per round.
     return {
         # --- new this round (never driver-checked) ---
+        "volume_shipping": q_volume_shipping,
+        "discounted_revenue": q_discounted_revenue,
+        "late_shipment_priority": q_late_shipment_priority,
+        "brand_price_rank": q_brand_price_rank,
+        "token_entropy": q_token_entropy,
+        "zipf_slope": q_zipf_slope,
+        "acctbal_zscore": q_acctbal_zscore,
+        "order_gap_days": q_order_gap_days,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "stratified_sample": q_stratified_sample,
@@ -2800,4 +3018,88 @@ def oracle_sql() -> dict[str, str]:
     """
     # same semantics, different physical path (Arrow/numpy) — same oracle
     d["ann_topk_pandas"] = d["ann_topk"]
+    d["volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_nationkey < n2.n_nationkey
+        GROUP BY 1, 2
+    """
+    d["discounted_revenue"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 40)
+    """
+    d["late_shipment_priority"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1
+    """
+    d["brand_price_rank"] = """
+        SELECT p_partkey, p_brand,
+               round(percent_rank() OVER w, 6) AS price_pct_rank,
+               round(cume_dist() OVER w, 6) AS price_cume_dist
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """
+    d["token_entropy"] = f"""
+        WITH c AS (
+            SELECT doc_id, tk, count(*)::DOUBLE AS cnt
+            FROM (SELECT doc_id, unnest({tok}) AS tk FROM documents)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)
+                   AS entropy,
+               count(*) AS n_unique_tokens
+        FROM c GROUP BY doc_id
+    """
+    d["zipf_slope"] = f"""
+        WITH counts AS (
+            SELECT tk, count(*)::DOUBLE AS n
+            FROM (SELECT unnest({tok}) AS tk FROM documents)
+            GROUP BY 1
+        ),
+        top AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, tk)::DOUBLE AS rank
+            FROM counts ORDER BY n DESC, tk LIMIT 100
+        )
+        SELECT round(regr_slope(ln(n), ln(rank)), 6) AS slope,
+               count(*) AS n_points
+        FROM top
+    """
+    d["acctbal_zscore"] = """
+        SELECT c_custkey, c_nationkey,
+               round((c_acctbal - avg(c_acctbal) OVER w)
+                     / nullif(stddev_pop(c_acctbal) OVER w, 0.0), 4) AS zscore
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey)
+    """
+    d["order_gap_days"] = """
+        SELECT o_custkey, o_orderkey, next_orderkey,
+               datediff('day', o_orderdate::DATE, next_date::DATE)::BIGINT
+                   AS gap_days
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     lead(o_orderdate) OVER w AS next_date,
+                     lead(o_orderkey) OVER w AS next_orderkey
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey))
+        WHERE next_date IS NOT NULL
+    """
     return d
