@@ -111,6 +111,52 @@ _ZONE_EV_SQL = (
 )
 
 # ---------------------------------------------------------------------------
+# exact-decimal money aggregates
+#
+# round(sum(DOUBLE), 2) is accumulation-order sensitive: Spark's partial-agg
+# merge order and DuckDB's scan order accumulate IEEE rounding differently, so
+# ~5/300 nation-pair groups in volume_shipping flipped at the cent (VERDICT
+# r04).  The money columns are exact 2-decimal values (verified: max
+# |x*100 - round(x*100)| < 1e-8 at sf0.01), so casting the SOURCE columns to
+# DECIMAL and doing the arithmetic in decimal end-to-end is exact integer
+# math — order-independent and bit-identical on both engines.  The final
+# cast back to DOUBLE keeps the published result schema unchanged.  At 100 TB
+# this also removes a nondeterminism class entirely: decimal sums commute.
+# ---------------------------------------------------------------------------
+
+
+def _money(col: str) -> "F.Column":
+    """A 2-decimal money column as an exact decimal (price-sized)."""
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _rate(col: str) -> "F.Column":
+    """A 2-decimal rate column (discount/tax, < 10) as an exact decimal."""
+    return F.col(col).cast("decimal(3,2)")
+
+
+def _disc_price() -> "F.Column":
+    """Exact l_extendedprice * (1 - l_discount): decimal(12,2) × decimal(4,2)
+    → decimal(17,4), no precision loss."""
+    return _money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _rate("l_discount"))
+
+
+def _money_sum(term: "F.Column", alias: str, ndigits: int = 2) -> "F.Column":
+    """Order-independent money sum: exact decimal sum → round → DOUBLE."""
+    return F.round(F.sum(term), ndigits).cast("double").alias(alias)
+
+
+# Oracle-side (DuckDB) twins of the same exact-decimal arithmetic.
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(3,2)))"
+)
+_SQL_REVENUE = f"CAST(round(sum({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue"
+_SQL_TOTALPRICE_SUM = (
+    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)"
+)
+
+# ---------------------------------------------------------------------------
 # queries — reference core (SURVEY.md §2 O1-O9, T1/T2, §3.2)
 # ---------------------------------------------------------------------------
 
@@ -265,19 +311,15 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # l_quantity is integer-valued: its double sum is exact (< 2^53)
+            # and order-independent — no decimal cast needed.
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            _money_sum(_money("l_extendedprice"), "sum_base_price"),
+            _money_sum(_disc_price(), "sum_disc_price"),
+            _money_sum(
+                _disc_price() * (F.lit(1).cast("decimal(3,2)") + _rate("l_tax")),
+                "sum_charge",
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -304,11 +346,7 @@ def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money_sum(_disc_price(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -337,11 +375,7 @@ def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money_sum(_disc_price(), "revenue"))
     )
 
 
@@ -403,11 +437,10 @@ def q_avg_order_by_segment(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window (hourly) aggregation; batch twin of a streaming
-    windowed agg.  events.ts is TIMESTAMP(NANOS) parquet read as BIGINT
-    nanos (session.py nanosAsLong) — truncate to micros like every
-    micros-native engine does."""
+    windowed agg.  events.ts is normalized to TIMESTAMP by load_table
+    (model.py) regardless of the parquet's physical vintage."""
     ev = load_table(spark, sf, "events")
-    hour = F.expr("date_trunc('hour', timestamp_micros(ts div 1000))")
+    hour = F.date_trunc("hour", F.col("ts"))
     return ev.groupBy(hour.alias("hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
@@ -417,13 +450,11 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
 def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessions (30 min) per user — operators.sessionize."""
     ev = load_table(spark, sf, "events").select("user_id", "ts")
-    s = session_stats(ev, key="user_id", ts_col="ts", gap=1_800_000_000_000)
+    s = session_stats(
+        ev, key="user_id", ts_col="ts", gap=F.expr("INTERVAL 30 MINUTES")
+    )
     return s.select(
-        "user_id",
-        "session_id",
-        F.expr("timestamp_micros(session_start div 1000)").alias("session_start"),
-        F.expr("timestamp_micros(session_end div 1000)").alias("session_end"),
-        "n_events",
+        "user_id", "session_id", "session_start", "session_end", "n_events"
     )
 
 
@@ -503,9 +534,14 @@ def q_customer_order_totals(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spent"
-            ),
+            F.round(
+                F.coalesce(
+                    F.sum(_money("o_totalprice")), F.lit(0).cast("decimal(22,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_spent"),
         )
     )
 
@@ -549,14 +585,18 @@ def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     part = load_table(spark, sf, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact-decimal sums (order-independent), then one double division —
+    # both engines divide identical inputs.
+    disc = _disc_price()
+    zero = F.lit(0).cast("decimal(17,4)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
-                / F.sum(disc),
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+                .cast("double")
+                / F.sum(disc).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -1185,7 +1225,7 @@ def q_grouping_sets_segments(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        _money_sum(_money("o_totalprice"), "revenue"),
     )
     return agg.select(
         F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
@@ -1221,7 +1261,7 @@ def q_daily_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
     0.  Both branches are column-pruned scans with the event_type filter
     pushed to parquet; the join shuffles only (day, count) pairs."""
     ev = load_table(spark, sf, "events")
-    day = F.expr("date_trunc('day', timestamp_micros(ts div 1000))")
+    day = F.date_trunc("day", F.col("ts"))
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy(day.alias("day"))
@@ -1336,7 +1376,7 @@ def q_click_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Conversion funnel: of users who ever clicked, how many purchased
     within 1 hour AFTER their first click.  One shuffle on user_id with
     map-side partial min aggregation; the funnel row is a 1-row final
-    reduce.  ts is nanos (BIGINT via nanosAsLong) — 1 h = 3.6e12 ns."""
+    reduce.  ts is TIMESTAMP (load_table-normalized) — interval compare."""
     ev = load_table(spark, sf, "events")
     pu = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
@@ -1346,7 +1386,7 @@ def q_click_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.col("fp").isNotNull()
         & F.col("fc").isNotNull()
         & (F.col("fp") >= F.col("fc"))
-        & (F.col("fp") - F.col("fc") <= F.lit(3_600_000_000_000))
+        & (F.col("fp") - F.col("fc") <= F.expr("INTERVAL 1 HOUR"))
     )
     return pu.agg(
         F.count("fc").alias("n_clicked"),
@@ -1396,7 +1436,7 @@ def q_monthly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
     monthly = orders.groupBy(
         F.year("o_orderdate").alias("o_year"),
         F.month("o_orderdate").alias("o_month"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(_money_sum(_money("o_totalprice"), "revenue"))
     w = Window.orderBy("o_year", "o_month")
     prev = F.lag("revenue").over(w)
     return monthly.select(
@@ -1423,7 +1463,9 @@ def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    sess = sessionize(ev, key="user_id", ts_col="ts", gap=1_800_000_000_000)
+    sess = sessionize(
+        ev, key="user_id", ts_col="ts", gap=F.expr("INTERVAL 30 MINUTES")
+    )
     paths = (
         sess.groupBy("user_id", "session_id")
         .agg(
@@ -1860,9 +1902,7 @@ def q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("s_nk") < F.col("c_nk"))
         .groupBy("supp_nation", "cust_nation")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _money_sum(_disc_price(), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1889,9 +1929,7 @@ def q_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
             | branch("Brand#2", 25, 10, 30)
             | branch("Brand#3", 35, 20, 40)
         ).agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _money_sum(_disc_price(), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -2024,16 +2062,185 @@ def q_order_gap_days(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt_date = F.lead("o_orderdate").over(w)
     nxt_key = F.lead("o_orderkey").over(w)
+    # Filter on the SAME predicate as the oracle (lead of the date, not the
+    # key) so the pair stays equivalent even if a generator ever emits null
+    # dates (ADVICE r04).
     return (
         orders.select(
             "o_custkey",
             "o_orderkey",
             nxt_key.alias("next_orderkey"),
+            nxt_date.alias("next_date"),
             F.datediff(nxt_date.cast("date"), F.col("o_orderdate").cast("date"))
             .cast("bigint")
             .alias("gap_days"),
         )
-        .where(F.col("next_orderkey").isNotNull())
+        .where(F.col("next_date").isNotNull())
+        .drop("next_date")
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed (0 included via LEFT JOIN).  Two hash aggregations, both with
+    map-side partials; the second groups the (customer-count) domain —
+    tiny — so the final shuffle is O(distinct order counts), not O(rows)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum 3-month revenue —
+    revenue ranked with a window max over the aggregated (small) supplier
+    domain, so no second scan of lineitem.  Money sum is exact-decimal
+    (order-independent, see _money_sum)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    from pyspark.sql import Window
+
+    supp = load_table(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(_money_sum(_disc_price(), "total_revenue"))
+    w = Window.orderBy(F.lit(1))  # single-partition max over the tiny agg domain
+    ranked = rev.withColumn("max_rev", F.max("total_revenue").over(w))
+    return (
+        ranked.filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_wealthy_low_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (no phone column; and this generator gives every
+    customer ≥1 order, so the classic no-orders anti-join is vacuous —
+    that shape is covered by `customers_without_orders`): customers with
+    above-average positive account balance but BELOW-average order count,
+    grouped by nation.  Both thresholds are 1-row broadcast crossJoins
+    (scalar plumbing); the per-customer count shuffles only keys.
+
+    Threshold arithmetic is exact-decimal-sum ÷ count as double on both
+    engines — avg(DOUBLE) is accumulation-order sensitive in its low bits,
+    and a customer within 1 ulp of the mean would flip the filter."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_money("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    avg_cnt = orders.agg(F.count(F.lit(1)).alias("n_ord")).crossJoin(
+        cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    ).select(
+        (F.col("n_ord").cast("double") / F.col("n_cust").cast("double")).alias(
+            "avg_cnt"
+        )
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(avg_bal))
+        .crossJoin(F.broadcast(avg_cnt))
+        .filter(
+            (F.col("c_acctbal") > F.col("avg_bal"))
+            & (F.col("n_orders").cast("double") < F.col("avg_cnt"))
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _money_sum(_money("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+def q_linestatus_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column, so keyed by linestatus):
+    CASE-sum pivot counting high- vs low-priority line items.  The join
+    shuffles on orderkey; the aggregate domain is 2 rows."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q_pareto_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue concentration (Pareto): customers whose running cumulative
+    share of total order revenue stays within the top 25%.  Exact-decimal
+    money sums; the cumulative window runs over the aggregated customer
+    domain (not the fact table).  The unpartitioned cumulative window is a
+    deliberate single-partition pass over an already-reduced domain — at
+    100 TB the input to it is |customers|, not |orders|."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_money("o_totalprice")).alias("spent_dec")
+    )
+    w = Window.orderBy(F.col("spent_dec").desc(), F.col("o_custkey"))
+    total = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        F.round(F.col("spent_dec"), 2).cast("double").alias("total_spent"),
+        # exact decimal cumsums, ONE double division at the end — decimal
+        # division scale rules differ across engines, double ÷ double no
+        (
+            F.sum("spent_dec")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / F.sum("spent_dec").over(total).cast("double")
+        ).alias("cum_share_raw"),
+    )
+    return (
+        ranked.filter(F.col("cum_share_raw") <= 0.25)
+        .select(
+            "o_custkey",
+            "total_spent",
+            F.round("cum_share_raw", 6).alias("cum_share"),
+        )
+        .orderBy(F.col("total_spent").desc(), "o_custkey")
+    )
+
+
+def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical diversity (type-token ratio) per document — a standard
+    pre-training quality signal (low TTR = repetitive/boilerplate text).
+    Pure codegen projection: tokenize once, count distinct types in-array
+    (no explode, no shuffle)."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    n_tok = F.size(toks).cast("bigint")
+    n_types = F.size(F.array_distinct(toks)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.round(
+            F.when(n_tok > 0, n_types.cast("double") / n_tok.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("type_token_ratio"),
     )
 
 
@@ -2055,59 +2262,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round rotate to the back, where falling past the cap loses nothing.
     # Rotate per round.
     return {
-        # --- new this round (never driver-checked) ---
+        # --- never-green: red in r04, fixed this round — re-check FIRST ---
         "volume_shipping": q_volume_shipping,
-        "discounted_revenue": q_discounted_revenue,
-        "late_shipment_priority": q_late_shipment_priority,
-        "brand_price_rank": q_brand_price_rank,
-        "token_entropy": q_token_entropy,
-        "zipf_slope": q_zipf_slope,
-        "acctbal_zscore": q_acctbal_zscore,
-        "order_gap_days": q_order_gap_days,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "stratified_sample": q_stratified_sample,
-        "gopher_quality": q_gopher_quality,
-        "contamination_check": q_contamination_check,
-        "source_percentiles": q_source_percentiles,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "bigram_pmi": q_bigram_pmi,
-        "length_quartiles": q_length_quartiles,
-        "doc_repetition": q_doc_repetition,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "posting_lists": q_posting_lists,
-        "grouping_sets_segments": q_grouping_sets_segments,
-        "rolling_avg_value": q_rolling_avg_value,
-        "daily_click_purchase": q_daily_click_purchase,
-        "hll_distinct": q_hll_distinct,
-        "weighted_sample": q_weighted_sample,
-        "click_purchase_funnel": q_click_purchase_funnel,
-        "kmeans_step": q_kmeans_step,
-        "session_paths": q_session_paths,
-        "zone_history": q_zone_history,
-        "monthly_revenue_growth": q_monthly_revenue_growth,
-        # --- last green in r01 (rotated out of r02/r03 windows) ---
-        "quality_score_udf": q_quality_score_udf,
-        "string_normalize": q_string_normalize,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "winnowing": q_winnowing,
-        "text_stats": q_text_stats,
-        "token_count_by_lang": q_token_count_by_lang,
-        "lang_id": q_lang_id,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash_near_dup": q_simhash_near_dup,
-        "ann_topk": q_ann_topk,
-        # --- green in r03 (fresh; order within the block is arbitrary) ---
-        "latest_by_key": q_latest_by_key,
-        "one_to_many_snapshot": q_one_to_many_snapshot,
-        "join_trace": q_join_trace,
-        "car_moves": q_car_moves,
-        "arrive_leave": q_arrive_leave,
-        "zone_occupancy": q_zone_occupancy,
-        "incremental_snapshot": q_incremental_snapshot,
+        # --- new this round (never driver-checked) ---
+        "customer_distribution": q_customer_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "wealthy_low_activity": q_wealthy_low_activity,
+        "linestatus_priority": q_linestatus_priority,
+        "pareto_customers": q_pareto_customers,
+        "token_type_ratio": q_token_type_ratio,
+        # --- newest green row is r03 (outside the r04 window) ---
         "union_merge": q_union_merge,
         "filter_nonnull": q_filter_nonnull,
         "asof_prior_purchase": q_asof_prior_purchase,
@@ -2151,6 +2315,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_stats": q_brand_stats,
         "big_orders": q_big_orders,
         "segment_priority_matrix": q_segment_priority_matrix,
+        # --- green in r04 (freshest; past the cap loses nothing) ---
+        "discounted_revenue": q_discounted_revenue,
+        "late_shipment_priority": q_late_shipment_priority,
+        "brand_price_rank": q_brand_price_rank,
+        "token_entropy": q_token_entropy,
+        "zipf_slope": q_zipf_slope,
+        "acctbal_zscore": q_acctbal_zscore,
+        "order_gap_days": q_order_gap_days,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "stratified_sample": q_stratified_sample,
+        "gopher_quality": q_gopher_quality,
+        "contamination_check": q_contamination_check,
+        "source_percentiles": q_source_percentiles,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "bigram_pmi": q_bigram_pmi,
+        "length_quartiles": q_length_quartiles,
+        "doc_repetition": q_doc_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "posting_lists": q_posting_lists,
+        "grouping_sets_segments": q_grouping_sets_segments,
+        "rolling_avg_value": q_rolling_avg_value,
+        "daily_click_purchase": q_daily_click_purchase,
+        "hll_distinct": q_hll_distinct,
+        "weighted_sample": q_weighted_sample,
+        "click_purchase_funnel": q_click_purchase_funnel,
+        "kmeans_step": q_kmeans_step,
+        "session_paths": q_session_paths,
+        "zone_history": q_zone_history,
+        "monthly_revenue_growth": q_monthly_revenue_growth,
+        "quality_score_udf": q_quality_score_udf,
+        "string_normalize": q_string_normalize,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "winnowing": q_winnowing,
+        "text_stats": q_text_stats,
+        "token_count_by_lang": q_token_count_by_lang,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_topk": q_ann_topk,
+        "latest_by_key": q_latest_by_key,
+        "one_to_many_snapshot": q_one_to_many_snapshot,
+        "join_trace": q_join_trace,
+        "car_moves": q_car_moves,
+        "arrive_leave": q_arrive_leave,
+        "zone_occupancy": q_zone_occupancy,
+        "incremental_snapshot": q_incremental_snapshot,
     }
 
 
@@ -2261,12 +2475,16 @@ def oracle_sql() -> dict[str, str]:
         "fanout_per_customer": """
             SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
         """,
-        "pricing_summary": """
+        "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum({_SQL_DISC_PRICE}), 2) AS DOUBLE)
+                       AS sum_disc_price,
+                   CAST(round(sum({_SQL_DISC_PRICE}
+                                  * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2)
+                        AS DOUBLE) AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_extendedprice), 4) AS avg_price,
                    round(avg(l_discount), 4) AS avg_disc,
@@ -2274,18 +2492,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "top_revenue_orders": """
-            SELECT o_orderkey, o_orderdate,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        "top_revenue_orders": f"""
+            SELECT o_orderkey, o_orderdate, {_SQL_REVENUE}
             FROM customer JOIN orders ON c_custkey = o_custkey
                           JOIN lineitem ON l_orderkey = o_orderkey
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderkey LIMIT 10
         """,
-        "nation_revenue": """
-            SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        "nation_revenue": f"""
+            SELECT n_name, {_SQL_REVENUE}
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                           JOIN customer ON o_custkey = c_custkey
                           JOIN supplier ON l_suppkey = s_suppkey
@@ -2387,7 +2603,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customer_order_totals": """
             SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-                   round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+                   CAST(round(coalesce(
+                        sum(CAST(o_totalprice AS DECIMAL(12,2))), 0), 2)
+                        AS DOUBLE) AS total_spent
             FROM customer LEFT JOIN orders ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
         """,
@@ -2413,12 +2631,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(o_totalprice), 4) AS avg_price
             FROM orders GROUP BY 1, 2
         """,
-        "promo_revenue": """
+        "promo_revenue": f"""
             SELECT round(
-                100.0 * sum(CASE WHEN p_type = 'PROMO'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END)
-                / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+                100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN {_SQL_DISC_PRICE}
+                                 ELSE 0 END) AS DOUBLE)
+                / CAST(sum({_SQL_DISC_PRICE}) AS DOUBLE), 4) AS promo_revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-03-01'
               AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -2735,11 +2953,11 @@ def oracle_sql() -> dict[str, str]:
             FROM wd WHERE rk <= 20
             GROUP BY w
         """,
-        "grouping_sets_segments": """
+        "grouping_sets_segments": f"""
             SELECT coalesce(c_mktsegment, 'ALL') AS segment,
                    coalesce(o_orderpriority, 'ALL') AS priority,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS revenue
+                   {_SQL_TOTALPRICE_SUM} AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
                                     (c_mktsegment), ())
@@ -2758,10 +2976,10 @@ def oracle_sql() -> dict[str, str]:
                        AS valid_to_seq
             FROM ({_CAR_EV_SQL})
         """,
-        "monthly_revenue_growth": """
+        "monthly_revenue_growth": f"""
             WITH monthly AS (
                 SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
-                       round(sum(o_totalprice), 2) AS revenue
+                       {_SQL_TOTALPRICE_SUM} AS revenue
                 FROM orders GROUP BY 1, 2
             )
             SELECT o_year, o_month, revenue,
@@ -3018,9 +3236,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # same semantics, different physical path (Arrow/numpy) — same oracle
     d["ann_topk_pandas"] = d["ann_topk"]
-    d["volume_shipping"] = """
+    d["volume_shipping"] = f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {_SQL_REVENUE},
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -3031,8 +3249,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE n1.n_nationkey < n2.n_nationkey
         GROUP BY 1, 2
     """
-    d["discounted_revenue"] = """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    d["discounted_revenue"] = f"""
+        SELECT {_SQL_REVENUE},
                count(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -3101,5 +3319,86 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY o_custkey
                            ORDER BY o_orderdate, o_orderkey))
         WHERE next_date IS NOT NULL
+    """
+    d["customer_distribution"] = """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+    d["top_supplier_revenue"] = f"""
+        WITH rev AS (
+            SELECT l_suppkey, {_SQL_REVENUE.replace("AS revenue", "AS total_revenue")}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """
+    d["wealthy_low_activity"] = """
+        WITH bal AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / count(*)::DOUBLE AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        ), act AS (
+            SELECT (SELECT count(*) FROM orders)::DOUBLE
+                   / (SELECT count(*) FROM customer)::DOUBLE AS avg_cnt
+        ), per_cust AS (
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   count(o_custkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_nationkey, c_acctbal
+        )
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS totacctbal
+        FROM per_cust, bal, act
+        WHERE c_acctbal > avg_bal AND n_orders::DOUBLE < avg_cnt
+        GROUP BY c_nationkey
+    """
+    d["linestatus_priority"] = """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_linestatus
+    """
+    d["pareto_customers"] = """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spent_dec
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT o_custkey,
+                   CAST(round(spent_dec, 2) AS DOUBLE) AS total_spent,
+                   CAST(sum(spent_dec) OVER (
+                            ORDER BY spent_dec DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE)
+                   / CAST(sum(spent_dec) OVER () AS DOUBLE) AS cum_share_raw
+            FROM per_cust
+        )
+        SELECT o_custkey, total_spent,
+               round(cum_share_raw, 6) AS cum_share
+        FROM ranked WHERE cum_share_raw <= 0.25
+        ORDER BY total_spent DESC, o_custkey
+    """
+    d["token_type_ratio"] = f"""
+        SELECT doc_id,
+               len({tok})::BIGINT AS n_tokens,
+               len(list_distinct({tok}))::BIGINT AS n_types,
+               round(CASE WHEN len({tok}) > 0
+                          THEN len(list_distinct({tok}))::DOUBLE
+                               / len({tok})::DOUBLE
+                          ELSE 0.0 END, 6) AS type_token_ratio
+        FROM documents
     """
     return d

@@ -133,20 +133,23 @@ def brute_force_topk_pandas(
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             sims = (qmat @ mat.T) / np.outer(qnorm, np.linalg.norm(mat, axis=1))
-            out = []
+            # mask self BEFORE the partial top-k: otherwise the self match
+            # occupies a slot and the partition's k-th real neighbor is
+            # silently dropped.  Fully vectorized across queries — one
+            # argpartition over the whole (Q, N_batch) matrix and ONE
+            # output frame per Arrow batch (no per-query Python loop).
             kk = min(k, sims.shape[1])
-            for i, qid in enumerate(qids):
-                # mask self BEFORE the partial top-k: otherwise the self
-                # match occupies a slot and the partition's k-th real
-                # neighbor is silently dropped
-                row = np.where(ids == qid, -np.inf, sims[i])
-                idx = np.argpartition(-row, kk - 1)[:kk]
-                out.append(
-                    pd.DataFrame(
-                        {"query_id": qid, id_col: ids[idx], "sim": np.round(sims[i][idx], 6)}
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+            masked = np.where(qids[:, None] == ids[None, :], -np.inf, sims)
+            idx = np.argpartition(-masked, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qids)), kk)
+            cols = idx.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    id_col: ids[cols],
+                    "sim": np.round(sims[rows, cols], 6),
+                }
+            )
 
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 

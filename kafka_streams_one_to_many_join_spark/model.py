@@ -96,14 +96,23 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    Session-agnostic: ``events.parquet`` carries INT64 TIMESTAMP(NANOS),
-    which a vanilla SparkSession rejects with PARQUET_TYPE_ILLEGAL.  The
-    legacy conf is runtime-settable, so set it here rather than relying on
-    the caller having built the session via :func:`session.get_session` —
-    any SparkSession (the driver's, a notebook's) can then read every table.
+    Session-agnostic, and normalizes ``events.ts`` across testdata vintages:
+    older generators wrote INT64 TIMESTAMP(NANOS) (readable only as BIGINT
+    nanos via the runtime-settable ``nanosAsLong`` legacy conf — set here so
+    any SparkSession, the driver's included, can read every table), newer
+    ones write TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ).  Every query
+    downstream sees ONE type — TIMESTAMP — matching the oracle engine's
+    native reading of the same parquet.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and "ts" in df.columns:
+        t = dict(df.dtypes)["ts"]
+        if t == "bigint":  # legacy INT64 nanos vintage
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

@@ -15,7 +15,7 @@ cumulative-sum trick is embarrassingly parallel per key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -23,17 +23,22 @@ def sessionize(
     df: DataFrame,
     key: str,
     ts_col: str,
-    gap: int,
+    gap,
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap to the
-    previous event of the same key exceeds ``gap`` (same units as
-    ``ts_col``, which must be numeric/orderable).
+    previous event of the same key exceeds ``gap``.
+
+    ``gap`` is an int (same units as a numeric ``ts_col``) or a Column —
+    pass an interval literal (``F.expr("INTERVAL 30 MINUTES")``) when
+    ``ts_col`` is a TIMESTAMP, since timestamp subtraction yields a
+    day-time interval.
 
     Output: input columns + ``session_id`` (1-based per key, in ts order).
     """
+    gap_lit = gap if isinstance(gap, Column) else F.lit(gap)
     w = Window.partitionBy(key).orderBy(ts_col)
     is_new = F.when(
-        F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap), 1
+        F.col(ts_col) - F.lag(ts_col).over(w) > gap_lit, 1
     ).otherwise(0)
     # first event of a key has lag NULL → comparison NULL → otherwise(0);
     # the running sum then starts at 0, so add 1 for 1-based ids

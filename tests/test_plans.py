@@ -118,7 +118,7 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     from kafka_streams_one_to_many_join_spark.operators import sessionize
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    df = sessionize(ev, "user_id", "ts", gap=1_800_000_000_000)
+    df = sessionize(ev, "user_id", "ts", gap=F.expr("INTERVAL 30 MINUTES"))
     assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
 
 

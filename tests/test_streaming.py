@@ -332,20 +332,18 @@ def test_streaming_latest_by_key_changelog(spark, tmp_path):
     assert final[1] == (1, 3, 102, 3.0) and final[2] == (2, 1, 100, 9.0)
 
 
-def test_tws_gate_fails_fast_without_protobuf(spark):
-    """Where TWS is unavailable (no protobuf in the container — the TWS
+def test_tws_gate_fails_fast_without_protobuf(spark, monkeypatch):
+    """Where TWS is unavailable (no protobuf on the host — the TWS
     state-server protocol needs it), the operator must fail fast with
     NotImplementedError at plan construction, not crash workers at runtime.
-    This gate contract is checked unconditionally; the end-to-end
-    equivalence check lives in test_tws_join_matches_edge_cases, which
-    *skips* where TWS is absent so the coverage gap stays visible."""
-    from kafka_streams_one_to_many_join_spark.streaming import (
-        symmetric_one_to_many_join_tws,
-    )
-    from kafka_streams_one_to_many_join_spark.streaming.join_tws import HAS_TWS
+    Checked unconditionally by simulating the protobuf-less host
+    (monkeypatched HAS_TWS) — the end-to-end path is covered by
+    test_tws_join_matches_edge_cases on hosts where compat.ensure_protobuf
+    resolves a runtime."""
+    from kafka_streams_one_to_many_join_spark.streaming import join_tws
 
-    if HAS_TWS:
-        pytest.skip("TWS available: gate inactive; integration test covers it")
+    monkeypatch.setattr(join_tws, "HAS_TWS", False)
+    symmetric_one_to_many_join_tws = join_tws.symmetric_one_to_many_join_tws
     tagged = tag_car_moves(
         car_move_detection(
             read_stream(spark, "rate").selectExpr(
