@@ -321,8 +321,20 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
                 "sum_charge",
             ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # money averages: exact decimal sum → double ÷ count, the same
+            # order-independent form as wealthy_low_activity — avg(DOUBLE)
+            # differs in its low bits between engines and a value within
+            # 1 ulp of a .00005 boundary would flip the 4-digit rounding
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_rate("l_discount")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -2486,8 +2498,10 @@ def oracle_sql() -> dict[str, str]:
                                   * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2)
                         AS DOUBLE) AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                              AS DOUBLE) / count(*)::DOUBLE, 4) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(3,2)))
+                              AS DOUBLE) / count(*)::DOUBLE, 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus

@@ -46,17 +46,46 @@ _WELL_KNOWN_PROTOBUF_DIRS = (
 
 
 def _importable(path: str) -> bool:
-    """True if ``google.protobuf.descriptor`` imports with ``path`` added."""
+    """True if ``google.protobuf.descriptor`` imports with ``path`` added.
+
+    Catches *any* exception, not just ImportError: an incompatible vendored
+    copy (e.g. a Python-2-era runtime) can raise SyntaxError / AttributeError
+    at import time, and a probe failure must degrade to "not available", not
+    crash package import.  On failure, only the modules the probe itself
+    half-imported are evicted — pre-existing ``google.*`` packages (e.g.
+    ``google.auth``) keep their identity.
+    """
+    before = set(sys.modules)
     sys.path.append(path)
     try:
         import google.protobuf.descriptor  # noqa: F401
 
         return True
-    except ImportError:
-        sys.path.remove(path)
-        # a partial `google` namespace package may be cached half-imported
-        for mod in [m for m in sys.modules if m.startswith("google")]:
+    except Exception:
+        if path in sys.path:
+            sys.path.remove(path)
+        for mod in [
+            m
+            for m in sys.modules
+            if m.startswith("google") and m not in before
+        ]:
             del sys.modules[mod]
+        return False
+
+
+def _gencode_loadable() -> bool:
+    """The just-imported runtime can actually load pyspark's generated
+    protobuf code: ``google.protobuf.internal.builder`` (the entry point
+    every modern ``*_pb2.py`` calls) must exist.  A runtime old enough to
+    lack it would fail later inside the streaming worker regardless of any
+    version-check toggle, so it is rejected here instead of "enabled" by
+    blindly disabling the version check.
+    """
+    try:
+        import google.protobuf.internal.builder  # noqa: F401
+
+        return True
+    except Exception:
         return False
 
 
@@ -76,20 +105,40 @@ def ensure_protobuf() -> bool:
     explicit = os.environ.get("SPARK_GRAFT_PROTOBUF_DIR")
     candidates = ([explicit] if explicit else []) + list(_WELL_KNOWN_PROTOBUF_DIRS)
     for cand in candidates:
-        if not (cand and os.path.isdir(os.path.join(cand, "google", "protobuf"))):
-            continue
-        if not _importable(cand):
-            continue
-        # Workers see the runtime through PYTHONPATH (JVM env snapshot).
-        prev = os.environ.get("PYTHONPATH", "")
-        if cand not in prev.split(os.pathsep):
-            os.environ["PYTHONPATH"] = (
-                f"{prev}{os.pathsep}{cand}" if prev else cand
+        try:
+            if not (
+                cand and os.path.isdir(os.path.join(cand, "google", "protobuf"))
+            ):
+                continue
+            if not _importable(cand):
+                continue
+            if not _gencode_loadable():
+                # importable but too old to execute pyspark's gencode — back
+                # out exactly what the probe added and keep looking
+                if cand in sys.path:
+                    sys.path.remove(cand)
+                for mod in [m for m in sys.modules if m.startswith("google")]:
+                    if getattr(
+                        sys.modules[mod], "__file__", ""
+                    ) and str(sys.modules[mod].__file__).startswith(cand):
+                        del sys.modules[mod]
+                continue
+            # Workers see the runtime through PYTHONPATH (JVM env snapshot).
+            prev = os.environ.get("PYTHONPATH", "")
+            if cand not in prev.split(os.pathsep):
+                os.environ["PYTHONPATH"] = (
+                    f"{prev}{os.pathsep}{cand}" if prev else cand
+                )
+            # Official protobuf knob, set only for a runtime that passed the
+            # gencode-capability check above; remaining (minor-version) skew
+            # is verified behaviorally by the TWS equivalence test (module
+            # docstring).
+            os.environ.setdefault(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
             )
-        # Official protobuf knob; tolerated skew is verified behaviorally
-        # by the TWS equivalence test (module docstring).
-        os.environ.setdefault(
-            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
-        )
-        return True
+            return True
+        except Exception:
+            # any discovery failure degrades to "no runtime found" for this
+            # candidate — never crash importing the streaming package
+            continue
     return False

@@ -23,7 +23,7 @@ def sessionize(
     df: DataFrame,
     key: str,
     ts_col: str,
-    gap,
+    gap: int | Column,
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap to the
     previous event of the same key exceeds ``gap``.
@@ -52,10 +52,11 @@ def session_stats(
     df: DataFrame,
     key: str,
     ts_col: str,
-    gap: int,
+    gap: int | Column,
 ) -> DataFrame:
     """Per-session aggregate view: (key, session_id, session_start,
-    session_end, n_events)."""
+    session_end, n_events).  ``gap`` as in :func:`sessionize` — an int for
+    numeric ``ts_col``, or an interval-literal Column for TIMESTAMPs."""
     return (
         sessionize(df, key, ts_col, gap)
         .groupBy(key, "session_id")
