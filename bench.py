@@ -4,14 +4,18 @@
 JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is executed $SPARK_GRAFT_REPEATS times (default 3) after a
-warm-up action that triggers JVM/codegen warm paths; the reported per-query
-number is the MEDIAN wall clock (plan + execute + noop-sink materialize),
-so single-run scheduler/GC outliers don't read as regressions (two phantom
->1.5x "regressions" in round 2 were exactly that).  The headline metric is
-the sum of medians.  The JSON line also carries `repeats` and, when a prior
-round's BENCH_r*.json is present, per-query ratios vs it for any query that
-moved more than 1.5x either way (`deltas_vs_prior`).
+Each query is executed $SPARK_GRAFT_REPEATS times (default 3) after
+$SPARK_GRAFT_WARMUPS discarded executions of the SAME query (default 1) and
+a System.gc() — per-query codegen/compile cost and GC debt from earlier
+queries were the dominant noise source two rounds running (ann_topk_pandas
+r04, bigram_pmi r05: both 2x+ suite-order artifacts, both reproducibly fast
+isolated).  The reported per-query number is the MEDIAN wall clock (plan +
+execute + noop-sink materialize) of the timed runs.  The headline metric is
+the sum of medians.  The JSON line also carries `repeats`/`warmups`, an
+`unstable_spread` map (queries whose timed samples still spread more than
+2x — residual variance the medians hide), and, when a prior round's
+BENCH_r*.json is present, per-query ratios vs it for any query that moved
+more than 1.5x either way (`deltas_vs_prior`).
 """
 
 from __future__ import annotations
@@ -131,9 +135,20 @@ def main() -> None:
     ).mode("overwrite").save()
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    # Per-query warm-up discards + a GC between queries: two rounds running,
+    # the noisiest headline entries (ann_topk_pandas r04 19.2s→1.75s,
+    # bigram_pmi r05 2.04s→1.06s isolated) were suite-order artifacts — the
+    # first timed run was billed for codegen/compile of THIS query plus GC
+    # debt from whatever ran before it.
+    warmups = max(0, int(os.environ.get("SPARK_GRAFT_WARMUPS", "1")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
+        # level the JVM heap so earlier queries' garbage isn't billed here
+        spark.sparkContext._jvm.System.gc()
+        for _ in range(warmups):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -144,6 +159,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # surface measurement instability: max/min across the timed samples,
+        # only for entries where the spread could move the headline
+        if min(samples) > 0 and max(samples) / min(samples) > 2 and max(samples) > 0.5:
+            spread[name] = round(max(samples) / min(samples), 2)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -154,8 +173,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
+        "warmups": warmups,
         "stat": "median",
     }
+    if spread:
+        out["unstable_spread"] = spread
     prior = _prior_round_timings()
     if prior and prior[2] == out["sf"]:
         fname, prev, _ = prior
