@@ -54,6 +54,7 @@ from kafka_streams_one_to_many_join_spark.functions.text import (
     text_stats,
     winnowing_fingerprints,
 )
+from kafka_streams_one_to_many_join_spark.functions.packing import pack_stats
 from kafka_streams_one_to_many_join_spark.model import load_table
 from kafka_streams_one_to_many_join_spark.operators import (
     apply_upserts,
@@ -2256,6 +2257,19 @@ def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing (concat-and-chunk): documents in
+    doc_id order are concatenated into one token stream and split into
+    512-token training sequences; each doc joins the sequence where its
+    first token lands.  Output is the per-sequence summary — packing is
+    order-preserving, so (first_doc, last_doc, n_docs, seq_tokens) pins
+    the full doc→sequence assignment.  Physical form is a distributed
+    prefix sum (functions/packing.py): ONE full-width shuffle of
+    (doc_id, n_tokens) pairs; the text column is never shuffled."""
+    docs = load_table(spark, sf, "documents")
+    return pack_stats(docs, budget=512, bucket_size=128)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2277,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never-green: red in r04, fixed this round — re-check FIRST ---
         "volume_shipping": q_volume_shipping,
         # --- new this round (never driver-checked) ---
+        "sequence_pack": q_sequence_pack,
         "customer_distribution": q_customer_distribution,
         "top_supplier_revenue": q_top_supplier_revenue,
         "wealthy_low_activity": q_wealthy_low_activity,
@@ -3414,5 +3429,22 @@ def oracle_sql() -> dict[str, str]:
                                / len({tok})::DOUBLE
                           ELSE 0.0 END, 6) AS type_token_ratio
         FROM documents
+    """
+    d["sequence_pack"] = f"""
+        WITH t AS (
+            SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start_offset
+            FROM t
+        )
+        SELECT (start_offset // 512 + 1)::BIGINT AS seq_id,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS seq_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM c GROUP BY seq_id
     """
     return d

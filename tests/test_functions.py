@@ -573,3 +573,55 @@ def test_weighted_sample_prefers_heavy_items():
     # determinism: recomputation yields the identical sample
     again = sorted(items, key=lambda t: -key(*t))[:100]
     assert top == again
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Concat-and-chunk semantics on a hand-checkable stream: budget 10,
+    token counts [4,5,3,12,2,9] → starts [0,4,9,12,24,26] → seqs
+    [1,1,1,2,3,3].  Doc 3 (12 tokens, longer than the budget) keeps its
+    start chunk and pushes doc 4 to seq 3.  bucket_size=2 forces the
+    multi-bucket distributed-prefix-sum path."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate([4, 5, 3, 12, 2, 9])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r.doc_id, r.n_tokens, r.start_offset, r.seq_id)
+        for r in pack_sequences(df, budget=10, bucket_size=2)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert out == [
+        (0, 4, 0, 1), (1, 5, 4, 1), (2, 3, 9, 1),
+        (3, 12, 12, 2), (4, 2, 24, 3), (5, 9, 26, 3),
+    ]
+    stats = {
+        r.seq_id: (r.n_docs, r.seq_tokens, r.first_doc, r.last_doc)
+        for r in pack_stats(df, budget=10, bucket_size=2).collect()
+    }
+    assert stats == {1: (3, 12, 0, 2), 2: (1, 12, 3, 3), 3: (2, 11, 4, 5)}
+
+
+def test_pack_sequences_bucket_size_invariance(spark):
+    """The packing is a pure function of (order, token counts, budget) —
+    the bucket fan-out is physical only, so any bucket_size must produce
+    the identical assignment."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i * 7 % 97, "w " * (i % 13)) for i in range(97)]  # gappy ids
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = sorted(
+        (r.doc_id, r.seq_id)
+        for r in pack_sequences(df, budget=20, bucket_size=10_000).collect()
+    )
+    for bs in (1, 7, 16):
+        got = sorted(
+            (r.doc_id, r.seq_id)
+            for r in pack_sequences(df, budget=20, bucket_size=bs).collect()
+        )
+        assert got == ref, bs

@@ -317,3 +317,25 @@ def test_grouping_sets_one_expand_broadcast_dim(spark, sf_dir):
     assert plan.count("Expand") >= 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_pack_single_full_width_shuffle(spark, sf_dir):
+    """Distributed prefix sum: the doc-level data crosses the network
+    exactly twice — once hash(bucket) for the within-bucket cumsum window,
+    once (map-side pre-aggregated) for the per-sequence rollup.  The
+    bucket-offset branch runs on the |buckets|-row aggregate (partial agg
+    before its exchange + a single-partition window over the tiny domain),
+    and the offsets come back via broadcast, not shuffle.  The text column
+    is tokenized once (checkpointed compact projection) and never shuffled."""
+    df = entry_mod.q_sequence_pack(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # offsets side joins back as a broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    # window + tiny-agg + tiny single-partition window + final rollup
+    assert plans.count_shuffles(df) <= 4, plan
+    # the bucket-totals branch pre-aggregates before its exchange
+    assert plan.count("HashAggregate") >= 3, plan
+    # doc-level full-width exchanges: window's hash(_bucket) and the final
+    # per-seq rollup only — the formatted tree shows exactly one exchange
+    # whose input is NOT an aggregate or a tiny window (checked by shuffle
+    # budget above; the hard cap is what survives refactors)
