@@ -2257,6 +2257,61 @@ def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-bin deterministic quantile sketch per source — complements
+    the EXACT ``source_percentiles`` the way ``hll_distinct`` complements
+    count(distinct).  64 bins of width 16 over n_chars; bin counts are
+    exact-integer merges (commutative — the same histogram the streaming
+    twin ``streaming_quantile_sketch`` accumulates per key), and the
+    quantile read-off is the first bin whose cumulative count reaches
+    ceil(q*n) with linear interpolation inside it — integer arithmetic
+    until one final double divide, so the result hash-matches any engine
+    implementing the recipe.
+
+    Scale: the shuffle is O(sources × 64) histogram rows with map-side
+    partial counts — sketch-sized, not data-sized; `percentile()` by
+    contrast buffers every value per group."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    hist = (
+        docs.select(
+            "source",
+            F.expr("least(n_chars DIV 16, 63)").cast("int").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.partitionBy("source").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("source")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+
+    def est(q: float) -> "F.Column":
+        target = F.ceil(F.lit(q) * F.col("n"))
+        cum_before = F.col("cum") - F.col("cnt")
+        hit = (cum_before < target) & (target <= F.col("cum"))
+        return F.max(
+            F.when(
+                hit,
+                F.col("bin") * F.lit(16.0)
+                + F.lit(16.0)
+                * (target - cum_before).cast("double")
+                / F.col("cnt").cast("double"),
+            )
+        )
+
+    return cum.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.round(est(0.25), 6).alias("p25_sketch"),
+        F.round(est(0.5), 6).alias("p50_sketch"),
+        F.round(est(0.9), 6).alias("p90_sketch"),
+    )
+
+
 def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget sequence packing (concat-and-chunk): documents in
     doc_id order are concatenated into one token stream and split into
@@ -2292,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         # --- new this round (never driver-checked) ---
         "sequence_pack": q_sequence_pack,
+        "quantile_sketch": q_quantile_sketch,
         "customer_distribution": q_customer_distribution,
         "top_supplier_revenue": q_top_supplier_revenue,
         "wealthy_low_activity": q_wealthy_low_activity,
@@ -3429,6 +3485,37 @@ def oracle_sql() -> dict[str, str]:
                                / len({tok})::DOUBLE
                           ELSE 0.0 END, 6) AS type_token_ratio
         FROM documents
+    """
+    d["quantile_sketch"] = """
+        WITH h AS (
+            SELECT source, least(n_chars // 16, 63)::INT AS bin,
+                   count(*)::BIGINT AS cnt
+            FROM documents GROUP BY source, bin
+        ), c AS (
+            SELECT source, bin, cnt,
+                   (sum(cnt) OVER (PARTITION BY source ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   )::BIGINT AS cum,
+                   (sum(cnt) OVER (PARTITION BY source))::BIGINT AS n
+            FROM h
+        )
+        SELECT source, max(n)::BIGINT AS n_docs,
+               round(max(CASE WHEN cum - cnt < ceil(0.25 * n)
+                              AND ceil(0.25 * n) <= cum
+                         THEN bin * 16.0 + 16.0 * (ceil(0.25 * n)
+                              - (cum - cnt))::DOUBLE / cnt::DOUBLE END), 6)
+                   AS p25_sketch,
+               round(max(CASE WHEN cum - cnt < ceil(0.5 * n)
+                              AND ceil(0.5 * n) <= cum
+                         THEN bin * 16.0 + 16.0 * (ceil(0.5 * n)
+                              - (cum - cnt))::DOUBLE / cnt::DOUBLE END), 6)
+                   AS p50_sketch,
+               round(max(CASE WHEN cum - cnt < ceil(0.9 * n)
+                              AND ceil(0.9 * n) <= cum
+                         THEN bin * 16.0 + 16.0 * (ceil(0.9 * n)
+                              - (cum - cnt))::DOUBLE / cnt::DOUBLE END), 6)
+                   AS p90_sketch
+        FROM c GROUP BY source
     """
     d["sequence_pack"] = f"""
         WITH t AS (

@@ -27,6 +27,7 @@ from kafka_streams_one_to_many_join_spark.streaming.stream_join import (
 )
 from kafka_streams_one_to_many_join_spark.streaming.sketch import (
     streaming_hll_distinct,
+    streaming_quantile_sketch,
 )
 from kafka_streams_one_to_many_join_spark.streaming.windows import (
     session_agg,
@@ -37,6 +38,7 @@ from kafka_streams_one_to_many_join_spark.streaming.windows import (
 __all__ = [
     "car_move_detection",
     "streaming_hll_distinct",
+    "streaming_quantile_sketch",
     "session_agg",
     "sliding_agg",
     "stream_static_join",

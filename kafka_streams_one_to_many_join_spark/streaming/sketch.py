@@ -124,3 +124,112 @@ def streaming_hll_distinct(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin quantile sketch — the stream twin of the batch query
+# ``__spark_entry__.q_quantile_sketch`` (which complements the EXACT
+# ``source_percentiles`` the way ``hll_distinct`` complements
+# count(distinct)).
+#
+# The sketch is a histogram of _Q_BINS fixed-width bins over [0, _Q_BINS *
+# _Q_WIDTH); values past the top clamp into the last bin.  Merging is
+# elementwise integer addition — commutative and associative, so the state
+# after ANY micro-batch partitioning equals the one-shot histogram, and the
+# quantile read-off (first bin whose cumulative count reaches ceil(q*n),
+# linear interpolation inside it) is a pure function of the histogram.
+# Every step is exact integer arithmetic until one final double divide, so
+# batch Spark, streaming Python, and the DuckDB oracle agree bit-for-bit.
+#
+# Scale: state is _Q_BINS ints per key regardless of stream volume; the
+# batch twin's shuffle is O(keys x bins), the sketch property.
+# ---------------------------------------------------------------------------
+
+_Q_BINS = 64
+_Q_WIDTH = 16
+
+_Q_OUTPUT = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("n_seen", LongType(), False),
+        StructField("p25_sketch", DoubleType(), True),
+        StructField("p50_sketch", DoubleType(), True),
+        StructField("p90_sketch", DoubleType(), True),
+    ]
+)
+
+_Q_STATE = StructType(
+    [
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def quantile_bin(value: float) -> int:
+    """Bin index for one value — the portable recipe shared with the batch
+    Spark expression (``v DIV width`` clamped) and the oracle SQL."""
+    return min(int(value) // _Q_WIDTH, _Q_BINS - 1)
+
+
+def quantile_estimate(counts: list[int], q: float) -> float | None:
+    """Histogram quantile read-off: first bin whose cumulative count
+    reaches ceil(q*n), linearly interpolated within the bin.  ceil(q*n)
+    is the same IEEE double product both engines compute — determinism
+    relies on doing it identically, not on q*n being exact."""
+    n = sum(counts)
+    if n == 0:
+        return None
+    target = math.ceil(q * n)
+    cum = 0
+    for b, c in enumerate(counts):
+        if c and cum < target <= cum + c:
+            return b * float(_Q_WIDTH) + _Q_WIDTH * (target - cum) / float(c)
+        cum += c
+    return float(_Q_BINS * _Q_WIDTH)
+
+
+def _quantile_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    counts, n = (
+        (list(state.get[0]), int(state.get[1]))
+        if state.exists
+        else ([0] * _Q_BINS, 0)
+    )
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            counts[quantile_bin(v)] += 1
+            n += 1
+    state.update((counts, n))
+    yield pd.DataFrame(
+        [
+            {
+                "key": key[0],
+                "n_seen": n,
+                "p25_sketch": quantile_estimate(counts, 0.25),
+                "p50_sketch": quantile_estimate(counts, 0.5),
+                "p90_sketch": quantile_estimate(counts, 0.9),
+            }
+        ]
+    )
+
+
+def streaming_quantile_sketch(
+    events: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running quantile estimates over a stream (update semantics,
+    one refreshed row per touched key per micro-batch)."""
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _quantile_fn,
+        outputStructType=_Q_OUTPUT,
+        stateStructType=_Q_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

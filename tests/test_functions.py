@@ -625,3 +625,32 @@ def test_pack_sequences_bucket_size_invariance(spark):
             for r in pack_sequences(df, budget=20, bucket_size=bs).collect()
         )
         assert got == ref, bs
+
+
+def test_quantile_sketch_merge_and_error_bound():
+    """Histogram merge is order-independent, and the read-off is within
+    one bin width of the exact quantile for in-range data."""
+    import numpy as np
+
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        _Q_BINS,
+        _Q_WIDTH,
+        quantile_bin,
+        quantile_estimate,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, _Q_BINS * _Q_WIDTH, size=5_000).tolist()
+    oneshot = [0] * _Q_BINS
+    for v in vals:
+        oneshot[quantile_bin(v)] += 1
+    merged = [0] * _Q_BINS
+    for chunk in (vals[3000:], vals[:1000], vals[1000:3000]):  # out of order
+        for v in chunk:
+            merged[quantile_bin(v)] += 1
+    assert merged == oneshot
+    for q in (0.1, 0.25, 0.5, 0.9, 0.99):
+        est = quantile_estimate(oneshot, q)
+        exact = float(np.quantile(np.array(vals), q))
+        assert abs(est - exact) <= _Q_WIDTH, (q, est, exact)
+    assert quantile_estimate([0] * _Q_BINS, 0.5) is None

@@ -705,3 +705,70 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path, sf_dir):
     }
     for et, r in final.items():
         assert abs(r.hll_estimate - batch[et]) < 1e-4, (et, r.hll_estimate, batch[et])
+
+
+def test_streaming_quantile_matches_batch_sketch(spark, tmp_path, sf_dir):
+    """Incremental 3-batch streaming quantile sketch == one-shot batch
+    sketch: the histogram merge is elementwise integer addition
+    (commutative/associative), so the final streaming estimates must
+    equal the batch query's and a python reference's exactly."""
+    import __spark_entry__ as entry_mod
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_quantile_sketch,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        _Q_BINS,
+        quantile_bin,
+        quantile_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("source").cast("string"), F.col("n_chars").cast("double")
+    )
+    rows = [(r[0], r[1]) for r in docs.collect()]
+    schema = "source string, n_chars double"
+    os.makedirs(f"{tmp_path}/docs", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/docs")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/docs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    est = streaming_quantile_sketch(stream, "source", "n_chars")
+    q = write_stream(
+        est, "memory", query_name="qsketch", output_mode="update",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from qsketch").collect()
+    final = {}
+    for r in out:
+        if r.key not in final or r.n_seen > final[r.key].n_seen:
+            final[r.key] = r
+    # python one-shot reference
+    ref: dict[str, list[int]] = {}
+    for src, n_chars in rows:
+        ref.setdefault(src, [0] * _Q_BINS)[quantile_bin(n_chars)] += 1
+    assert set(final) == set(ref)
+    for src, r in final.items():
+        assert r.n_seen == sum(ref[src])
+        for q_, col in [(0.25, "p25_sketch"), (0.5, "p50_sketch"), (0.9, "p90_sketch")]:
+            assert getattr(r, col) == quantile_estimate(ref[src], q_), (src, col)
+    # batch Spark query agreement (rounded to 6 decimals there)
+    batch = {
+        r.source: (r.n_docs, r.p25_sketch, r.p50_sketch, r.p90_sketch)
+        for r in entry_mod.q_quantile_sketch(spark, sf_dir).collect()
+    }
+    for src, r in final.items():
+        b = batch[src]
+        assert r.n_seen == b[0]
+        assert abs(r.p25_sketch - b[1]) < 1e-6, (src, r.p25_sketch, b[1])
+        assert abs(r.p50_sketch - b[2]) < 1e-6
+        assert abs(r.p90_sketch - b[3]) < 1e-6
