@@ -42,6 +42,7 @@ def write_stream(
     output_mode: str = "append",
     checkpoint: str | None = None,
     trigger_processing_time: str | None = None,
+    trigger_available_now: bool = False,
     **options: str,
 ) -> StreamingQuery:
     out = df
@@ -54,6 +55,10 @@ def write_stream(
         writer = writer.option("checkpointLocation", checkpoint)
     if trigger_processing_time:
         writer = writer.trigger(processingTime=trigger_processing_time)
+    if trigger_available_now:
+        # drain everything pending, then stop — the run-to-completion mode
+        # incremental pipelines (and restart-based tests) use
+        writer = writer.trigger(availableNow=True)
     for k, v in options.items():
         writer = writer.option(k, v)
     return writer.start(path) if path is not None else writer.start()

@@ -115,42 +115,65 @@ _JOIN_STATE = StructType(
 )
 
 
-def _move_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
-    (car_id,) = key
-    last_zone, _last_fuel = state.get if state.exists else (None, None)
-    out: list[dict] = []
-    for pdf in pdfs:
-        for row in pdf.sort_values("seq").itertuples(index=False):
-            # arrive at the new zone (DemoApp.scala:127)
-            out.append(
-                dict(car_id=car_id, zone_id=int(row.to_zone_id), is_arriving=True,
-                     emit_rank=0, fuel_level=float(row.fuel_level), seq=int(row.seq))
-            )
-            # leave the previous zone if any — even if unchanged (quirk,
-            # DemoApp.scala:116-119,129)
-            if last_zone is not None:
+def _make_move_fn(ttl_ms: int | None = None):
+    """Per-car move detection, optionally with a processing-time TTL on
+    the last-zone state (default None = the reference's keep-forever
+    semantics).  An expired car's next event is treated as its first —
+    arrive only, no leave row — the same cold-start contract as the
+    join-side TTL."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        (car_id,) = key
+        last_zone, _last_fuel = state.get if state.exists else (None, None)
+        out: list[dict] = []
+        for pdf in pdfs:
+            for row in pdf.sort_values("seq").itertuples(index=False):
+                # arrive at the new zone (DemoApp.scala:127)
                 out.append(
-                    dict(car_id=car_id, zone_id=int(last_zone), is_arriving=False,
-                         emit_rank=1, fuel_level=float(row.fuel_level), seq=int(row.seq))
+                    dict(car_id=car_id, zone_id=int(row.to_zone_id), is_arriving=True,
+                         emit_rank=0, fuel_level=float(row.fuel_level), seq=int(row.seq))
                 )
-            last_zone = int(row.to_zone_id)
-            _last_fuel = float(row.fuel_level)
-    state.update((last_zone, _last_fuel))
-    if out:
-        yield pd.DataFrame(out)
+                # leave the previous zone if any — even if unchanged (quirk,
+                # DemoApp.scala:116-119,129)
+                if last_zone is not None:
+                    out.append(
+                        dict(car_id=car_id, zone_id=int(last_zone), is_arriving=False,
+                             emit_rank=1, fuel_level=float(row.fuel_level), seq=int(row.seq))
+                    )
+                last_zone = int(row.to_zone_id)
+                _last_fuel = float(row.fuel_level)
+        state.update((last_zone, _last_fuel))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
 
 
-def car_move_detection(car_events: DataFrame) -> DataFrame:
+_move_fn = _make_move_fn()
+
+
+def car_move_detection(
+    car_events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming O1+O3: car events → arrive/leave CarMoveEvents.
 
     Input columns: seq, car_id, to_zone_id, fuel_level.
+    ``ttl_ms``: opt-in processing-time state TTL; default None keeps the
+    reference's keep-forever semantics.
     """
     return car_events.groupBy("car_id").applyInPandasWithState(
-        _move_fn,
+        _make_move_fn(ttl_ms),
         outputStructType=CAR_MOVE_EVENT_STREAM,
         stateStructType=_MOVE_STATE,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout",
     )
 
 
@@ -182,49 +205,83 @@ def tag_zone_events(zone_events: DataFrame) -> DataFrame:
     )
 
 
-def _join_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
-    (zone_id,) = key
-    if state.exists:
-        pollution, ids, fuels = state.get
-        cars: dict[int, float] = (
-            {int(i): float(f) for i, f in zip(ids, fuels)} if ids is not None else {}
-        )
-    else:
-        pollution, cars = None, {}
-    out: list[dict] = []
-    for pdf in pdfs:
-        for row in pdf.sort_values(["seq", "emit_rank"]).itertuples(index=False):
-            if row.kind == "car":
-                car_id = int(row.car_id)
-                if bool(row.is_arriving):
-                    # upsert + probe (DemoApp.scala:210-222)
-                    cars[car_id] = float(row.fuel_level)
-                    if pollution is not None:
-                        out.append(dict(car_id=car_id, zone_id=zone_id,
-                                        fuel_level=float(row.fuel_level),
-                                        pollution_level=float(pollution)))
+def _make_join_fn(ttl_ms: int | None = None):
+    """The per-zone state machine, optionally with a processing-time TTL.
+
+    ``ttl_ms=None`` (default) reproduces the reference exactly: state
+    lives forever (DemoApp.scala:182-185,251-254 never expire).  With a
+    TTL, a zone whose key receives no events for ``ttl_ms`` of processing
+    time has its state dropped at the next micro-batch — the opt-in bound
+    on the one unbounded resource here (keyed state for never-revisited
+    zones) that a 100 TB deployment needs.  Expiry is an EXTENSION of the
+    reference semantics: a later car arriving in an expired zone re-probes
+    against nothing (no emission) until the next zone event, identical to
+    a cold start for that key.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # key silent past the TTL: drop state, emit nothing
+            state.remove()
+            return
+        (zone_id,) = key
+        if state.exists:
+            pollution, ids, fuels = state.get
+            cars: dict[int, float] = (
+                {int(i): float(f) for i, f in zip(ids, fuels)} if ids is not None else {}
+            )
+        else:
+            pollution, cars = None, {}
+        out: list[dict] = []
+        for pdf in pdfs:
+            for row in pdf.sort_values(["seq", "emit_rank"]).itertuples(index=False):
+                if row.kind == "car":
+                    car_id = int(row.car_id)
+                    if bool(row.is_arriving):
+                        # upsert + probe (DemoApp.scala:210-222)
+                        cars[car_id] = float(row.fuel_level)
+                        if pollution is not None:
+                            out.append(dict(car_id=car_id, zone_id=zone_id,
+                                            fuel_level=float(row.fuel_level),
+                                            pollution_level=float(pollution)))
+                    else:
+                        # delete, no retraction (DemoApp.scala:224-230)
+                        cars.pop(car_id, None)
                 else:
-                    # delete, no retraction (DemoApp.scala:224-230)
-                    cars.pop(car_id, None)
-            else:
-                # zone upsert + fan-out (DemoApp.scala:279-290)
-                pollution = float(row.pollution_level)
-                for car_id, fuel in sorted(cars.items()):
-                    out.append(dict(car_id=car_id, zone_id=zone_id,
-                                    fuel_level=fuel, pollution_level=pollution))
-    state.update((pollution, list(cars.keys()), list(cars.values())))
-    if out:
-        yield pd.DataFrame(out)
+                    # zone upsert + fan-out (DemoApp.scala:279-290)
+                    pollution = float(row.pollution_level)
+                    for car_id, fuel in sorted(cars.items()):
+                        out.append(dict(car_id=car_id, zone_id=zone_id,
+                                        fuel_level=fuel, pollution_level=pollution))
+        state.update((pollution, list(cars.keys()), list(cars.values())))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
 
 
-def symmetric_one_to_many_join(tagged: DataFrame) -> DataFrame:
+# default (reference-faithful, no expiry) instance — the name existing
+# callers and tests import
+_join_fn = _make_join_fn()
+
+
+def symmetric_one_to_many_join(
+    tagged: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming O6+O7: tagged union of car-moves and zone events, keyed by
     zone_id, → continuously-refreshed joined rows.
+
+    ``ttl_ms``: opt-in processing-time state TTL (see ``_make_join_fn``);
+    default None keeps the reference's keep-forever semantics.
     """
     return tagged.groupBy("zone_id").applyInPandasWithState(
-        _join_fn,
+        _make_join_fn(ttl_ms),
         outputStructType=JOINED_STREAM,
         stateStructType=_JOIN_STATE,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout",
     )

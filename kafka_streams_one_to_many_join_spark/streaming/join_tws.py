@@ -55,11 +55,26 @@ except ImportError:  # pragma: no cover - Spark 3.x or no protobuf
 
 
 class SymmetricJoinProcessor(StatefulProcessor):
-    """Per-zone state: ValueState(pollution) + MapState(car_id → fuel)."""
+    """Per-zone state: ValueState(pollution) + MapState(car_id → fuel).
+
+    ``ttl_ms`` (default None = reference keep-forever semantics,
+    DemoApp.scala:182-185,251-254) enables the typed-state API's NATIVE
+    state TTL: both stores expire entries untouched for ``ttl_ms`` of
+    processing time — the opt-in bound on keyed state for never-revisited
+    zones that a 100 TB deployment needs.  An expired zone behaves as a
+    cold start (car arrivals probe nothing until the next zone event).
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._zone = handle.getValueState("zone", "pollution_level double")
-        self._cars = handle.getMapState("cars", "car_id int", "fuel_level double")
+        self._zone = handle.getValueState(
+            "zone", "pollution_level double", ttlDurationMs=self._ttl_ms
+        )
+        self._cars = handle.getMapState(
+            "cars", "car_id int", "fuel_level double", ttlDurationMs=self._ttl_ms
+        )
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
@@ -105,10 +120,14 @@ class SymmetricJoinProcessor(StatefulProcessor):
         pass
 
 
-def symmetric_one_to_many_join_tws(tagged: DataFrame) -> DataFrame:
+def symmetric_one_to_many_join_tws(
+    tagged: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming O6+O7 on the Spark 4 typed-state API (see module doc).
 
     Input: the tagged union produced by tag_car_moves/tag_zone_events.
+    ``ttl_ms``: opt-in native state TTL (requires processing-time mode);
+    default None keeps the reference's keep-forever semantics.
     """
     if not HAS_TWS:
         raise NotImplementedError(
@@ -116,8 +135,9 @@ def symmetric_one_to_many_join_tws(tagged: DataFrame) -> DataFrame:
             "installed; use streaming.symmetric_one_to_many_join instead"
         )
     return tagged.groupBy("zone_id").transformWithStateInPandas(
-        statefulProcessor=SymmetricJoinProcessor(),
+        statefulProcessor=SymmetricJoinProcessor(ttl_ms),
         outputStructType=JOINED_STREAM,
         outputMode="append",
-        timeMode="none",
+        # state TTL is only legal in processing-time mode
+        timeMode="processingTime" if ttl_ms is not None else "none",
     )

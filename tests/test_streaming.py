@@ -772,3 +772,115 @@ def test_streaming_quantile_matches_batch_sketch(spark, tmp_path, sf_dir):
         assert abs(r.p25_sketch - b[1]) < 1e-6, (src, r.p25_sketch, b[1])
         assert abs(r.p50_sketch - b[2]) < 1e-6
         assert abs(r.p90_sketch - b[3]) < 1e-6
+
+
+_TAGGED_SCHEMA = (
+    "zone_id int, kind string, seq long, emit_rank int, car_id int, "
+    "is_arriving boolean, fuel_level double, pollution_level double"
+)
+
+
+def _zrow(seq, zid, p):
+    return (zid, "zone", seq, 2, None, None, None, p)
+
+
+def _crow(seq, zid, cid, fuel):
+    return (zid, "car", seq, 0, cid, True, fuel, None)
+
+
+def _await_input_rows(q, seen, target, timeout=90):
+    """Block until the query has processed ``target`` input rows in total.
+
+    processAllAvailable() cannot be used under ProcessingTimeTimeout /
+    processing-time TTL: the engine schedules continuous no-data
+    state-cleanup batches (observed: status "No new data but cleaning up
+    state" forever), so the idle condition never holds.  Input-row
+    accounting over recentProgress is the trigger-agnostic way to know a
+    written file was actually processed; ``seen`` (batchId → numInputRows)
+    accumulates across calls because recentProgress is a bounded window."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        for prog in q.recentProgress:
+            seen[prog["batchId"]] = prog["numInputRows"]
+        if sum(seen.values()) >= target:
+            return
+        time.sleep(0.2)
+    raise AssertionError(
+        f"processed {sum(seen.values())}/{target} input rows before timeout"
+    )
+
+
+def _ttl_scenario(spark, tmp_path, make_query, name, batches):
+    """Write each batch, wait until it is processed, with a wall-clock gap
+    (>> any TTL under test) between batches; return the sink contents."""
+    src = f"{tmp_path}/src_{name}"
+    os.makedirs(src, exist_ok=True)
+    stream = read_stream(
+        spark, "parquet", src,
+        schema=spark.createDataFrame([], _TAGGED_SCHEMA).schema,
+    )
+    q = write_stream(
+        make_query(stream), "memory", query_name=name,
+        checkpoint=f"{tmp_path}/cp_{name}",
+    )
+    seen: dict = {}
+    written = 0
+    try:
+        for batch in batches:
+            spark.createDataFrame(batch, _TAGGED_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            written += len(batch)
+            _await_input_rows(q, seen, written)
+            time.sleep(1.5)  # real wall-clock gap >> the 400ms TTL
+        # one extra beat so the last batch's sink commit is visible
+        time.sleep(0.5)
+        return sorted(
+            tuple(r) for r in spark.sql(f"select * from {name}").collect()
+        )
+    finally:
+        q.stop()
+
+
+def test_join_state_ttl_expires_silent_zones(spark, tmp_path):
+    """Opt-in TTL drops state for keys silent past the horizon; the
+    default (None) preserves the reference's keep-forever semantics on the
+    identical scenario.  b1 seeds zone 100 (pollution + car 1 joins); b2,
+    after a silence longer than the TTL, has car 2 arrive in zone 100 —
+    against remembered pollution without TTL, against a cold zone with."""
+    batches = [
+        [_zrow(0, 100, 50.0), _crow(1, 100, 1, 10.0)],
+        [_crow(2, 100, 2, 20.0)],
+    ]
+    forever = _ttl_scenario(
+        spark, tmp_path, lambda st: symmetric_one_to_many_join(st),
+        "ttl_off", batches,
+    )
+    assert forever == [(1, 100, 10.0, 50.0), (2, 100, 20.0, 50.0)]
+    expiring = _ttl_scenario(
+        spark, tmp_path, lambda st: symmetric_one_to_many_join(st, ttl_ms=400),
+        "ttl_on", batches,
+    )
+    assert expiring == [(1, 100, 10.0, 50.0)]
+
+
+def test_tws_join_native_ttl_expires_state(spark, tmp_path):
+    """The typed-state variant's NATIVE ttlConfig: a zone value written in
+    batch 1 is expired when read past the TTL; without TTL it is
+    remembered."""
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        symmetric_one_to_many_join_tws,
+    )
+
+    batches = [[_zrow(0, 100, 50.0)], [_crow(1, 100, 1, 10.0)]]
+    forever = _ttl_scenario(
+        spark, tmp_path, lambda st: symmetric_one_to_many_join_tws(st),
+        "tws_ttl_off", batches,
+    )
+    assert forever == [(1, 100, 10.0, 50.0)]
+    expiring = _ttl_scenario(
+        spark, tmp_path,
+        lambda st: symmetric_one_to_many_join_tws(st, ttl_ms=400),
+        "tws_ttl_on", batches,
+    )
+    assert expiring == []
