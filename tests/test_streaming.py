@@ -884,3 +884,61 @@ def test_tws_join_native_ttl_expires_state(spark, tmp_path):
         "tws_ttl_on", batches,
     )
     assert expiring == []
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming session operator (F.session_window, engine-managed
+    merging) must agree session-for-session with the batch formulation
+    (operators.sessionize window cumsum — the q_sessionization oracle
+    surface) on the same real events fixture, replayed in 3 micro-batches
+    so cross-batch session merging is actually exercised.
+
+    Semantics mapping: a session_window's end is last_event + gap, while
+    the batch session_end is the last event itself — so streaming sessions
+    are compared on (user, start, end - gap, n_events)."""
+    from datetime import timedelta
+
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.operators import session_stats
+    from kafka_streams_one_to_many_join_spark.streaming import session_agg
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_stats(
+            ev, key="user_id", ts_col="ts", gap=F.expr("INTERVAL 30 MINUTES")
+        ).collect()
+    }
+    rows = [(r.user_id, r.ts) for r in ev.collect()]
+    schema = "user_id int, ts timestamp"
+    os.makedirs(f"{tmp_path}/ev", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/ev")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/ev",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    agg = session_agg(stream, "ts", ["user_id"], gap="30 minutes")
+    # complete mode: session-window aggs reject update, and append would
+    # hold back sessions the watermark hasn't finalized
+    q = write_stream(
+        agg, "memory", query_name="sess_eq", output_mode="complete",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (
+            r.user_id,
+            r.session_start,
+            r.session_end - timedelta(minutes=30),
+            r.n_events,
+        )
+        for r in spark.sql("select * from sess_eq").collect()
+    }
+    assert streamed == batch
