@@ -2342,19 +2342,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries first of all); queries green in the immediately preceding
     # round rotate to the back, where falling past the cap loses nothing.
     # Rotate per round.
+    #
+    # r06 state: 2 new queries (never checked) + 49 whose newest green is
+    # r04 = 51 candidates for 50 slots — one r04 entry must overflow.  The
+    # overflow victim is string_normalize (position 51): a trivial
+    # projection whose behavior is otherwise pinned by the local suite, so
+    # one extra round of driver staleness costs the least.  It must go
+    # FIRST in r07's ordering.
     return {
-        # --- never-green: red in r04, fixed this round — re-check FIRST ---
-        "volume_shipping": q_volume_shipping,
         # --- new this round (never driver-checked) ---
         "sequence_pack": q_sequence_pack,
         "quantile_sketch": q_quantile_sketch,
+        # --- newest green row is r04 (oldest — re-check now) ---
+        "discounted_revenue": q_discounted_revenue,
+        "late_shipment_priority": q_late_shipment_priority,
+        "brand_price_rank": q_brand_price_rank,
+        "token_entropy": q_token_entropy,
+        "zipf_slope": q_zipf_slope,
+        "acctbal_zscore": q_acctbal_zscore,
+        "order_gap_days": q_order_gap_days,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "stratified_sample": q_stratified_sample,
+        "gopher_quality": q_gopher_quality,
+        "contamination_check": q_contamination_check,
+        "source_percentiles": q_source_percentiles,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "bigram_pmi": q_bigram_pmi,
+        "length_quartiles": q_length_quartiles,
+        "doc_repetition": q_doc_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "posting_lists": q_posting_lists,
+        "grouping_sets_segments": q_grouping_sets_segments,
+        "rolling_avg_value": q_rolling_avg_value,
+        "daily_click_purchase": q_daily_click_purchase,
+        "hll_distinct": q_hll_distinct,
+        "weighted_sample": q_weighted_sample,
+        "click_purchase_funnel": q_click_purchase_funnel,
+        "kmeans_step": q_kmeans_step,
+        "session_paths": q_session_paths,
+        "zone_history": q_zone_history,
+        "monthly_revenue_growth": q_monthly_revenue_growth,
+        "quality_score_udf": q_quality_score_udf,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "winnowing": q_winnowing,
+        "text_stats": q_text_stats,
+        "token_count_by_lang": q_token_count_by_lang,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_topk": q_ann_topk,
+        "latest_by_key": q_latest_by_key,
+        "one_to_many_snapshot": q_one_to_many_snapshot,
+        "join_trace": q_join_trace,
+        "car_moves": q_car_moves,
+        "arrive_leave": q_arrive_leave,
+        "zone_occupancy": q_zone_occupancy,
+        "incremental_snapshot": q_incremental_snapshot,
+        # --- position 51: the documented overflow victim; FIRST in r07 ---
+        "string_normalize": q_string_normalize,
+        # --- green in r05 (freshest; past the cap loses nothing) ---
+        "volume_shipping": q_volume_shipping,
         "customer_distribution": q_customer_distribution,
         "top_supplier_revenue": q_top_supplier_revenue,
         "wealthy_low_activity": q_wealthy_low_activity,
         "linestatus_priority": q_linestatus_priority,
         "pareto_customers": q_pareto_customers,
         "token_type_ratio": q_token_type_ratio,
-        # --- newest green row is r03 (outside the r04 window) ---
         "union_merge": q_union_merge,
         "filter_nonnull": q_filter_nonnull,
         "asof_prior_purchase": q_asof_prior_purchase,
@@ -2398,56 +2455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_stats": q_brand_stats,
         "big_orders": q_big_orders,
         "segment_priority_matrix": q_segment_priority_matrix,
-        # --- green in r04 (freshest; past the cap loses nothing) ---
-        "discounted_revenue": q_discounted_revenue,
-        "late_shipment_priority": q_late_shipment_priority,
-        "brand_price_rank": q_brand_price_rank,
-        "token_entropy": q_token_entropy,
-        "zipf_slope": q_zipf_slope,
-        "acctbal_zscore": q_acctbal_zscore,
-        "order_gap_days": q_order_gap_days,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "stratified_sample": q_stratified_sample,
-        "gopher_quality": q_gopher_quality,
-        "contamination_check": q_contamination_check,
-        "source_percentiles": q_source_percentiles,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "bigram_pmi": q_bigram_pmi,
-        "length_quartiles": q_length_quartiles,
-        "doc_repetition": q_doc_repetition,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "posting_lists": q_posting_lists,
-        "grouping_sets_segments": q_grouping_sets_segments,
-        "rolling_avg_value": q_rolling_avg_value,
-        "daily_click_purchase": q_daily_click_purchase,
-        "hll_distinct": q_hll_distinct,
-        "weighted_sample": q_weighted_sample,
-        "click_purchase_funnel": q_click_purchase_funnel,
-        "kmeans_step": q_kmeans_step,
-        "session_paths": q_session_paths,
-        "zone_history": q_zone_history,
-        "monthly_revenue_growth": q_monthly_revenue_growth,
-        "quality_score_udf": q_quality_score_udf,
-        "string_normalize": q_string_normalize,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "winnowing": q_winnowing,
-        "text_stats": q_text_stats,
-        "token_count_by_lang": q_token_count_by_lang,
-        "lang_id": q_lang_id,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash_near_dup": q_simhash_near_dup,
-        "ann_topk": q_ann_topk,
-        "latest_by_key": q_latest_by_key,
-        "one_to_many_snapshot": q_one_to_many_snapshot,
-        "join_trace": q_join_trace,
-        "car_moves": q_car_moves,
-        "arrive_leave": q_arrive_leave,
-        "zone_occupancy": q_zone_occupancy,
-        "incremental_snapshot": q_incremental_snapshot,
     }
 
 
