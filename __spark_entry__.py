@@ -2257,6 +2257,120 @@ def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document novelty score — the dedup-aware curriculum signal: the
+    fraction of a doc's distinct 3-gram shingles whose FIRST corpus
+    occurrence (min doc_id) is this doc.  Boilerplate-heavy late docs
+    score near 0; fresh content scores near 1.
+
+    One O(shingles) shuffle: explode distinct shingles, attach the
+    per-shingle first-doc with an unordered window (no self-join, no plan
+    diamond), re-aggregate per doc.  The shingle strings shuffle once; at
+    100 TB swap the string for its 64-bit hash (same plan shape)."""
+    from pyspark.sql import Window
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import shingles
+
+    docs = load_table(spark, sf, "documents")
+    sh = shingles(docs, n=3)
+    flagged = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.round(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("novel_frac"),
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary growth over the doc_id-ordered corpus: per
+    100-doc bucket, token volume and NEW distinct types (tokens whose
+    first bucket is this one), with running totals — the curve that tells
+    a curation pipeline when more data stops buying vocabulary.
+
+    One heavy shuffle: explode → partial-agg (bucket, token) counts.  That
+    compact aggregate is lazily checkpointed (the packing recipe) and
+    feeds both rollups — per-bucket token sums and first-bucket type
+    counts — over vocabulary-sized data; the running totals are windows
+    over the |buckets|-row domain."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        (F.col("doc_id") - F.col("doc_id") % 100).alias("bucket"),
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    bt = (
+        toks.groupBy("bucket", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bucket_tokens = bt.groupBy("bucket").agg(
+        F.sum("cnt").alias("bucket_tokens")
+    )
+    new_types = (
+        bt.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bucket_tokens.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "bucket_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .select(
+            "bucket",
+            "bucket_tokens",
+            "new_types",
+            F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+            F.sum("new_types").over(w).alias("cum_vocab"),
+        )
+    )
+
+
+def q_shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-shard assignment (16 shards by doc_id md5 —
+    the same portable hash addressing as deterministic_sample): per-shard
+    doc and token totals.  The property that matters for distributed
+    training: membership is a pure function of doc_id — stable across
+    runs, engines, and corpus growth — and shard sizes stay balanced
+    (asserted by the driver hash on counts).  One O(docs) shuffle of
+    16-key partials."""
+    docs = load_table(spark, sf, "documents")
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+    )
+    n_tok = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    ).cast("bigint")
+    return (
+        docs.select(
+            (h % 16).alias("shard"), n_tok.alias("n_tokens"), "doc_id"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-bin deterministic quantile sketch per source — complements
     the EXACT ``source_percentiles`` the way ``hll_distinct`` complements
@@ -2343,16 +2457,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round rotate to the back, where falling past the cap loses nothing.
     # Rotate per round.
     #
-    # r06 state: 2 new queries (never checked) + 49 whose newest green is
-    # r04 = 51 candidates for 50 slots — one r04 entry must overflow.  The
-    # overflow victim is string_normalize (position 51): a trivial
-    # projection whose behavior is otherwise pinned by the local suite, so
-    # one extra round of driver staleness costs the least.  It must go
-    # FIRST in r07's ordering.
+    # r06 state: 5 new queries (never checked) + 49 whose newest green is
+    # r04 = 54 candidates for 50 slots — four r04 entries must overflow
+    # (see the marked block at the end of the stale section).
     return {
         # --- new this round (never driver-checked) ---
         "sequence_pack": q_sequence_pack,
         "quantile_sketch": q_quantile_sketch,
+        "shingle_novelty": q_shingle_novelty,
+        "vocab_growth": q_vocab_growth,
+        "shard_assignment": q_shard_assignment,
         # --- newest green row is r04 (oldest — re-check now) ---
         "discounted_revenue": q_discounted_revenue,
         "late_shipment_priority": q_late_shipment_priority,
@@ -2385,10 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_growth": q_monthly_revenue_growth,
         "quality_score_udf": q_quality_score_udf,
         "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
         "winnowing": q_winnowing,
-        "text_stats": q_text_stats,
-        "token_count_by_lang": q_token_count_by_lang,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -2402,8 +2513,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
         "incremental_snapshot": q_incremental_snapshot,
-        # --- position 51: the documented overflow victim; FIRST in r07 ---
+        # --- positions 51-54: the documented overflow victims (5 new +
+        # 49 r04-stale = 54 candidates for 50 slots).  All four are
+        # trivial projections fully pinned by the local suite, so one
+        # extra round of driver staleness costs the least.  They go FIRST
+        # in r07's ordering. ---
         "string_normalize": q_string_normalize,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_stats": q_text_stats,
+        "token_count_by_lang": q_token_count_by_lang,
         # --- green in r05 (freshest; past the cap loses nothing) ---
         "volume_shipping": q_volume_shipping,
         "customer_distribution": q_customer_distribution,
@@ -3492,6 +3610,64 @@ def oracle_sql() -> dict[str, str]:
                                / len({tok})::DOUBLE
                           ELSE 0.0 END, 6) AS type_token_ratio
         FROM documents
+    """
+    d["shingle_novelty"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {tok} AS t FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p FROM toks
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       concat_ws(' ', tk, lead(tk, 1) OVER w, lead(tk, 2) OVER w) AS shingle,
+                       lead(tk, 2) OVER w AS t_last
+                FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+            ) WHERE t_last IS NOT NULL
+        ),
+        f AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+            FROM sh
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_shingles,
+               round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*)::DOUBLE, 6) AS novel_frac
+        FROM f GROUP BY doc_id
+    """
+    d["vocab_growth"] = f"""
+        WITH t AS (
+            SELECT doc_id - doc_id % 100 AS bucket, unnest({tok}) AS tk
+            FROM documents
+        ),
+        bt AS (SELECT bucket, tk, count(*) AS cnt FROM t GROUP BY bucket, tk),
+        btok AS (
+            SELECT bucket, sum(cnt)::BIGINT AS bucket_tokens FROM bt GROUP BY bucket
+        ),
+        nt AS (
+            SELECT first_bucket AS bucket, count(*)::BIGINT AS new_types
+            FROM (SELECT tk, min(bucket) AS first_bucket FROM bt GROUP BY tk)
+            GROUP BY first_bucket
+        )
+        SELECT b.bucket, bucket_tokens,
+               COALESCE(new_types, 0)::BIGINT AS new_types,
+               (sum(bucket_tokens) OVER w)::BIGINT AS cum_tokens,
+               (sum(COALESCE(new_types, 0)) OVER w)::BIGINT AS cum_vocab
+        FROM btok b LEFT JOIN nt USING (bucket)
+        WINDOW w AS (ORDER BY b.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    d["shard_assignment"] = f"""
+        WITH s AS (
+            SELECT ({_duck_md5_prefix32("doc_id::VARCHAR")} % 16)::BIGINT AS shard,
+                   len({tok})::BIGINT AS n_tokens, doc_id
+            FROM documents
+        )
+        SELECT shard, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS shard_tokens,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM s GROUP BY shard
     """
     d["quantile_sketch"] = """
         WITH h AS (
