@@ -49,6 +49,12 @@ SCALE_QUERIES = [
     ("dedup_clusters", "documents"),
     ("hll_distinct", "events"),
     ("rolling_avg_value", "events"),
+    # round-6 additions
+    ("sequence_pack", "documents"),
+    ("quantile_sketch", "documents"),
+    ("shingle_novelty", "documents"),
+    ("vocab_growth", "documents"),
+    ("shard_assignment", "documents"),
 ]
 
 
