@@ -942,3 +942,60 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("select * from sess_eq").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dedup_matches_batch_exact(spark, tmp_path, sf_dir):
+    """Cross-batch streaming exact-dedup == the batch exact_duplicates
+    operator on the same real documents fixture: replayed over 3
+    micro-batches, streaming_dedup must emit each distinct content hash
+    exactly once (duplicates arriving in LATER batches suppressed by
+    state, not just within-batch), and the emitted key set must equal the
+    batch operator's group keys."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        exact_duplicates,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import streaming_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {
+        (r.text_hash, r.n_copies) for r in exact_duplicates(docs).collect()
+    }
+    hashes = [
+        (r.h,) for r in docs.select(F.md5("text").alias("h")).collect()
+    ]
+    schema = "h string"
+    os.makedirs(f"{tmp_path}/h", exist_ok=True)
+    third = (len(hashes) + 2) // 3
+    # chunk 1 = first third; chunks 2 and 3 each REPLAY 10 hashes from
+    # chunk 1 — cross-batch duplicates that only keyed state can suppress
+    # (this sf's documents happen to be all-distinct, so the duplicates
+    # are injected)
+    chunks = [
+        hashes[:third],
+        hashes[third : 2 * third] + hashes[:10],
+        hashes[2 * third :] + hashes[10:20],
+    ]
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp_path}/h")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/h",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    dd = streaming_dedup(stream, keys=["h"])  # bounded key domain: no wm
+    q = write_stream(
+        dd, "memory", query_name="dedup_eq", checkpoint=f"{tmp_path}/cp"
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = [r.h for r in spark.sql("select * from dedup_eq").collect()]
+    # exactly-once per key across ALL batches
+    assert len(emitted) == len(set(emitted))
+    assert set(emitted) == {h for h, _ in batch}
+    # suppression was exercised: 20 replayed hashes arrived in later
+    # batches than their first occurrence and were dropped by state
+    assert sum(len(c) for c in chunks) == len(emitted) + 20
