@@ -2257,6 +2257,61 @@ def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch over the token stream (4 md5-addressed counter
+    rows × 256 buckets — the portable hash recipe of hll_distinct /
+    deterministic_sample), reporting the sketch's point-query upper bound
+    next to the exact count for the exact top-10 tokens.
+
+    The sketch build shuffles 4×256 keyed partials — shuffle volume is
+    the SKETCH size, not the token count (the counter update is a
+    map-side partial count per (row, bucket)).  The exact column (one
+    extra token-keyed shuffle) is attached for error reporting, the same
+    contract as hll_distinct's exact_distinct — at 100 TB you would drop
+    it and keep only the sketch.  CMS guarantees cms_est >= exact_n;
+    equality whenever no heavier token collides in all 4 rows.  Streaming
+    twin: streaming_cms_counts (elementwise-add merge, same recipe)."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok")
+    )
+
+    def jb(j: int) -> "F.Column":
+        return F.struct(
+            F.lit(j).alias("j"),
+            (
+                F.expr(
+                    f"cast(conv(substring(md5(concat('{j}:', tok)), 1, 8), 16, 10) as bigint)"
+                )
+                % 256
+            ).alias("bucket"),
+        )
+
+    sketch = (
+        toks.select(F.explode(F.array(*[jb(j) for j in range(4)])).alias("e"))
+        .groupBy(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(10)
+    )
+    probes = top.select(
+        "tok",
+        "exact_n",
+        F.explode(F.array(*[jb(j) for j in range(4)])).alias("e"),
+    ).select("tok", "exact_n", F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
 def q_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document novelty score — the dedup-aware curriculum signal: the
     fraction of a doc's distinct 3-gram shingles whose FIRST corpus
@@ -2457,8 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round rotate to the back, where falling past the cap loses nothing.
     # Rotate per round.
     #
-    # r06 state: 5 new queries (never checked) + 49 whose newest green is
-    # r04 = 54 candidates for 50 slots — four r04 entries must overflow
+    # r06 state: 6 new queries (never checked) + 49 whose newest green is
+    # r04 = 55 candidates for 50 slots — five r04 entries must overflow
     # (see the marked block at the end of the stale section).
     return {
         # --- new this round (never driver-checked) ---
@@ -2467,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "vocab_growth": q_vocab_growth,
         "shard_assignment": q_shard_assignment,
+        "cms_token_counts": q_cms_token_counts,
         # --- newest green row is r04 (oldest — re-check now) ---
         "discounted_revenue": q_discounted_revenue,
         "late_shipment_priority": q_late_shipment_priority,
@@ -2498,7 +2554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_history": q_zone_history,
         "monthly_revenue_growth": q_monthly_revenue_growth,
         "quality_score_udf": q_quality_score_udf,
-        "dedup_exact": q_dedup_exact,
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2513,12 +2568,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
         "incremental_snapshot": q_incremental_snapshot,
-        # --- positions 51-54: the documented overflow victims (5 new +
-        # 49 r04-stale = 54 candidates for 50 slots).  All four are
-        # trivial projections fully pinned by the local suite, so one
-        # extra round of driver staleness costs the least.  They go FIRST
-        # in r07's ordering. ---
+        # --- positions 51-55: the documented overflow victims (6 new +
+        # 49 r04-stale = 55 candidates for 50 slots).  All five are
+        # trivial projections/aggregations fully pinned by the local suite
+        # (dedup_exact additionally by the new batch==streaming
+        # equivalence test), so one extra round of driver staleness costs
+        # the least.  They go FIRST in r07's ordering. ---
         "string_normalize": q_string_normalize,
+        "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "text_stats": q_text_stats,
         "token_count_by_lang": q_token_count_by_lang,
@@ -3610,6 +3667,28 @@ def oracle_sql() -> dict[str, str]:
                                / len({tok})::DOUBLE
                           ELSE 0.0 END, 6) AS type_token_ratio
         FROM documents
+    """
+    d["cms_token_counts"] = f"""
+        WITH toks AS (SELECT unnest({tok}) AS tok FROM documents),
+        js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        sk AS (
+            SELECT j, bucket, count(*) AS c FROM (
+                SELECT j,
+                       ({_duck_md5_prefix32("j::VARCHAR || ':' || tok")} % 256) AS bucket
+                FROM toks, js
+            ) GROUP BY j, bucket
+        ),
+        top AS (
+            SELECT tok, count(*)::BIGINT AS exact_n FROM toks GROUP BY tok
+            ORDER BY exact_n DESC, tok LIMIT 10
+        ),
+        probe AS (
+            SELECT tok, exact_n, j,
+                   ({_duck_md5_prefix32("j::VARCHAR || ':' || tok")} % 256) AS bucket
+            FROM top, js
+        )
+        SELECT tok, exact_n, min(c)::BIGINT AS cms_est
+        FROM probe JOIN sk USING (j, bucket) GROUP BY tok, exact_n
     """
     d["shingle_novelty"] = f"""
         WITH toks AS (

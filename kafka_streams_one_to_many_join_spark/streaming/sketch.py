@@ -233,3 +233,105 @@ def streaming_quantile_sketch(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — the stream twin of the batch query
+# ``__spark_entry__.q_cms_token_counts``.
+#
+# _CMS_D md5-addressed counter rows of _CMS_W buckets; update = +1 in one
+# bucket per row, merge = elementwise integer addition (commutative and
+# associative, like the quantile histogram), estimate(tok) = min over rows
+# of the tok's counter — an upper bound on the true count that two engines
+# compute identically because the hash recipe is pinned (md5 of "j:token",
+# first 8 hex digits, mod _CMS_W: the same addressing deterministic_sample
+# and the HLL sketch use).
+#
+# Scale: state is _CMS_D x _CMS_W longs per key regardless of stream
+# volume; the batch twin's shuffle is the sketch size, not the token count.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+def cms_bucket(j: int, token: str) -> int:
+    """Counter index for hash row ``j`` — the portable recipe shared with
+    the batch Spark expression and the DuckDB oracle."""
+    h = int(hashlib.md5(f"{j}:{token}".encode()).hexdigest()[:8], 16)
+    return h % _CMS_W
+
+
+def cms_update(counters: list[int], token: str) -> None:
+    for j in range(_CMS_D):
+        counters[j * _CMS_W + cms_bucket(j, token)] += 1
+
+
+def cms_estimate(counters: list[int], token: str) -> int:
+    """Point-query upper bound: min over the d addressed counters."""
+    return min(
+        counters[j * _CMS_W + cms_bucket(j, token)] for j in range(_CMS_D)
+    )
+
+
+_CMS_OUTPUT = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("probe", StringType(), False),
+        StructField("n_seen", LongType(), False),
+        StructField("cms_est", LongType(), False),
+    ]
+)
+
+_CMS_STATE = StructType(
+    [
+        StructField("counters", ArrayType(LongType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def streaming_cms_counts(
+    events: DataFrame, key_col: str, token_col: str, probes: list[str]
+) -> DataFrame:
+    """Per-key running count-min estimates for a fixed probe-token list
+    (update semantics: one row per probe per touched key per batch)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        counters, n = (
+            (list(state.get[0]), int(state.get[1]))
+            if state.exists
+            else ([0] * (_CMS_D * _CMS_W), 0)
+        )
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                if tok is None:
+                    continue
+                cms_update(counters, str(tok))
+                n += 1
+        state.update((counters, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "probe": probe,
+                    "n_seen": n,
+                    "cms_est": cms_estimate(counters, probe),
+                }
+                for probe in probes
+            ]
+        )
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(token_col).cast("string").alias("token"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=_CMS_OUTPUT,
+        stateStructType=_CMS_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

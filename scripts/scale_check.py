@@ -55,6 +55,7 @@ SCALE_QUERIES = [
     ("shingle_novelty", "documents"),
     ("vocab_growth", "documents"),
     ("shard_assignment", "documents"),
+    ("cms_token_counts", "documents"),
 ]
 
 

@@ -999,3 +999,98 @@ def test_streaming_dedup_matches_batch_exact(spark, tmp_path, sf_dir):
     # suppression was exercised: 20 replayed hashes arrived in later
     # batches than their first occurrence and were dropped by state
     assert sum(len(c) for c in chunks) == len(emitted) + 20
+
+
+def test_cms_recipe_matches_spark_expression(spark):
+    """The python (j, token) → bucket recipe in streaming/sketch.py must
+    agree with the Spark SQL expression the batch query uses — that
+    agreement is what makes the streaming state mergeable with batch
+    sketches (and the DuckDB oracle)."""
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        _CMS_D,
+        cms_bucket,
+    )
+
+    toks = ["the", "spark", "zz9", "a", "merge"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    for j in range(_CMS_D):
+        got = {
+            r.tok: r.bucket
+            for r in df.select(
+                "tok",
+                (
+                    F.expr(
+                        f"cast(conv(substring(md5(concat('{j}:', tok)), 1, 8), 16, 10) as bigint)"
+                    )
+                    % 256
+                ).alias("bucket"),
+            ).collect()
+        }
+        for t in toks:
+            assert got[t] == cms_bucket(j, t), (j, t)
+
+
+def test_streaming_cms_matches_oneshot(spark, tmp_path, sf_dir):
+    """Incremental 3-batch streaming CMS == one-shot reference: the
+    counter merge is elementwise addition, so the final streaming
+    estimates must equal a python one-shot sketch over the same rows —
+    and respect the CMS upper-bound contract against exact counts."""
+    from collections import Counter
+
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_cms_counts,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        _CMS_D,
+        _CMS_W,
+        cms_estimate,
+        cms_update,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        (r.source, r.tok)
+        for r in docs.select(
+            "source",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("tok"),
+        ).collect()
+    ]
+    probes = ["the", "key", "value"]
+    schema = "source string, tok string"
+    os.makedirs(f"{tmp_path}/toks", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/toks")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/toks",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    est = streaming_cms_counts(stream, "source", "tok", probes)
+    q = write_stream(
+        est, "memory", query_name="cms", output_mode="update",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for r in spark.sql("select * from cms").collect():
+        k = (r.key, r.probe)
+        if k not in final or r.n_seen > final[k].n_seen:
+            final[k] = r
+    ref: dict[str, list[int]] = {}
+    exact: dict[str, Counter] = {}
+    for src, tok in rows:
+        cms_update(ref.setdefault(src, [0] * (_CMS_D * _CMS_W)), tok)
+        exact.setdefault(src, Counter())[tok] += 1
+    assert {k for k, _ in final} == set(ref)
+    for (src, probe), r in final.items():
+        assert r.cms_est == cms_estimate(ref[src], probe), (src, probe)
+        assert r.cms_est >= exact[src][probe]  # CMS upper-bound contract
+        assert r.n_seen == sum(exact[src].values())
