@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the deterministic recipes whose
+correctness is a pure function of their inputs: sequence packing, the
+quantile/CMS sketch arithmetic, and the sampling hash addressing.
+
+Spark-executing properties cap max_examples (each example is a Spark job);
+pure-python recipe properties run at the default budget.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+    _CMS_D,
+    _CMS_W,
+    _Q_BINS,
+    _Q_WIDTH,
+    cms_estimate,
+    cms_update,
+    quantile_bin,
+    quantile_estimate,
+)
+
+
+def _pack_reference(token_counts: list[int], budget: int):
+    """Straight-line python model of concat-and-chunk packing."""
+    out, start = [], 0
+    for i, n in enumerate(token_counts):
+        out.append((i, n, start, start // budget + 1))
+        start += n
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=100),
+    bucket_size=st.integers(min_value=1, max_value=64),
+)
+def test_pack_sequences_matches_reference(spark, counts, budget, bucket_size):
+    """The distributed prefix-sum formulation equals the sequential
+    reference for ANY (token counts, budget, bucket fan-out) — the bucket
+    size is physical only."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.start_offset, r.seq_id)
+        for r in pack_sequences(
+            df, budget=budget, bucket_size=bucket_size
+        ).collect()
+    )
+    assert got == _pack_reference(counts, budget)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=_Q_BINS,
+        max_size=_Q_BINS,
+    ),
+    q=st.floats(min_value=0.001, max_value=0.999),
+)
+def test_quantile_estimate_properties(counts, q):
+    """For any histogram: the estimate lies inside the hit bin's bounds,
+    and the read-off is monotone in q."""
+    n = sum(counts)
+    est = quantile_estimate(counts, q)
+    if n == 0:
+        assert est is None
+        return
+    # inside the overall histogram range
+    assert 0.0 <= est <= _Q_BINS * _Q_WIDTH
+    # inside the bin that holds the target rank
+    target = math.ceil(q * n)
+    cum = 0
+    for b, c in enumerate(counts):
+        if c and cum < target <= cum + c:
+            assert b * _Q_WIDTH < est <= (b + 1) * _Q_WIDTH or (
+                est == b * _Q_WIDTH and target == cum
+            )
+            break
+        cum += c
+    # monotone in q
+    for q2 in (min(0.999, q + 0.1),):
+        e2 = quantile_estimate(counts, q2)
+        assert e2 >= est
+
+
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=4),
+        min_size=0,
+        max_size=300,
+    ),
+    probe=st.text(alphabet="abcde", min_size=1, max_size=4),
+)
+def test_cms_upper_bound_and_merge_order_independence(tokens, probe):
+    """CMS invariants for any token stream: est(t) >= true count(t), and
+    the counter state is independent of update order / batch split."""
+    c1 = [0] * (_CMS_D * _CMS_W)
+    for t in tokens:
+        cms_update(c1, t)
+    true_count = sum(1 for t in tokens if t == probe)
+    assert cms_estimate(c1, probe) >= true_count
+    c2 = [0] * (_CMS_D * _CMS_W)
+    for t in reversed(tokens):
+        cms_update(c2, t)
+    assert c1 == c2
+
+
+@given(vals=st.lists(st.floats(min_value=0, max_value=5000), max_size=200))
+def test_quantile_bin_total_preservation(vals):
+    """Binning never loses or fabricates mass, for any value stream."""
+    counts = [0] * _Q_BINS
+    for v in vals:
+        b = quantile_bin(v)
+        assert 0 <= b < _Q_BINS
+        counts[b] += 1
+    assert sum(counts) == len(vals)
