@@ -16,6 +16,11 @@ the sum of medians.  The JSON line also carries `repeats`/`warmups`, an
 2x — residual variance the medians hide), and, when a prior round's
 BENCH_r*.json is present, per-query ratios vs it for any query that moved
 more than 1.5x either way (`deltas_vs_prior`).
+
+The complete result is always written to BENCH_FULL.json next to this
+file; the stdout line is additionally kept under ~1.9 KB (the driver
+records only a 2000-byte stdout tail) by listing the slowest queries
+first and noting `queries_omitted` when the full map would not fit.
 """
 
 from __future__ import annotations
@@ -189,8 +194,38 @@ def main() -> None:
         }
         out["prior"] = fname
         out["deltas_vs_prior"] = deltas
-    print(json.dumps(out))
+    # Full-fidelity copy on disk: the driver records only the last ~2000
+    # bytes of stdout, which a 100+-query map exceeds (BENCH_r04/r05 were
+    # recorded with "parsed": {} for exactly this reason).  The stdout
+    # line stays the contract, but is kept parseable within that tail
+    # budget by filling the queries map slowest-first and declaring how
+    # many (fast) entries were omitted; BENCH_FULL.json has them all.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(_bounded_line(out))
     spark.stop()
+
+
+def _bounded_line(out: dict, budget: int = 1900) -> str:
+    """ONE JSON line ≤ budget bytes: all queries if they fit, else the
+    slowest-first prefix plus queries_omitted + a pointer to the full file."""
+    compact = lambda d: json.dumps(d, separators=(",", ":"))  # noqa: E731
+    if len(compact(out)) <= budget:
+        return compact(out)
+    line = {k: v for k, v in out.items() if k != "queries"}
+    line["full"] = "BENCH_FULL.json"
+    kept: dict[str, float] = {}
+    for name, t in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
+        trial = dict(line)
+        trial["queries"] = {**kept, name: t}
+        trial["queries_omitted"] = len(out["queries"]) - len(trial["queries"])
+        if len(compact(trial)) > budget:
+            break
+        kept[name] = t
+    line["queries"] = kept
+    line["queries_omitted"] = len(out["queries"]) - len(kept)
+    return compact(line)
 
 
 def _prior_round_timings() -> tuple[str, dict[str, float], object] | None:
