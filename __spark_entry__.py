@@ -2257,6 +2257,66 @@ def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_count_modes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token counts under the three standard definitions a
+    curation pipeline budgets with: whitespace tokens, alphanumeric-run
+    tokens (the repo-wide pinned definition), and BPE-style pretokens
+    (the GPT-2 pretokenizer shape, simplified to its engine-portable
+    core: optional leading space + letter run | digit run | punctuation
+    run — spaces attach to the following token).  Pure codegen
+    projection, no shuffle; at 100 TB the real budget is the BPE column,
+    the other two calibrate it."""
+    docs = load_table(spark, sf, "documents")
+    bpe_re = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    ws = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).cast("bigint").alias("n_alnum_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{bpe_re}', 0)")
+        ).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing weights: the per-source resampling factor that turns
+    the corpus's actual token mixture into a uniform target mixture
+    (weight_s = target_share / actual_share) — the knob a pretraining
+    pipeline sets epochs/sampling rates with.
+
+    One token-summing aggregate per source (map-side partial over a
+    codegen projection), a 1-row total broadcast back — the aggregate
+    domain is |sources|, never rows."""
+    docs = load_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).cast("bigint")
+        ).alias("src_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("src_tokens").cast("double") / F.col("total_tokens").cast("double")
+    target = F.lit(1.0) / F.col("n_sources").cast("double")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "src_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(target / share, 6).alias("mix_weight"),
+        )
+    )
+
+
 def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min sketch over the token stream (4 md5-addressed counter
     rows × 256 buckets — the portable hash recipe of hll_distinct /
@@ -2512,8 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round rotate to the back, where falling past the cap loses nothing.
     # Rotate per round.
     #
-    # r06 state: 6 new queries (never checked) + 49 whose newest green is
-    # r04 = 55 candidates for 50 slots — five r04 entries must overflow
+    # r06 state: 8 new queries (never checked) + 49 whose newest green is
+    # r04 = 57 candidates for 50 slots — seven r04 entries must overflow
     # (see the marked block at the end of the stale section).
     return {
         # --- new this round (never driver-checked) ---
@@ -2523,6 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "shard_assignment": q_shard_assignment,
         "cms_token_counts": q_cms_token_counts,
+        "token_count_modes": q_token_count_modes,
+        "mixture_weights": q_mixture_weights,
         # --- newest green row is r04 (oldest — re-check now) ---
         "discounted_revenue": q_discounted_revenue,
         "late_shipment_priority": q_late_shipment_priority,
@@ -2555,10 +2617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_growth": q_monthly_revenue_growth,
         "quality_score_udf": q_quality_score_udf,
         "winnowing": q_winnowing,
-        "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
         "latest_by_key": q_latest_by_key,
@@ -2568,14 +2628,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
         "incremental_snapshot": q_incremental_snapshot,
-        # --- positions 51-55: the documented overflow victims (6 new +
-        # 49 r04-stale = 55 candidates for 50 slots).  All five are
-        # trivial projections/aggregations fully pinned by the local suite
-        # (dedup_exact additionally by the new batch==streaming
+        # --- positions 51-57: the documented overflow victims (8 new +
+        # 49 r04-stale = 57 candidates for 50 slots).  All seven are
+        # per-row projections or small aggregations fully pinned by the
+        # local suite (dedup_exact additionally by the batch==streaming
         # equivalence test), so one extra round of driver staleness costs
         # the least.  They go FIRST in r07's ordering. ---
         "string_normalize": q_string_normalize,
         "dedup_exact": q_dedup_exact,
+        "lang_id": q_lang_id,
+        "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "text_stats": q_text_stats,
         "token_count_by_lang": q_token_count_by_lang,
@@ -3667,6 +3729,36 @@ def oracle_sql() -> dict[str, str]:
                                / len({tok})::DOUBLE
                           ELSE 0.0 END, 6) AS type_token_ratio
         FROM documents
+    """
+    d["token_count_modes"] = """
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+', 0))::BIGINT
+                   AS n_alnum_tokens,
+               len(regexp_extract_all(text,
+                   ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0))::BIGINT
+                   AS n_bpe_tokens
+        FROM documents
+    """
+    d["mixture_weights"] = f"""
+        WITH per_src AS (
+            SELECT source, sum(len({tok}))::BIGINT AS src_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(src_tokens)::BIGINT AS total_tokens,
+                   count(*)::BIGINT AS n_sources
+            FROM per_src
+        )
+        SELECT source, src_tokens,
+               round(src_tokens::DOUBLE / total_tokens::DOUBLE, 6)
+                   AS token_share,
+               round((1.0 / n_sources::DOUBLE)
+                     / (src_tokens::DOUBLE / total_tokens::DOUBLE), 6)
+                   AS mix_weight
+        FROM per_src, tot
     """
     d["cms_token_counts"] = f"""
         WITH toks AS (SELECT unnest({tok}) AS tok FROM documents),
