@@ -2264,9 +2264,13 @@ def q_token_count_modes(spark: SparkSession, sf: str) -> DataFrame:
     (the GPT-2 pretokenizer shape, simplified to its engine-portable
     core: optional leading space + letter run | digit run | punctuation
     run — spaces attach to the following token).  Pure codegen
-    projection, no shuffle; at 100 TB the real budget is the BPE column,
-    the other two calibrate it."""
-    docs = load_table(spark, sf, "documents")
+    projection; the only exchange is the parallelism spread of the
+    single-row-group test input (a no-op on a real multi-file scan).  At
+    100 TB the real budget is the BPE column, the other two calibrate
+    it."""
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     bpe_re = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
     ws = F.when(
         F.length(F.trim("text")) == 0, F.lit(0)
@@ -2331,7 +2335,9 @@ def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     it and keep only the sketch.  CMS guarantees cms_est >= exact_n;
     equality whenever no heavier token collides in all 4 rows.  Streaming
     twin: streaming_cms_counts (elementwise-add merge, same recipe)."""
-    docs = load_table(spark, sf, "documents")
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     toks = docs.select(
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
@@ -2413,7 +2419,10 @@ def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     compact aggregate is lazily checkpointed (the packing recipe) and
     feeds both rollups — per-bucket token sums and first-bucket type
     counts — over vocabulary-sized data; the running totals are windows
-    over the |buckets|-row domain."""
+    over the |buckets|-row domain.  No parallelism spread here: the
+    explode feeds a partial-agg shuffle immediately, so a pre-shuffle of
+    the raw text costs more than it buys (measured 0.61s vs 0.92s at
+    sf0.1)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf, "documents")
