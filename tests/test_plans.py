@@ -339,3 +339,41 @@ def test_sequence_pack_single_full_width_shuffle(spark, sf_dir):
     # per-seq rollup only — the formatted tree shows exactly one exchange
     # whose input is NOT an aggregate or a tiny window (checked by shuffle
     # budget above; the hard cap is what survives refactors)
+
+
+def test_token_count_modes_stays_codegen(spark, sf_dir):
+    """Three-way token accounting is a pure projection: no shuffle beyond
+    the parallelism spread of the single-row-group test input, and the
+    regex work runs inside whole-stage codegen."""
+    df = entry_mod.q_token_count_modes(spark, sf_dir)
+    assert plans.count_shuffles(df) <= 1, plans.formatted_plan(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed, executed
+
+
+def test_mixture_weights_broadcasts_totals(spark, sf_dir):
+    """The 1-row totals come back via broadcast; the only data-sized work
+    is the per-source partial-aggregated token sum."""
+    df = entry_mod.q_mixture_weights(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # source agg + totals agg exchanges only (plus optional AQE coalesce)
+    assert plans.count_shuffles(df) <= 3, plan
+
+
+def test_quantile_sketch_shuffles_sketch_not_data(spark, sf_dir):
+    """The histogram aggregation pre-reduces map-side: the exchange
+    carries (source, bin) partials — sketch-sized — and the quantile
+    read-off windows run on that aggregate."""
+    df = entry_mod.q_quantile_sketch(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert plans.count_shuffles(df) <= 3, plan
+
+
+def test_cms_probe_joins_broadcast_sketch(spark, sf_dir):
+    """The 4x256-counter sketch broadcasts to the 10-row probe side —
+    no data-sized join input ever shuffles for the estimate."""
+    df = entry_mod.q_cms_token_counts(spark, sf_dir)
+    assert plans.has_broadcast_join(df), plans.formatted_plan(df)
