@@ -56,6 +56,8 @@ SCALE_QUERIES = [
     ("vocab_growth", "documents"),
     ("shard_assignment", "documents"),
     ("cms_token_counts", "documents"),
+    ("token_count_modes", "documents"),
+    ("mixture_weights", "documents"),
 ]
 
 
