@@ -1094,3 +1094,59 @@ def test_streaming_cms_matches_oneshot(spark, tmp_path, sf_dir):
         assert r.cms_est == cms_estimate(ref[src], probe), (src, probe)
         assert r.cms_est >= exact[src][probe]  # CMS upper-bound contract
         assert r.n_seen == sum(exact[src].values())
+
+
+def test_join_checkpoint_restart_exactness(spark, tmp_path):
+    """Kill-and-resume exactness: the symmetric join processes the fixture
+    split across TWO separate query instances sharing one checkpoint (a
+    planned restart between micro-batches), and the recovered state must
+    continue the emission trace exactly — final output equals the batch
+    trace oracle over the full input, with no duplicates (file-sink
+    exactly-once across the restart included)."""
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/cars", exist_ok=True)
+    spark.createDataFrame(CAR_ROWS, CAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{tmp}/cars")
+    cars_stream = read_stream(
+        spark, "parquet", f"{tmp}/cars",
+        schema=spark.createDataFrame([], CAR_SCHEMA).schema,
+    )
+    moves = car_move_detection(cars_stream)
+    q1 = write_stream(
+        moves, "parquet", f"{tmp}/through", checkpoint=f"{tmp}/cp1",
+        query_name="rst_moves",
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    through = spark.read.parquet(f"{tmp}/through")
+    zones_df = spark.createDataFrame(ZONE_ROWS, ZONE_SCHEMA)
+    tagged_df = tag_car_moves(through).unionByName(tag_zone_events(zones_df))
+    tagged_all = tagged_df.collect()
+    schema = tagged_df.schema
+    # split respecting global seq order, so the batch trace oracle stays
+    # the valid expectation for the concatenated processing
+    lo = [r for r in tagged_all if r.seq <= 3]
+    hi = [r for r in tagged_all if r.seq > 3]
+    src, out = f"{tmp}/tagged", f"{tmp}/out"
+    os.makedirs(src, exist_ok=True)
+    for chunk in (lo, hi):  # each chunk: a fresh query on the same checkpoint
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = read_stream(spark, "parquet", src, schema=schema)
+        q = write_stream(
+            symmetric_one_to_many_join(stream), "parquet", path=out,
+            checkpoint=f"{tmp}/cp2", trigger_available_now=True,
+            query_name="rst_join",
+        )
+        q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    cars_df = spark.createDataFrame(CAR_ROWS, CAR_SCHEMA).withColumnRenamed(
+        "to_zone_id", "zone_id"
+    )
+    trace = sorted(
+        tuple(r) for r in one_to_many_join_trace(cars_df, zones_df).collect()
+    )
+    assert got == trace == sorted(EXPECTED)
