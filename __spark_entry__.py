@@ -2257,6 +2257,68 @@ def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sequence_pack_text(spark: SparkSession, sf: str) -> DataFrame:
+    """The MATERIALIZED form of sequence_pack: per training sequence, the
+    newline-joined document text (witnessed by md5 + length so the
+    driver's result stays compact while pinning every byte and the join
+    order).  This is the shuffle a real packing run pays — the text moves
+    exactly once, keyed by its sequence — and the in-sequence order is
+    made deterministic with array_sort over (doc_id, text) structs, not
+    collect_list order luck."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    packed = pack_sequences(docs, budget=512, bucket_size=128)
+    with_text = packed.join(docs.select("doc_id", "text"), "doc_id")
+    return (
+        with_text.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(doc_id, text))),"
+                " s -> s.text), '\\n')"
+            ).alias("_packed"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            F.md5("_packed").alias("packed_md5"),
+            F.length("_packed").cast("bigint").alias("packed_chars"),
+        )
+    )
+
+
+def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation verdicts — the composition a real pipeline
+    runs, as one pass: each doc gets its FIRST failing rule in priority
+    order (non_english → too_short → no_stopwords) or 'kept', rolled up
+    to (verdict, n_docs, total_tokens).  Pure codegen classification plus
+    a 4-row aggregate; no rule needs a second scan."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    n_tok = F.size(toks).cast("bigint")
+    has_stop = F.expr(
+        "size(filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0), "
+        "t -> array_contains(array('the','a','and','of','to'), t))) > 0"
+    )
+    verdict = (
+        F.when(F.col("lang") != "en", F.lit("non_english"))
+        .when(n_tok < 30, F.lit("too_short"))
+        .when(~has_stop, F.lit("no_stopwords"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select(verdict.alias("verdict"), n_tok.alias("n_tokens"))
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def q_token_count_modes(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document token counts under the three standard definitions a
     curation pipeline budgets with: whitespace tokens, alphanumeric-run
@@ -2581,9 +2643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round rotate to the back, where falling past the cap loses nothing.
     # Rotate per round.
     #
-    # r06 state: 8 new queries (never checked) + 49 whose newest green is
-    # r04 = 57 candidates for 50 slots — seven r04 entries must overflow
-    # (see the marked block at the end of the stale section).
+    # r06 state: 10 new queries (never checked) + 49 whose newest green
+    # is r04 = 59 candidates for 50 slots — nine r04 entries must
+    # overflow (see the marked block at the end of the stale section).
     return {
         # --- new this round (never driver-checked) ---
         "sequence_pack": q_sequence_pack,
@@ -2594,13 +2656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": q_cms_token_counts,
         "token_count_modes": q_token_count_modes,
         "mixture_weights": q_mixture_weights,
+        "sequence_pack_text": q_sequence_pack_text,
+        "curation_funnel": q_curation_funnel,
         # --- newest green row is r04 (oldest — re-check now) ---
         "discounted_revenue": q_discounted_revenue,
         "late_shipment_priority": q_late_shipment_priority,
         "brand_price_rank": q_brand_price_rank,
         "token_entropy": q_token_entropy,
         "zipf_slope": q_zipf_slope,
-        "acctbal_zscore": q_acctbal_zscore,
         "order_gap_days": q_order_gap_days,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -2610,7 +2673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_percentiles": q_source_percentiles,
         "ann_topk_ivf": q_ann_topk_ivf,
         "bigram_pmi": q_bigram_pmi,
-        "length_quartiles": q_length_quartiles,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
         "posting_lists": q_posting_lists,
@@ -2637,16 +2699,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
         "incremental_snapshot": q_incremental_snapshot,
-        # --- positions 51-57: the documented overflow victims (8 new +
-        # 49 r04-stale = 57 candidates for 50 slots).  All seven are
+        # --- positions 51-59: the documented overflow victims (10 new +
+        # 49 r04-stale = 59 candidates for 50 slots).  All nine are
         # per-row projections or small aggregations fully pinned by the
         # local suite (dedup_exact additionally by the batch==streaming
         # equivalence test), so one extra round of driver staleness costs
-        # the least.  They go FIRST in r07's ordering. ---
+        # the least.  They go FIRST in r07's ordering.
+        #
+        # Structural note: above 100 queries a 50-row cap means a 2-round
+        # green window cannot cover everything — the rotation is now a
+        # 3-round cycle, and this overflow block is the managed tail. ---
         "string_normalize": q_string_normalize,
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         "simhash": q_simhash,
+        "length_quartiles": q_length_quartiles,
+        "acctbal_zscore": q_acctbal_zscore,
         "doc_fingerprint": q_doc_fingerprint,
         "text_stats": q_text_stats,
         "token_count_by_lang": q_token_count_by_lang,
@@ -3738,6 +3806,43 @@ def oracle_sql() -> dict[str, str]:
                                / len({tok})::DOUBLE
                           ELSE 0.0 END, 6) AS type_token_ratio
         FROM documents
+    """
+    d["sequence_pack_text"] = f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   len({tok})::BIGINT AS n_tokens FROM documents
+        ), c AS (
+            SELECT doc_id, text,
+                   COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start_offset
+            FROM t
+        ), assigned AS (
+            SELECT (start_offset // 512 + 1)::BIGINT AS seq_id, doc_id, text
+            FROM c
+        )
+        SELECT seq_id, count(*)::BIGINT AS n_docs,
+               md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5,
+               length(string_agg(text, chr(10) ORDER BY doc_id))::BIGINT
+                   AS packed_chars
+        FROM assigned GROUP BY seq_id
+    """
+    d["curation_funnel"] = f"""
+        WITH v AS (
+            SELECT CASE
+                     WHEN lang <> 'en' THEN 'non_english'
+                     WHEN len({tok}) < 30 THEN 'too_short'
+                     WHEN len(list_filter({tok},
+                          t -> list_contains(['the','a','and','of','to'], t)))
+                          = 0 THEN 'no_stopwords'
+                     ELSE 'kept'
+                   END AS verdict,
+                   len({tok})::BIGINT AS n_tokens
+            FROM documents
+        )
+        SELECT verdict, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens
+        FROM v GROUP BY verdict
     """
     d["token_count_modes"] = """
         SELECT doc_id,

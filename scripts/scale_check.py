@@ -58,6 +58,8 @@ SCALE_QUERIES = [
     ("cms_token_counts", "documents"),
     ("token_count_modes", "documents"),
     ("mixture_weights", "documents"),
+    ("sequence_pack_text", "documents"),
+    ("curation_funnel", "documents"),
 ]
 
 
