@@ -2295,13 +2295,18 @@ def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     runs, as one pass: each doc gets its FIRST failing rule in priority
     order (non_english → too_short → no_stopwords) or 'kept', rolled up
     to (verdict, n_docs, total_tokens).  Pure codegen classification plus
-    a 4-row aggregate; no rule needs a second scan."""
+    a 4-row aggregate; no rule needs a second scan.  The token array is
+    projected ONCE and both the count and the stop-word flag derive from
+    that column — codegen does not CSE across repeated regexp_extract_all
+    calls, so a single projection halves the per-row regex work."""
     docs = load_table(spark, sf, "documents")
-    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-    n_tok = F.size(toks).cast("bigint")
+    tokenized = docs.select(
+        "lang",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("_toks"),
+    )
+    n_tok = F.size("_toks").cast("bigint")
     has_stop = F.expr(
-        "size(filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0), "
-        "t -> array_contains(array('the','a','and','of','to'), t))) > 0"
+        "size(filter(_toks, t -> array_contains(array('the','a','and','of','to'), t))) > 0"
     )
     verdict = (
         F.when(F.col("lang") != "en", F.lit("non_english"))
@@ -2310,7 +2315,7 @@ def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     return (
-        docs.select(verdict.alias("verdict"), n_tok.alias("n_tokens"))
+        tokenized.select(verdict.alias("verdict"), n_tok.alias("n_tokens"))
         .groupBy("verdict")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2570,12 +2575,18 @@ def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: the shuffle is O(sources × 64) histogram rows with map-side
     partial counts — sketch-sized, not data-sized; `percentile()` by
-    contrast buffers every value per group."""
+    contrast buffers every value per group.
+
+    NULL n_chars rows are filtered out explicitly (in the oracle too):
+    Spark windows order NULL bins first while DuckDB orders them last,
+    and the streaming twin never counts nulls — without the filter the
+    recipe silently diverges on nullable inputs."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf, "documents")
     hist = (
-        docs.select(
+        docs.filter(F.col("n_chars").isNotNull())
+        .select(
             "source",
             F.expr("least(n_chars DIV 16, 63)").cast("int").alias("bin"),
         )
@@ -3958,7 +3969,7 @@ def oracle_sql() -> dict[str, str]:
         WITH h AS (
             SELECT source, least(n_chars // 16, 63)::INT AS bin,
                    count(*)::BIGINT AS cnt
-            FROM documents GROUP BY source, bin
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY source, bin
         ), c AS (
             SELECT source, bin, cnt,
                    (sum(cnt) OVER (PARTITION BY source ORDER BY bin

@@ -45,6 +45,11 @@ def write_stream(
     trigger_available_now: bool = False,
     **options: str,
 ) -> StreamingQuery:
+    if trigger_processing_time and trigger_available_now:
+        raise ValueError(
+            "trigger_processing_time and trigger_available_now are mutually "
+            "exclusive — a query has exactly one trigger"
+        )
     out = df
     if fmt == "kafka":
         out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))

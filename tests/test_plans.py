@@ -377,3 +377,13 @@ def test_cms_probe_joins_broadcast_sketch(spark, sf_dir):
     no data-sized join input ever shuffles for the estimate."""
     df = entry_mod.q_cms_token_counts(spark, sf_dir)
     assert plans.has_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_curation_funnel_tokenizes_once(spark, sf_dir):
+    """The funnel derives both the token count and the stop-word flag from
+    ONE projected token array — codegen does not CSE repeated
+    regexp_extract_all calls, so a second occurrence would double the
+    per-row regex work (the dominant cost at corpus scale)."""
+    df = entry_mod.q_curation_funnel(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("regexp_extract_all") == 1, plan

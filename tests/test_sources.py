@@ -161,3 +161,20 @@ def test_binary_file_feeds_multimodal_pipeline(spark, tmp_path):
     import hashlib
 
     assert meta["x.bin"].digest == hashlib.md5(payloads["x.bin"]).hexdigest()
+
+
+def test_write_stream_rejects_contradictory_triggers(spark, tmp_path):
+    """A streaming query has exactly one trigger: asking for both a
+    processing-time cadence and availableNow must fail loudly instead of
+    silently letting the later .trigger() call win."""
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.sources.readers import read_stream
+    from kafka_streams_one_to_many_join_spark.sources.writers import write_stream
+
+    stream = read_stream(spark, "rate", rowsPerSecond="1")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_stream(
+            stream, "memory", query_name="contradictory_triggers",
+            trigger_processing_time="1 second", trigger_available_now=True,
+        )

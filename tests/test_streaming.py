@@ -810,9 +810,39 @@ def _await_input_rows(q, seen, target, timeout=90):
     )
 
 
-def _ttl_scenario(spark, tmp_path, make_query, name, batches):
+def _await_cleanup_batch(q, horizon, timeout=60):
+    """Block until at least one ZERO-input micro-batch has committed after
+    wall-clock ``horizon``.
+
+    Timer-based TTL (ProcessingTimeTimeout) only fires hasTimedOut inside
+    a no-data cleanup batch; a key that next sees data before any idle
+    batch ran is handed its stale state instead.  A fixed sleep therefore
+    races the engine's idle-batch scheduler (flaky on slow CI) — the
+    deterministic wait is: let the horizon pass, snapshot the newest
+    batchId, then require a LATER batch with numInputRows == 0 (it
+    necessarily *started* after the horizon, so the timer fired)."""
+    while time.time() < horizon:
+        time.sleep(0.1)
+    base = max((p["batchId"] for p in q.recentProgress), default=-1)
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if any(
+            p["batchId"] > base and p["numInputRows"] == 0
+            for p in q.recentProgress
+        ):
+            return
+        time.sleep(0.2)
+    raise AssertionError("no post-horizon cleanup batch committed in time")
+
+
+def _ttl_scenario(spark, tmp_path, make_query, name, batches, cleanup_ttl_ms=None):
     """Write each batch, wait until it is processed, with a wall-clock gap
-    (>> any TTL under test) between batches; return the sink contents."""
+    (>> any TTL under test) between batches; return the sink contents.
+
+    With ``cleanup_ttl_ms`` set, the inter-batch gap additionally waits
+    for a committed no-data cleanup batch past the TTL horizon (see
+    _await_cleanup_batch) — required for timer-based expiry to have
+    actually fired before the next data batch arrives."""
     src = f"{tmp_path}/src_{name}"
     os.makedirs(src, exist_ok=True)
     stream = read_stream(
@@ -832,7 +862,13 @@ def _ttl_scenario(spark, tmp_path, make_query, name, batches):
             ).parquet(src)
             written += len(batch)
             _await_input_rows(q, seen, written)
-            time.sleep(1.5)  # real wall-clock gap >> the 400ms TTL
+            processed_at = time.time()
+            if cleanup_ttl_ms is not None:
+                _await_cleanup_batch(
+                    q, processed_at + cleanup_ttl_ms / 1000 + 0.3
+                )
+            else:
+                time.sleep(1.5)  # real wall-clock gap >> the 400ms TTL
         # one extra beat so the last batch's sink commit is visible
         time.sleep(0.5)
         return sorted(
@@ -859,7 +895,7 @@ def test_join_state_ttl_expires_silent_zones(spark, tmp_path):
     assert forever == [(1, 100, 10.0, 50.0), (2, 100, 20.0, 50.0)]
     expiring = _ttl_scenario(
         spark, tmp_path, lambda st: symmetric_one_to_many_join(st, ttl_ms=400),
-        "ttl_on", batches,
+        "ttl_on", batches, cleanup_ttl_ms=400,
     )
     assert expiring == [(1, 100, 10.0, 50.0)]
 
