@@ -347,6 +347,30 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60  # 4 bands × 15 bits; fits BIGINT in every engine
 
 
+def simhash_token_hash_expr(toks_expr: str) -> str:
+    """SQL expr: distinct tokens of ``toks_expr`` (an array expression) →
+    array of 60-bit md5-prefix token hashes.  Shared by simhash_buckets
+    and the consolidated doc-profile query so the hash recipe has exactly
+    one definition."""
+    return (
+        "transform(array_distinct({t}), t -> "
+        "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    ).format(t=toks_expr)
+
+
+def simhash_majority_expr(th_col: str) -> str:
+    """SQL expr: per-bit majority vote over a MATERIALIZED hash-array
+    column → the 60-bit simhash.  ``th_col`` must be a plain column
+    reference (not the transform expression itself): the vote reads the
+    array 120×, so inlining the hash computation would re-hash every
+    token 120×."""
+    return (
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, b) -> acc + "
+        f"if(size(filter({th_col}, v -> pmod(shiftright(v, b), 2) = 1)) * 2 > size({th_col}), "
+        "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+    )
+
+
 def simhash_buckets(
     docs: DataFrame,
     text_col: str = "text",
@@ -362,23 +386,16 @@ def simhash_buckets(
     """
     # Materialize per-token hashes once via codegen'd conv (no per-nibble
     # lambda), THEN take the majority votes over the materialized array —
-    # inlining would re-hash every token 120×.
+    # see simhash_majority_expr on why inlining would re-hash 120×.
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
-    tok_hash = (
-        "transform(array_distinct({t}), t -> "
-        "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
-    ).format(t=_tokens(text_col))
     hashed = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"), F.expr(tok_hash).alias("_th")
+        F.col(id_col).alias("doc_id"),
+        F.expr(simhash_token_hash_expr(_tokens(text_col))).alias("_th"),
     )
-    # for each bit position: count tokens with that bit set, majority vote
-    sim = (
-        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, b) -> acc + "
-        "if(size(filter(_th, v -> pmod(shiftright(v, b), 2) = 1)) * 2 > size(_th), "
-        "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+    return hashed.select(
+        "doc_id", F.expr(simhash_majority_expr("_th")).alias("simhash")
     )
-    return hashed.select("doc_id", F.expr(sim).alias("simhash"))
 
 
 def simhash_near_dup_pairs(

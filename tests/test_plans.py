@@ -14,7 +14,9 @@ from kafka_streams_one_to_many_join_spark.operators import latest_by_key, one_to
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    df = entry_mod.q_filter_nonnull(spark, sf_dir)
+    """O8's null-guard + threshold predicate reaches the parquet scan even
+    through the O9 union (Catalyst pushes the filter into BOTH branches)."""
+    df = entry_mod.q_union_filter(spark, sf_dir)
     pushed = plans.pushed_filters(df)
     assert "IsNotNull" in pushed and "GreaterThan" in pushed, pushed
 
@@ -98,9 +100,10 @@ def test_near_dup_broadcasts_not_shuffles(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
 
 
-def test_props_extract_pushes_projection(spark, sf_dir):
-    """JSON extraction reads only (event_id, props) from the scan."""
-    df = entry_mod.q_props_extract(spark, sf_dir)
+def test_props_surface_pushes_projection(spark, sf_dir):
+    """JSON extraction + map explode reads only (event_id, props) from
+    the scan."""
+    df = entry_mod.q_props_surface(spark, sf_dir)
     schema = plans.scan_read_schema(df)
     assert "props" in schema and "value" not in schema, schema
 
@@ -387,3 +390,18 @@ def test_curation_funnel_tokenizes_once(spark, sf_dir):
     df = entry_mod.q_curation_funnel(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert plan.count("regexp_extract_all") == 1, plan
+
+
+def test_doc_profile_single_scan_single_shuffle(spark, sf_dir):
+    """The consolidated per-doc profile reads and tokenizes the corpus
+    exactly once (the five standalone queries it replaced scanned it five
+    times) and its only exchange is the per-source ntile window."""
+    import re
+
+    df = entry_mod.q_doc_profile(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # formatted output names each node once in the tree and once in the
+    # details section — count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert plan.count("regexp_extract_all") == 1, plan
+    assert plans.count_shuffles(df) <= 1, plan
