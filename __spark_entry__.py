@@ -781,15 +781,48 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal audio plumbing: mapInPandas decode (deterministic stub)."""
-    docs = load_table(spark, sf, "documents")
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("audio").alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+def _synth_assets(spark: SparkSession, sf: str, media_type: str) -> DataFrame:
+    """Per-document REAL binary payloads (WAV/PCM16 or PPM), synthesized
+    deterministically from doc_id in a first mapInPandas stage so the
+    decode stage receives genuine container bytes through Arrow — the
+    same two-hop (producer → binary column → decoder) shape a real
+    ingestion pipeline has."""
+    import pandas as pd
+
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        synth_ppm_payload,
+        synth_wav_payload,
     )
-    return extract_audio_features(assets)
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    synth = synth_wav_payload if media_type == "audio" else synth_ppm_payload
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": media_type,
+                    "payload": [synth(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return ensure_parallelism(docs).mapInPandas(
+        gen, schema="asset_id bigint, media_type string, payload binary"
+    )
+
+
+def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode: WAV/PCM16 payloads synthesized per doc (genuine
+    RIFF bytes, closed-form samples), then parsed by the stdlib
+    wave/struct decoder in a second mapInPandas stage.  The oracle
+    computes the same exact-integer amplitude stats from the closed-form
+    formula in SQL — the hashes only agree because the decoder truly
+    parsed the bytes."""
+    return extract_audio_features(_synth_assets(spark, sf, "audio"))
 
 
 def q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
@@ -1396,15 +1429,12 @@ def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal image plumbing: mapInPandas decode (deterministic stub)
-    over fabricated image assets."""
-    docs = load_table(spark, sf, "documents")
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("image").alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-    )
-    return extract_image_features(assets)
+    """REAL image decode: binary-PPM (P6) payloads synthesized per doc
+    (genuine header + RGB plane, closed-form bytes), then parsed by the
+    stdlib PPM decoder in a second mapInPandas stage.  The oracle
+    computes width/height/byte-count and exact per-channel sums from the
+    closed-form formula in SQL."""
+    return extract_image_features(_synth_assets(spark, sf, "image"))
 
 
 def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -3523,37 +3553,44 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(0.35, bucketed=False, subset_mod=4),
         "embedding_near_dup_lsh": _near_dup_sql(0.35, bucketed=True),
         "audio_features": """
-            WITH h AS (
+            WITH m AS (
                 SELECT doc_id AS asset_id,
-                       coalesce(list_sum(list_transform(
-                           generate_series(1, least(16, length(text))),
-                           i -> ord(substr(text, i, 1)))), 0)::BIGINT AS hv
-                FROM documents
-            ), m AS (
-                SELECT asset_id,
-                       (CASE hv % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                              WHEN 2 THEN 22050 WHEN 3 THEN 44100
                              ELSE 48000 END)::INTEGER AS sample_rate,
-                       (1000 + (hv * 37) % 100000)::BIGINT AS n_samples
-                FROM h
+                       (64 + doc_id % 129)::BIGINT AS n_samples
+                FROM documents
+            ), s AS (
+                SELECT asset_id, sample_rate, n_samples,
+                       list_transform(range(n_samples),
+                           i -> abs((asset_id * 2654435761 + i * 40503) % 65536
+                                    - 32768)) AS av
+                FROM m
             )
-            SELECT asset_id, sample_rate, n_samples,
-                   n_samples::DOUBLE / sample_rate AS duration_s
-            FROM m
+            SELECT asset_id, sample_rate, 1::INTEGER AS n_channels, n_samples,
+                   (44 + 2 * n_samples)::BIGINT AS n_bytes,
+                   list_sum(av)::BIGINT AS sum_abs,
+                   list_max(av)::INTEGER AS peak
+            FROM s
         """,
     }
     d["image_features"] = """
-        WITH h AS (
+        WITH m AS (
             SELECT doc_id AS asset_id,
-                   coalesce(list_sum(list_transform(
-                       generate_series(1, least(16, length(text))),
-                       i -> ord(substr(text, i, 1)))), 0)::BIGINT AS hv,
-                   octet_length(encode(text))::BIGINT AS n_bytes
+                   (4 + doc_id % 13)::INTEGER AS width,
+                   (3 + doc_id % 7)::INTEGER AS height
             FROM documents
         )
-        SELECT asset_id, (64 + hv % 256)::INTEGER AS width,
-               (64 + (hv // 7) % 256)::INTEGER AS height, n_bytes
-        FROM h
+        SELECT asset_id, width, height,
+               (3 + length(width::VARCHAR) + 1 + length(height::VARCHAR) + 1
+                + 4 + width * height * 3)::BIGINT AS n_bytes,
+               list_sum(list_transform(range(width * height),
+                   p -> (asset_id * 31 + (3 * p + 0) * 7) % 256))::BIGINT AS sum_r,
+               list_sum(list_transform(range(width * height),
+                   p -> (asset_id * 31 + (3 * p + 1) * 7) % 256))::BIGINT AS sum_g,
+               list_sum(list_transform(range(width * height),
+                   p -> (asset_id * 31 + (3 * p + 2) * 7) % 256))::BIGINT AS sum_b
+        FROM m
     """
     d["frame_sample"] = """
         SELECT asset_id,

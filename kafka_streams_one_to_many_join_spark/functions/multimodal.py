@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-The container has no image/audio codecs, so the *decode* steps are stubs
-(deterministic fakes or NotImplementedError), but every piece of Spark
-plumbing around them is real and tested: the asset schema, the binary
-column handling, partition-sized Arrow batching through mapInPandas, and
-the metadata projections that stay JVM-side.
+The decode steps for container formats that need no codec library are
+REAL stdlib decoders: WAV/PCM16 via ``wave`` + ``struct`` and binary PPM
+(P6) via header parsing — actual bytes are parsed, not faked.  Formats
+that genuinely need a codec library (JPEG, MP3, H.264 frames) stay
+behind mapInPandas seams where a real deployment drops in
+PIL/soundfile/ffmpeg; the Spark plumbing (asset schema, binary columns,
+Arrow batching) is identical either way.
 
 Scale notes: binary payloads ride the same columnar parquet path as
 everything else; metadata-only queries never deserialize the payload
@@ -16,7 +18,10 @@ time — memory is bounded by batch size, not partition size, via
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import io
+import struct
+import wave
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,24 +57,53 @@ def asset_metadata(assets: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """Stand-in for a real image decoder (no codec libs in this container).
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6) encoder: the simplest real raster container —
+    ASCII header (magic, dimensions, maxval) + raw RGB bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(pixels)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
-    Deterministic fake: derives a (width, height) from the payload bytes so
-    tests are reproducible.  A real deployment swaps this single function
-    for PIL/opencv; the Spark plumbing around it is unchanged.
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL binary-PPM (P6) decoder, stdlib only: parses the ASCII header
+    and the raw RGB plane.
+
+    Returns (width, height, sum_r, sum_g, sum_b) — exact integer channel
+    sums so downstream comparisons are bit-reproducible across engines.
     """
-    if payload is None:
-        raise NotImplementedError("real image decoding needs a codec library")
-    h = sum(payload[:16]) if payload else 0
-    return (64 + h % 256, 64 + (h // 7) % 256)
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raw pixels
+    width, height, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    pixels = payload[pos : pos + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated PPM pixel plane")
+    sums = [0, 0, 0]
+    for i, b in enumerate(pixels):
+        sums[i % 3] += b
+    return (width, height, sums[0], sums[1], sums[2])
 
 
 def extract_image_features(assets: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
-    """Decode-and-measure pipeline: mapInPandas over Arrow batches.
+    """Decode-and-measure pipeline: mapInPandas over Arrow batches, real
+    PPM decoding inside.
 
-    Output: (asset_id, width, height, n_bytes).  The decode is the stub
-    above; the batching, schema, and partitioning are the real article.
+    Output: (asset_id, width, height, n_bytes, sum_r, sum_g, sum_b).
+    Memory is bounded by Arrow batch size; the payload column is pruned
+    away for any downstream query not using it.
     """
     import pandas as pd
 
@@ -77,13 +111,16 @@ def extract_image_features(assets: DataFrame, batch_size_hint: int = 1024) -> Da
         for pdf in batches:
             if pdf.empty:
                 continue
-            dims = [decode_image_stub(p) for p in pdf["payload"]]
+            decoded = [decode_ppm(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sum_r": [d[2] for d in decoded],
+                    "sum_g": [d[3] for d in decoded],
+                    "sum_b": [d[4] for d in decoded],
                 }
             )
 
@@ -92,7 +129,11 @@ def extract_image_features(assets: DataFrame, batch_size_hint: int = 1024) -> Da
     return ensure_parallelism(
         assets.filter(F.col("media_type") == "image")
     ).mapInPandas(
-        decode_batches, schema="asset_id bigint, width int, height int, n_bytes bigint"
+        decode_batches,
+        schema=(
+            "asset_id bigint, width int, height int, n_bytes bigint, "
+            "sum_r bigint, sum_g bigint, sum_b bigint"
+        ),
     )
 
 
@@ -116,26 +157,89 @@ def sample_frames_stub(assets: DataFrame, every_nth: int = 10) -> DataFrame:
     )
 
 
-def decode_audio_stub(payload: bytes) -> tuple[int, int]:
-    """Stand-in for a real audio decoder (no codec libs in this container).
+_WAV_RATES = (8000, 16000, 22050, 44100, 48000)
 
-    Deterministic fake (sample_rate, n_samples) derived from the payload
-    so tests reproduce; swap for soundfile/librosa in deployment — the
-    mapInPandas plumbing is identical.
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Deterministic WAV fixture for ``doc_id``: REAL RIFF/PCM16 bytes
+    whose decoded stats are a closed-form function of the id, so a SQL
+    oracle can compute the expected (rate, count, sum|x|, max|x|) without
+    ever seeing the binary — proving the decoder actually parsed it.
+
+    Formula (mirrored in the audio_features oracle SQL):
+      sample_rate = _WAV_RATES[doc_id % 5]
+      n_samples   = 64 + doc_id % 129
+      sample[i]   = ((doc_id * 2654435761 + i * 40503) % 65536) - 32768
+    """
+    n = 64 + doc_id % 129
+    samples = [
+        ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 for i in range(n)
+    ]
+    return encode_wav_pcm16(samples, _WAV_RATES[doc_id % 5])
+
+
+def synth_ppm_payload(doc_id: int) -> bytes:
+    """Deterministic PPM (P6) fixture for ``doc_id``: real header + RGB
+    plane from a closed-form byte formula (mirrored in the
+    image_features oracle SQL):
+      width  = 4 + doc_id % 13
+      height = 3 + doc_id % 7
+      byte[idx] = (doc_id * 31 + idx * 7) % 256   for idx in [0, w*h*3)
+    """
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    pixels = bytes((doc_id * 31 + idx * 7) % 256 for idx in range(w * h * 3))
+    return encode_ppm(w, h, pixels)
+
+
+def encode_wav_pcm16(samples: Sequence[int], sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV encoder via the stdlib ``wave`` module: the
+    standard 44-byte RIFF/fmt/data header plus little-endian int16
+    frames."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL WAV decoder, stdlib only: ``wave`` parses the RIFF container,
+    ``struct`` unpacks the PCM16 frames.
+
+    Returns (sample_rate, n_channels, n_samples, sum_abs, peak) — exact
+    integer amplitude stats (sum of |sample| and max |sample|) so
+    downstream comparisons are bit-reproducible across engines.
     """
     if payload is None:
-        raise NotImplementedError("real audio decoding needs a codec library")
-    h = sum(payload[:16]) if payload else 0
-    rates = (8000, 16000, 22050, 44100, 48000)
-    return (rates[h % len(rates)], 1000 + (h * 37) % 100000)
+        raise ValueError("NULL payload is not a WAV stream")
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"only PCM16 supported, width={w.getsampwidth()}")
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    values = struct.unpack(f"<{n_frames * n_channels}h", raw)
+    abs_vals = [abs(v) for v in values]
+    return (
+        sample_rate,
+        n_channels,
+        n_frames,
+        sum(abs_vals),
+        max(abs_vals) if abs_vals else 0,
+    )
 
 
 def extract_audio_features(assets: DataFrame) -> DataFrame:
-    """Audio decode-and-measure: mapInPandas over Arrow batches.
+    """Audio decode-and-measure: mapInPandas over Arrow batches, real
+    WAV/PCM16 decoding inside.
 
-    Output: (asset_id, sample_rate, n_samples, duration_s).  Same scale
-    contract as extract_image_features: memory bounded by Arrow batch
-    size, payload column pruned for any downstream query not using it.
+    Output: (asset_id, sample_rate, n_channels, n_samples, n_bytes,
+    sum_abs, peak).  Same scale contract as extract_image_features:
+    memory bounded by Arrow batch size, payload column pruned for any
+    downstream query not using it.
     """
     import pandas as pd
 
@@ -143,15 +247,16 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [decode_audio_stub(p) for p in pdf["payload"]]
-            rates = [f[0] for f in feats]
-            samples = [f[1] for f in feats]
+            decoded = [decode_wav_pcm16(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "sample_rate": rates,
-                    "n_samples": samples,
-                    "duration_s": [s / r for s, r in zip(samples, rates)],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "n_samples": [d[2] for d in decoded],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sum_abs": [d[3] for d in decoded],
+                    "peak": [d[4] for d in decoded],
                 }
             )
 
@@ -161,5 +266,8 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
         assets.filter(F.col("media_type") == "audio")
     ).mapInPandas(
         decode_batches,
-        schema="asset_id bigint, sample_rate int, n_samples bigint, duration_s double",
+        schema=(
+            "asset_id bigint, sample_rate int, n_channels int, "
+            "n_samples bigint, n_bytes bigint, sum_abs bigint, peak int"
+        ),
     )

@@ -17,7 +17,8 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
 )
 from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     asset_metadata,
-    decode_audio_stub,
+    encode_ppm,
+    encode_wav_pcm16,
     extract_audio_features,
     extract_image_features,
     sample_frames_stub,
@@ -116,11 +117,15 @@ def test_lsh_topk_subset_of_exact(spark):
         assert abs(exact_sims[(r.query_id, r.vec_id)] - r.sim) < 1e-9
 
 
+_PPM_1 = encode_ppm(2, 2, bytes(range(12)))  # pixels 0..11
+_PPM_2 = encode_ppm(3, 1, bytes([255] * 9))
+
+
 def _assets(spark):
     return spark.createDataFrame(
         [
-            (1, "image", bytearray(b"\x89PNG fake payload 1"), None),
-            (2, "image", bytearray(b"\x89PNG other payload"), None),
+            (1, "image", bytearray(_PPM_1), None),
+            (2, "image", bytearray(_PPM_2), None),
             (3, "video", bytearray(b"\x00" * 4096), None),
         ],
         "asset_id long, media_type string, payload binary, meta_json string",
@@ -129,16 +134,22 @@ def _assets(spark):
 
 def test_asset_metadata(spark):
     out = {r.asset_id: (r.n_bytes, r.digest) for r in asset_metadata(_assets(spark)).collect()}
-    assert out[1][0] == 19 and len(out[1][1]) == 32
+    assert out[1][0] == len(_PPM_1) and len(out[1][1]) == 32
     assert out[1][1] != out[2][1]
 
 
-def test_extract_image_features_deterministic(spark):
-    a = extract_image_features(_assets(spark)).orderBy("asset_id").collect()
-    b = extract_image_features(_assets(spark)).orderBy("asset_id").collect()
-    assert [tuple(r) for r in a] == [tuple(r) for r in b]
-    assert len(a) == 2  # only media_type == image
-    assert all(64 <= r.width <= 320 and 64 <= r.height <= 320 for r in a)
+def test_extract_image_features_decodes_real_ppm(spark):
+    """The decoder parses genuine P6 bytes: dimensions come from the
+    header, channel sums from the RGB plane (exact integers)."""
+    out = {r.asset_id: r for r in extract_image_features(_assets(spark)).collect()}
+    assert set(out) == {1, 2}  # only media_type == image
+    r1 = out[1]
+    assert (r1.width, r1.height, r1.n_bytes) == (2, 2, len(_PPM_1))
+    # pixels 0..11: R bytes 0,3,6,9; G 1,4,7,10; B 2,5,8,11
+    assert (r1.sum_r, r1.sum_g, r1.sum_b) == (18, 22, 26)
+    r2 = out[2]
+    assert (r2.width, r2.height) == (3, 1)
+    assert (r2.sum_r, r2.sum_g, r2.sum_b) == (765, 765, 765)
 
 
 def test_sample_frames_only_video(spark):
@@ -198,21 +209,52 @@ def test_seeded_planes_deterministic():
     assert seeded_planes(4, 8, seed=8) != a
 
 
-def test_extract_audio_features_matches_stub(spark):
-    payloads = [b"abc 123 audio bytes", b"x", b"longer payload exceeding sixteen bytes"]
+def test_extract_audio_features_decodes_real_wav(spark):
+    """Round trip: encode known PCM16 samples with the stdlib wave
+    module, decode through the Spark pipeline, recover the exact
+    amplitude stats."""
+    samples = [0, 1000, -32768, 32767, -1]
+    wav = encode_wav_pcm16(samples, 22050)
     rows = [
-        (i, "audio", bytearray(p), None) for i, p in enumerate(payloads)
-    ] + [(99, "image", bytearray(b"not audio"), None)]
+        (0, "audio", bytearray(wav), None),
+        (1, "audio", bytearray(encode_wav_pcm16([5], 8000)), None),
+        (99, "image", bytearray(_PPM_1), None),
+    ]
     assets = spark.createDataFrame(
         rows, "asset_id long, media_type string, payload binary, meta_json string"
     )
     out = {r.asset_id: r for r in extract_audio_features(assets).collect()}
-    assert set(out) == {0, 1, 2}  # image row filtered out
-    for i, p in enumerate(payloads):
-        rate, n = decode_audio_stub(p)
-        assert out[i].sample_rate == rate
-        assert out[i].n_samples == n
-        assert out[i].duration_s == n / rate
+    assert set(out) == {0, 1}  # image row filtered out
+    r0 = out[0]
+    assert (r0.sample_rate, r0.n_channels, r0.n_samples) == (22050, 1, 5)
+    assert r0.n_bytes == 44 + 2 * 5  # standard RIFF/fmt/data header
+    assert r0.sum_abs == 0 + 1000 + 32768 + 32767 + 1
+    assert r0.peak == 32768
+    assert (out[1].sample_rate, out[1].n_samples, out[1].sum_abs) == (8000, 1, 5)
+
+
+def test_synth_payloads_follow_documented_formula():
+    """The fixture synthesizers and the real decoders agree with the
+    closed-form formulas the oracle SQL mirrors — pure Python, no Spark."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
+
+    for doc_id in (0, 7, 128, 5001):
+        rate, ch, n, sum_abs, peak = decode_wav_pcm16(synth_wav_payload(doc_id))
+        exp = [abs(((doc_id * 2654435761 + i * 40503) % 65536) - 32768)
+               for i in range(64 + doc_id % 129)]
+        assert (ch, n) == (1, len(exp))
+        assert rate == (8000, 16000, 22050, 44100, 48000)[doc_id % 5]
+        assert (sum_abs, peak) == (sum(exp), max(exp))
+
+        w, h, sr, sg, sb = decode_ppm(synth_ppm_payload(doc_id))
+        assert (w, h) == (4 + doc_id % 13, 3 + doc_id % 7)
+        px = [(doc_id * 31 + idx * 7) % 256 for idx in range(w * h * 3)]
+        assert (sr, sg, sb) == (sum(px[0::3]), sum(px[1::3]), sum(px[2::3]))
 
 
 def test_winnowing_shared_substring_shares_fingerprint(spark):
