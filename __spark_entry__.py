@@ -49,7 +49,11 @@ from kafka_streams_one_to_many_join_spark.functions.similarity import (
 from kafka_streams_one_to_many_join_spark.functions.text import (
     winnowing_fingerprints,
 )
-from kafka_streams_one_to_many_join_spark.functions.packing import pack_stats
+from kafka_streams_one_to_many_join_spark.functions.packing import (
+    pack_stats,
+    packing_efficiency,
+    token_chunks,
+)
 from kafka_streams_one_to_many_join_spark.model import load_table
 from kafka_streams_one_to_many_join_spark.operators import (
     apply_upserts,
@@ -2093,6 +2097,26 @@ def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping budget-32/stride-24 token chunks with deterministic
+    chunk ids — the RAG/context-window counterpart of sequence packing
+    (functions/packing.py:token_chunks).  Pure sequence/slice/posexplode
+    over the token array: one scan, no UDF, no shuffle (plan-asserted)."""
+    return token_chunks(
+        load_table(spark, sf, "documents"), budget=32, stride=24
+    )
+
+
+def q_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Padded-batch accounting across packing strategies at budget 512:
+    (strategy, n_seqs, pad_frac) for concat-and-chunk (splits, near-zero
+    pad), pad-each-doc (the no-packing upper bound), and the
+    first-fit-decreasing surrogate over length-sorted ids built on the
+    same prefix-sum skeleton (functions/packing.py:packing_efficiency).
+    Quantifies the choice sequence_pack made."""
+    return packing_efficiency(load_table(spark, sf, "documents"), budget=512)
+
+
 def q_sequence_pack_text(spark: SparkSession, sf: str) -> DataFrame:
     """The MATERIALIZED form of sequence_pack: per training sequence, the
     newline-joined document text (witnessed by md5 + length so the
@@ -2794,6 +2818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_splits": q_sample_splits,
         "monthly_orders_growth": q_monthly_orders_growth,
         "union_filter": q_union_filter,
+        "token_chunks": q_token_chunks,
+        "packing_efficiency": q_packing_efficiency,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
         "curation_funnel": q_curation_funnel,
@@ -4103,6 +4129,59 @@ def oracle_sql() -> dict[str, str]:
                round((revenue - lag(revenue) OVER w)
                      / lag(revenue) OVER w * 100.0, 6) AS pct_change
         FROM monthly WINDOW w AS (ORDER BY o_year, o_month)
+    """
+    d["token_chunks"] = f"""
+        WITH t AS (
+            SELECT doc_id, {tok} AS toks FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) <= 32 THEN 1
+                        ELSE (len(toks) - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+            FROM t
+        )
+        SELECT doc_id, (k - 1)::BIGINT AS chunk_no,
+               len(list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32))::BIGINT
+                   AS n_chunk_tokens,
+               md5(array_to_string(
+                   list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32), ' '))
+                   AS chunk_md5,
+               md5(doc_id::VARCHAR || ':' || (k - 1)::VARCHAR) AS chunk_id
+        FROM c, unnest(generate_series(1, n_chunks)) AS u(k)
+    """
+    d["packing_efficiency"] = f"""
+        WITH t AS (
+            SELECT doc_id AS id, len({tok})::BIGINT AS n FROM documents
+        ), tot AS (
+            SELECT sum(n)::BIGINT AS total,
+                   sum(greatest(1, (n + 511) // 512))::BIGINT AS ped_seqs
+            FROM t
+        ), cc AS (
+            SELECT 'concat_chunk' AS strategy,
+                   greatest(1, (total + 511) // 512)::BIGINT AS n_seqs,
+                   round((greatest(1, (total + 511) // 512) * 512 - total)::DOUBLE
+                         / (greatest(1, (total + 511) // 512) * 512), 6) AS pad_frac
+            FROM tot
+        ), ped AS (
+            SELECT 'pad_each_doc' AS strategy, ped_seqs AS n_seqs,
+                   round((ped_seqs * 512 - total)::DOUBLE / (ped_seqs * 512), 6)
+                       AS pad_frac
+            FROM tot
+        ), sp0 AS (
+            SELECT id, n,
+                   coalesce(sum(n) OVER (ORDER BY n DESC, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start
+            FROM t
+        ), seqs AS (
+            SELECT (start // 512) AS seq, sum(n)::BIGINT AS seq_tokens
+            FROM sp0 GROUP BY 1
+        ), sp AS (
+            SELECT 'sorted_prefix' AS strategy, count(*)::BIGINT AS n_seqs,
+                   round(sum(greatest(0, 512 - seq_tokens))::DOUBLE
+                         / (count(*) * 512), 6) AS pad_frac
+            FROM seqs
+        )
+        SELECT * FROM cc UNION ALL SELECT * FROM ped UNION ALL SELECT * FROM sp
     """
     d["union_filter"] = f"""
         SELECT seq, zone_id, value, side FROM (

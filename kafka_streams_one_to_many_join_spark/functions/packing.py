@@ -98,6 +98,160 @@ def pack_sequences(
     )
 
 
+def token_chunks(
+    docs: DataFrame,
+    budget: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/context-window
+    counterpart of ``pack_sequences`` (train side packs docs INTO windows;
+    the RAG/inference side splits docs into budget-``B`` windows every
+    ``stride`` tokens).
+
+    Chunk k (0-based) of a document covers tokens [k*stride, k*stride+budget).
+    Chunk count is the standard splitter rule: 1 if n <= budget, else
+    ceil((n - budget) / stride) + 1 — the last chunk may be short, and no
+    chunk starts after the previous one has already reached the end.
+    Empty documents produce one empty chunk, so every doc appears.
+
+    Output: (id, chunk_no, n_chunk_tokens, chunk_md5, chunk_id) — one row
+    per chunk, chunk_md5 over the space-joined window (the content
+    witness), chunk_id = md5(id:chunk_no) (the deterministic key a vector
+    store would index).
+
+    Scale: pure ``sequence``/``slice``/``posexplode`` over the token
+    array — one scan, zero shuffles, no UDF; output rows ≈ input tokens /
+    stride.  The transform materializes each window, so worst-case
+    amplification is budget/stride (the overlap factor a user chose).
+    """
+    if budget <= 0 or stride <= 0:
+        raise ValueError("budget and stride must be positive")
+    B, S = int(budget), int(stride)
+    n_chunks = (
+        f"case when size(_toks) <= {B} then 1 "
+        f"else (size(_toks) - {B} + {S} - 1) div {S} + 1 end"
+    )
+    windows = (
+        f"transform(sequence(1, {n_chunks}), "
+        f"k -> slice(_toks, (k - 1) * {S} + 1, {B}))"
+    )
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+        .select(F.col(id_col), F.posexplode(F.expr(windows)).alias("chunk_no", "_w"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_no").cast("bigint").alias("chunk_no"),
+            F.size("_w").cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.array_join("_w", " ")).alias("chunk_md5"),
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("chunk_no").cast("string"))
+            ).alias("chunk_id"),
+        )
+    )
+
+
+def packing_efficiency(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Padded-batch accounting that makes the packing-strategy choice
+    quantitative: (strategy, n_seqs, pad_frac) for three strategies over
+    the same corpus and budget ``B``.
+
+    - ``concat_chunk``: the ``pack_sequences`` model — the token stream
+      splits exactly at B boundaries, so n_seqs = ceil(total/B) and only
+      the final sequence pads.  Near-zero waste; its cost is split
+      documents, not padding.
+    - ``pad_each_doc``: the no-packing baseline — every doc is padded to
+      its own ceil(n/B) sequences (empty docs still occupy one).  The
+      upper bound a naive pipeline pays.
+    - ``sorted_prefix``: first-fit-decreasing approximated with the SAME
+      prefix-sum skeleton as pack_sequences, over length-sorted ids
+      (ORDER BY n_tokens DESC, id): docs are assigned to the sequence
+      where their first token lands, per-sequence pad = max(0, B - sum).
+      True FFD needs sequential bin state (not a prefix sum); this
+      surrogate keeps the one-shuffle scale shape and upper-bounds FFD's
+      waste.
+
+    All arithmetic is exact-integer until one final double divide
+    (rounded to 6), so the SQL oracle reproduces it bit-for-bit.
+
+    Scale: the global length-sorted prefix sum uses the length VALUE as
+    the range bucket — the per-length windows shuffle on n_tokens (skew
+    note: corpora spiked on one exact length would need a secondary
+    bucket key), and the across-length exclusive prefix runs on the
+    |distinct lengths|-row aggregate (vocabulary-bounded, broadcast
+    back).  Nothing sorts globally on one partition.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    B = int(budget)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_expr(text_col)).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)  # tokenize once for all three branches
+
+    def frac(pad_expr: "F.Column", cap_expr: "F.Column") -> "F.Column":
+        return F.round(pad_expr.cast("double") / cap_expr.cast("double"), 6)
+
+    totals = base.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.expr(f"greatest(cast(1 as bigint), (n + {B} - 1) div {B})")).alias(
+            "ped_seqs"
+        ),
+    )
+    cc_seqs = F.greatest(F.lit(1).cast("bigint"), F.expr(f"(total + {B} - 1) div {B}"))
+    concat_chunk = totals.select(
+        F.lit("concat_chunk").alias("strategy"),
+        cc_seqs.alias("n_seqs"),
+        frac(cc_seqs * B - F.col("total"), cc_seqs * B).alias("pad_frac"),
+    )
+    pad_each_doc = totals.select(
+        F.lit("pad_each_doc").alias("strategy"),
+        F.col("ped_seqs").alias("n_seqs"),
+        frac(F.col("ped_seqs") * B - F.col("total"), F.col("ped_seqs") * B).alias(
+            "pad_frac"
+        ),
+    )
+    # sorted_prefix: banded prefix sum with the exact length as the band
+    by_len = base.groupBy("n").agg(F.sum("n").alias("_len_total"))
+    w_gt = Window.orderBy(F.col("n").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gt = by_len.withColumn(
+        "_gt", F.coalesce(F.sum("_len_total").over(w_gt), F.lit(0)).cast("bigint")
+    ).select("n", "_gt")
+    w_in = Window.partitionBy("n").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = (
+        base.withColumn(
+            "_within", F.coalesce(F.sum("n").over(w_in), F.lit(0)).cast("bigint")
+        )
+        .join(F.broadcast(gt), "n")
+        .select("n", F.expr(f"(_gt + _within) div {B}").alias("_seq"))
+    )
+    per_seq = assigned.groupBy("_seq").agg(F.sum("n").alias("_seq_tokens"))
+    sp = per_seq.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum(
+            F.greatest(F.lit(0).cast("bigint"), F.lit(B) - F.col("_seq_tokens"))
+        ).alias("_pad"),
+    ).select(
+        F.lit("sorted_prefix").alias("strategy"),
+        F.col("n_seqs"),
+        frac(F.col("_pad"), F.col("n_seqs") * B).alias("pad_frac"),
+    )
+    return concat_chunk.unionByName(pad_each_doc).unionByName(sp)
+
+
 def pack_stats(
     docs: DataFrame,
     budget: int,

@@ -60,6 +60,10 @@ SCALE_QUERIES = [
     ("mixture_weights", "documents"),
     ("sequence_pack_text", "documents"),
     ("curation_funnel", "documents"),
+    # round-7 additions
+    ("token_chunks", "documents"),
+    ("packing_efficiency", "documents"),
+    ("doc_profile", "documents"),
 ]
 
 

@@ -696,3 +696,52 @@ def test_quantile_sketch_merge_and_error_bound():
         exact = float(np.quantile(np.array(vals), q))
         assert abs(est - exact) <= _Q_WIDTH, (q, est, exact)
     assert quantile_estimate([0] * _Q_BINS, 0.5) is None
+
+
+def test_token_chunks_hand_computed(spark):
+    """Budget 5 / stride 3 on hand-checkable docs: 12 tokens -> starts
+    0,3,6,9 (ceil((12-5)/3)+1 = 4 chunks, last short); 4 tokens -> one
+    chunk; empty text -> one empty chunk (every doc appears)."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        token_chunks,
+    )
+
+    toks12 = [f"t{i}" for i in range(12)]
+    rows = [(0, " ".join(toks12)), (1, "a b c d"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_no): (r.n_chunk_tokens, r.chunk_md5)
+        for r in token_chunks(df, budget=5, stride=3).collect()
+    }
+    assert sorted(out) == [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (2, 0)]
+    import hashlib
+
+    def h(ts):
+        return hashlib.md5(" ".join(ts).encode()).hexdigest()
+
+    assert out[(0, 0)] == (5, h(toks12[0:5]))
+    assert out[(0, 1)] == (5, h(toks12[3:8]))
+    assert out[(0, 3)] == (3, h(toks12[9:12]))  # truncated tail window
+    assert out[(1, 0)] == (4, h(["a", "b", "c", "d"]))
+    assert out[(2, 0)] == (0, h([]))
+
+
+def test_packing_efficiency_ordering_and_exactness(spark):
+    """On any corpus: concat-and-chunk wastes least (only the final
+    sequence pads), the FFD surrogate is in between, and pad-each-doc is
+    the upper bound.  Hand-check the concat row exactly."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        packing_efficiency,
+    )
+
+    counts = [4, 5, 3, 12, 2, 9, 7, 7, 1, 10]  # total 60
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.strategy: (r.n_seqs, r.pad_frac) for r in packing_efficiency(df, budget=10).collect()}
+    assert out["concat_chunk"] == (6, 0.0)  # 60 tokens fill 6x10 exactly
+    assert out["pad_each_doc"][0] == sum((n + 9) // 10 for n in counts)
+    assert (
+        out["concat_chunk"][1]
+        <= out["sorted_prefix"][1]
+        <= out["pad_each_doc"][1]
+    )

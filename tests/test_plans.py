@@ -405,3 +405,20 @@ def test_doc_profile_single_scan_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert plan.count("regexp_extract_all") == 1, plan
     assert plans.count_shuffles(df) <= 1, plan
+
+
+def test_token_chunks_no_shuffle(spark, sf_dir):
+    """Chunking is a pure generate/projection: the only allowed exchange
+    is the round-robin input spread for the single-row-group test file."""
+    df = entry_mod.q_token_chunks(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.count_shuffles(df) <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_packing_efficiency_broadcasts_length_offsets(spark, sf_dir):
+    """The FFD-surrogate branch joins the tiny per-length base offsets
+    back by broadcast; doc-level rows never join-shuffle."""
+    df = entry_mod.q_packing_efficiency(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
