@@ -1186,3 +1186,54 @@ def test_join_checkpoint_restart_exactness(spark, tmp_path):
         tuple(r) for r in one_to_many_join_trace(cars_df, zones_df).collect()
     )
     assert got == trace == sorted(EXPECTED)
+
+
+def test_streaming_minhash_lsh_matches_batch(spark, tmp_path, sf_dir):
+    """Cross-batch fuzzy-dedup equivalence: a 3-batch replay of the
+    documents fixture through the streaming MinHash-LSH operator emits
+    exactly the batch operator's verified pair set (the recipe is shared
+    bit-for-bit, and bucket state makes cross-batch pairs complete).
+    Multi-band duplicates are deduped at the sink — the documented
+    contract (the batch op's final .distinct(); a streaming query gets
+    one stateful operator, spent on the bucket state)."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+        streaming_minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3).collect()
+    }
+    assert expected, "fixture must contain near-duplicate pairs"
+
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    schema = "doc_id long, text string"
+    os.makedirs(f"{tmp_path}/docs", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/docs")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/docs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    pairs = streaming_minhash_lsh_pairs(stream, threshold=0.5, shingle_n=3)
+    q = write_stream(
+        pairs, "memory", query_name="mhlsh", output_mode="append",
+        checkpoint=f"{tmp_path}/cp_mhlsh",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.sql("select * from mhlsh").collect()
+    }
+    assert got == expected
