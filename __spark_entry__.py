@@ -2532,8 +2532,11 @@ def q_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
         simhash_token_hash_expr,
     )
     from kafka_streams_one_to_many_join_spark.functions.text import STOPWORDS
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
-    docs = load_table(spark, sf, "documents")
+    # spread the single-row-group test scan BEFORE the token/simhash-heavy
+    # projection (a no-op on a well-partitioned at-scale scan)
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     normalized = (
         "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), "
         "' +', ' '))"

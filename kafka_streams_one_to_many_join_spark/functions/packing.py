@@ -193,6 +193,10 @@ def packing_efficiency(
     if budget <= 0:
         raise ValueError("budget must be positive")
     B = int(budget)
+    # deliberately NOT input-spread (vocab_growth precedent): the compact
+    # (id, n) projection is cheap enough that round-robining the raw text
+    # first costs more than single-core tokenization saves (measured
+    # 0.94 s vs 2.10 s at sf0.1)
     base = docs.select(
         F.col(id_col).alias("id"),
         F.size(tokens_expr(text_col)).cast("bigint").alias("n"),

@@ -404,7 +404,9 @@ def test_doc_profile_single_scan_single_shuffle(spark, sf_dir):
     # details section — count the numbered detail headers
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert plan.count("regexp_extract_all") == 1, plan
-    assert plans.count_shuffles(df) <= 1, plan
+    # ntile window shuffle + the round-robin input spread for the
+    # single-row-group test file (a no-op on well-partitioned input)
+    assert plans.count_shuffles(df) <= 2, plan
 
 
 def test_token_chunks_no_shuffle(spark, sf_dir):
