@@ -320,7 +320,14 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10."""
+    """TPC-H Q3 shape: 3-way join, agg, deterministic top-10.
+
+    The segment-filtered orders side is NOT hint-broadcast: it is a fact
+    table cut only ~5× by the segment predicate, so a hint would OOM the
+    build side at 100 TB.  AQE broadcasts it at runtime when the actual
+    post-filter size fits (it does at every test SF) and falls back to a
+    sort-merge join when it doesn't — the hint-free plan is right at both
+    scales.  customer IS hint-broadcast (dimension-sized)."""
     cust = load_table(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -328,12 +335,10 @@ def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return (
         li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust),
-                    orders.o_custkey == cust.c_custkey,
-                ).select("o_orderkey", "o_orderdate")
-            ),
+            orders.join(
+                F.broadcast(cust),
+                orders.o_custkey == cust.c_custkey,
+            ).select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")
@@ -355,16 +360,31 @@ def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
     # supplier is SF-proportional but 100× smaller than lineitem).  orders
     # and customer are FACT tables — shuffle-join them and let AQE pick the
     # strategy; broadcasting a fact OOMs at 100 TB.
+    #
+    # Join ORDER matters more than join strategy here: the only selective
+    # predicate (r_name = 'ASIA', ~1/5 of nations) enters through the
+    # customer side, and Catalyst does not reorder inner joins without
+    # stats — so apply the region→nation→customer reduction FIRST, then
+    # orders, then lineitem.  Every fact-fact join input downstream
+    # carries ~5× fewer rows than the lineitem-first order the query used
+    # through r06; at sf0.1 the reduced orders side fits the broadcast
+    # threshold, so lineitem is never shuffled at all (plan: single final
+    # agg exchange).  At 100 TB the same order keeps the largest shuffle
+    # ~5× narrower even when AQE falls back to a sort-merge join.
+    asia_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    cust_asia = cust.join(
+        F.broadcast(asia_nation), cust.c_nationkey == asia_nation.n_nationkey
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        orders.join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(_money_sum(_disc_price(), "revenue"))
     )
@@ -2784,6 +2804,246 @@ def q_union_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document segment-level dedup — the line-dedup stage of a web
+    curation pipeline (drop documents dominated by boilerplate lines that
+    repeat across the corpus).  The fixture text is single-line, so
+    "lines" are stood in for by non-overlapping 10-token windows — the
+    pipeline shape (segment → hash → global occurrence count → per-doc
+    duplicated fraction) is identical either way.
+
+    Scale: the document text itself NEVER shuffles — only (doc_id,
+    32-bit segment hash) pairs do, and the text is scanned/tokenized
+    exactly once: the compact (doc_id, seg_h) projection is lazily
+    localCheckpointed (the packing recipe — ~16 bytes/segment
+    executor-local) so both consumers (the occurrence counts and the
+    per-doc join-back) read the materialized pairs instead of
+    re-deriving them.  Three hash aggregates: per-hash occurrence counts
+    (map-side partials), the hash→count join keyed on the segment hash,
+    and the per-doc fraction re-agg.  O(segments) end-to-end, the
+    standard CCNet/RefinedWeb layout."""
+    docs = load_table(spark, sf, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("_toks"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(_toks) = 0 then cast(array() as array<bigint>) else transform("
+                "  sequence(0, cast(floor((size(_toks) + 9) / 10) as int) - 1),"
+                "  i -> cast(conv(substring(md5(concat_ws(' ', "
+                "       slice(_toks, i * 10 + 1, 10))), 1, 8), 16, 10) as bigint)) end"
+            )
+        ).alias("seg_h"),
+    ).localCheckpoint(eager=False)
+    occ = segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
+    per_doc = (
+        segs.join(occ, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("occ") >= 2).cast("bigint")).alias("n_dup_segments"),
+        )
+    )
+    frac = F.col("n_dup_segments").cast("double") / F.col("n_segments").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_dup_segments",
+        F.round(frac, 6).alias("dup_frac"),
+        (frac <= 0.5).alias("keep"),
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram-LM mean log-probability — the classic
+    perplexity-proxy quality filter (low mean log-prob = off-distribution
+    text) computed against the corpus's own unigram model, no external
+    artifacts.
+
+    Two passes over (doc_id, token) pairs from ONE explode branch reused
+    via self-agg: vocabulary counts (bounded by |vocab|, shuffled once),
+    the 1-row corpus total broadcast (same pattern as mixture_weights),
+    and the per-doc average of ln c(t) - ln N.  The token→logprob attach
+    is a shuffle join keyed on the token — at web scale the vocabulary is
+    still millions of rows, so no broadcast assumption; Catalyst/AQE
+    picks broadcast when it fits."""
+    docs = load_table(spark, sf, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    vocab = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    scored = (
+        pairs.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double")) - F.log(F.col("n_total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        F.floor(-F.col("avg_logprob")).cast("bigint").alias("nll_bucket"),
+    )
+
+
+def q_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter join pruning, end-to-end verified: build a 1024-bit /
+    4-hash filter over the custkeys that appear in orders
+    (functions/bloom.py — sketch-sized bit_or aggregate), probe every
+    customer with the broadcast filter (pure projection, no shuffle of
+    the probed side), and score against exact membership.
+
+    The single output row pins the whole contract: zero false negatives
+    (n_missed = 0 — the property that makes Bloom pruning SAFE), the
+    false-positive count at this fill level, and the exact bit-level
+    state of the filter (bits_set) so any engine implementing the same
+    layout hash-matches."""
+    from kafka_streams_one_to_many_join_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    bloom = bloom_build(orders, "o_custkey", m=1024, k=4)
+    probed = bloom_probe(cust, "c_custkey", bloom, m=1024, k=4)
+    truth = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    scored = probed.join(
+        truth.withColumn("is_present", F.lit(True)), "c_custkey", "left"
+    ).select(
+        "maybe_present", F.coalesce("is_present", F.lit(False)).alias("is_present")
+    )
+    fill = bloom.agg(F.sum(F.bit_count("bits")).alias("bits_set"))
+    return (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.col("maybe_present").cast("bigint")).alias("n_maybe"),
+            F.sum(F.col("is_present").cast("bigint")).alias("n_present"),
+            F.sum(
+                (F.col("maybe_present") & ~F.col("is_present")).cast("bigint")
+            ).alias("n_false_pos"),
+            F.sum(
+                (~F.col("maybe_present") & F.col("is_present")).cast("bigint")
+            ).alias("n_missed"),
+        )
+        .crossJoin(F.broadcast(fill))
+        .select(
+            "n_probed",
+            "n_maybe",
+            "n_present",
+            "n_false_pos",
+            "n_missed",
+            "bits_set",
+            F.round(F.col("bits_set").cast("double") / 1024.0, 6).alias("fill_frac"),
+        )
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction over a deterministically synthesized
+    contact corpus (the trimmed fixture tables carry no raw PII, so the
+    surface is derived from customer rows: a lowercase e-mail and a
+    numeric account reference per customer — pure string construction,
+    identical on any engine).
+
+    Two regex detectors (e-mail, account ref) count occurrences with
+    regexp_extract_all and scrub them with nested regexp_replace; the
+    per-segment rollup pins counts AND full redacted content via a
+    32-bit md5-prefix sum over the redacted strings — a single wrong
+    character anywhere breaks the hash.  Pure whole-stage-codegen
+    projection + one |segments|-row aggregate; linear, no joins."""
+    cust = load_table(spark, sf, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace("c_name", "#", ".")),
+        F.lit("@example.com> ref:"),
+        ((F.col("c_custkey") * 7919) % 10000000).cast("string"),
+        F.lit(" balance_cents "),
+        # integer cents: integer→string formatting is engine-portable,
+        # double→string is not
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").cast("string"),
+    )
+    annotated = cust.select(
+        "c_mktsegment",
+        contact.alias("contact"),
+    ).select(
+        "c_mktsegment",
+        F.size(
+            F.expr("regexp_extract_all(contact, '[a-z0-9.]+@[a-z0-9.]+', 0)")
+        ).cast("bigint").alias("n_emails"),
+        F.size(F.expr("regexp_extract_all(contact, 'ref:[0-9]+', 0)"))
+        .cast("bigint")
+        .alias("n_refs"),
+        F.regexp_replace(
+            F.regexp_replace("contact", "[a-z0-9.]+@[a-z0-9.]+", "[EMAIL]"),
+            "ref:[0-9]+",
+            "[REF]",
+        ).alias("redacted"),
+    )
+    return annotated.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_refs").alias("total_refs"),
+        F.sum(
+            F.conv(F.substring(F.md5("redacted"), 1, 8), 16, 10).cast("bigint")
+        ).alias("redacted_hash"),
+    )
+
+
+def q_embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature standardization for embedding columns — the preprocessing
+    step before ANN/clustering: per-dimension corpus z-score
+    ((v - mean_d) / std_d, population std from exact sum/sumsq partials).
+
+    One posexplode branch feeds BOTH the 64-row per-dimension moment
+    aggregate (map-side partials, sketch-sized shuffle) and the
+    standardized read-off; the moments come back as a broadcast join on
+    dim.  Output pins the per-(label, dim) distribution of the
+    standardized values for the first 4 dimensions — verifying the
+    whole mean/std pipeline without emitting every vector."""
+    emb = load_table(spark, sf, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", F.col("v").cast("double").alias("v"))
+    moments = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    stats = moments.select(
+        "dim",
+        (F.col("s") / F.col("n")).alias("mean_d"),
+        F.sqrt(F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))).alias(
+            "std_d"
+        ),
+    )
+    z = ex.join(F.broadcast(stats), "dim").select(
+        "label", "dim", ((F.col("v") - F.col("mean_d")) / F.col("std_d")).alias("z")
+    )
+    return (
+        z.filter(F.col("dim") < 4)
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.round(F.avg("z"), 6).alias("mean_z"),
+            F.round(F.min("z"), 6).alias("min_z"),
+            F.round(F.max("z"), 6).alias("max_z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2803,16 +3063,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cap loses nothing.  Rotate per round.
     #
     # r07 state: the trivial-query tail was consolidated into composite
-    # queries (see the "consolidated composite queries" section) to bring
-    # the total to <= 100 so a 2-round window covers everything again.
-    # Front block = 8 composites + 2 queries changed this round; then the
-    # one r04 survivor (dedup_exact); then the r05-green block; r06-green
-    # at the back.  The last 3 r05 entries (label_centroids, top_tokens,
-    # token_type_ratio — trivial, locally pinned projections) overflow
-    # the cap once the round's brand-new queries are prepended; they are
-    # the documented <=9-entry staleness tail and go first in r08.
+    # queries (see the "consolidated composite queries" section), then 5
+    # genuinely new operators landed (segment_dedup, unigram_logprob,
+    # bloom_filter, pii_redaction, embedding_normalize) — total 105.
+    # Front block = 5 new ops + 8 composites + 6 queries new/changed this
+    # round; then the one r04 survivor (dedup_exact); then the r05-green
+    # block; r06-green at the back.  The last 8 r05 entries
+    # (customer_order_totals .. token_type_ratio — trivial, locally
+    # pinned projections) overflow the cap once the round's brand-new
+    # queries are prepended; they are the documented <=9-entry staleness
+    # tail and go FIRST in r08.
     return {
         # --- new/changed this round (never driver-checked in this form) ---
+        "segment_dedup": q_segment_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_filter": q_bloom_filter,
+        "pii_redaction": q_pii_redaction,
+        "embedding_normalize": q_embedding_normalize,
         "doc_profile": q_doc_profile,
         "customer_features": q_customer_features,
         "corpus_stats": q_corpus_stats,
@@ -4194,5 +4461,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT seq, zone_id, pollution_level AS value, 'zone' AS side
             FROM ({_ZONE_EV_SQL})
         ) WHERE value IS NOT NULL AND value > 100.0
+    """
+    d["segment_dedup"] = f"""
+        WITH t AS (
+            SELECT doc_id, {tok} AS toks FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, cast(floor((len(toks) + 9) / 10) as int)),
+                       i -> {_duck_md5_prefix32("array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')")}::BIGINT
+                   )) AS seg_h
+            FROM t WHERE len(toks) > 0
+        ),
+        occ AS (SELECT seg_h, count(*) AS occ FROM segs GROUP BY 1),
+        per_doc AS (
+            SELECT s.doc_id, count(*)::BIGINT AS n_segments,
+                   sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments
+            FROM segs s JOIN occ o USING (seg_h)
+            GROUP BY 1
+        )
+        SELECT doc_id, n_segments, n_dup_segments,
+               round(n_dup_segments::DOUBLE / n_segments::DOUBLE, 6) AS dup_frac,
+               (n_dup_segments::DOUBLE / n_segments::DOUBLE) <= 0.5 AS keep
+        FROM per_doc
+    """
+    d["unigram_logprob"] = f"""
+        WITH pairs AS (
+            SELECT doc_id, unnest({tok}) AS tok FROM documents
+        ),
+        vocab AS (SELECT tok, count(*) AS c FROM pairs GROUP BY 1),
+        total AS (SELECT sum(c)::DOUBLE AS n_total FROM vocab),
+        scored AS (
+            SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(ln(v.c::DOUBLE) - ln(t.n_total)), 6) AS avg_logprob
+            FROM pairs p JOIN vocab v USING (tok) CROSS JOIN total t
+            GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, avg_logprob,
+               floor(-avg_logprob)::BIGINT AS nll_bucket
+        FROM scored
+    """
+    # Bloom recipe mirror (functions/bloom.py): m=1024 bits as 32-bit words,
+    # k=4 md5-prefix hashes — bit-for-bit the Spark layout.
+    _bh_build = [_duck_md5_prefix32(f"('{i}:' || x::VARCHAR)") for i in range(4)]
+    _bh_probe = [
+        _duck_md5_prefix32(f"('{i}:' || c.c_custkey::VARCHAR)") for i in range(4)
+    ]
+    _bloom_pos = " UNION ALL ".join(
+        f"SELECT ({h})::BIGINT AS h FROM keys" for h in _bh_build
+    )
+    _bloom_check = " AND ".join(
+        f"(coalesce((SELECT bits FROM bloom b WHERE b.word = (({h}) % 1024) // 32), 0)"
+        f" & (1::BIGINT << ((({h}) % 1024) % 32)))"
+        f" = (1::BIGINT << ((({h}) % 1024) % 32))"
+        for h in _bh_probe
+    )
+    d["bloom_filter"] = f"""
+        WITH keys AS (SELECT o_custkey AS x FROM orders),
+        pos AS (
+            SELECT (h % 1024) // 32 AS word, 1::BIGINT << ((h % 1024) % 32) AS mask
+            FROM ({_bloom_pos})
+        ),
+        bloom AS (SELECT word, bit_or(mask) AS bits FROM pos GROUP BY 1),
+        probe AS (
+            SELECT c.c_custkey, ({_bloom_check}) AS maybe_present
+            FROM customer c
+        ),
+        truth AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+        scored AS (
+            SELECT p.maybe_present, (t.c_custkey IS NOT NULL) AS is_present
+            FROM probe p LEFT JOIN truth t USING (c_custkey)
+        ),
+        fill AS (SELECT sum(bit_count(bits))::BIGINT AS bits_set FROM bloom)
+        SELECT count(*)::BIGINT AS n_probed,
+               sum(CASE WHEN maybe_present THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+               sum(CASE WHEN is_present THEN 1 ELSE 0 END)::BIGINT AS n_present,
+               sum(CASE WHEN maybe_present AND NOT is_present THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+               sum(CASE WHEN NOT maybe_present AND is_present THEN 1 ELSE 0 END)::BIGINT AS n_missed,
+               (SELECT bits_set FROM fill) AS bits_set,
+               round((SELECT bits_set FROM fill)::DOUBLE / 1024.0, 6) AS fill_frac
+        FROM scored
+    """
+    d["pii_redaction"] = f"""
+        WITH annotated AS (
+            SELECT c_mktsegment,
+                   c_name || ' <' || lower(replace(c_name, '#', '.'))
+                   || '@example.com> ref:' || ((c_custkey * 7919) % 10000000)::VARCHAR
+                   || ' balance_cents ' || round(c_acctbal * 100, 0)::BIGINT::VARCHAR
+                   AS contact
+            FROM customer
+        ),
+        det AS (
+            SELECT c_mktsegment,
+                   len(regexp_extract_all(contact, '[a-z0-9.]+@[a-z0-9.]+'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(contact, 'ref:[0-9]+'))::BIGINT AS n_refs,
+                   regexp_replace(
+                       regexp_replace(contact, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+                       'ref:[0-9]+', '[REF]', 'g') AS redacted
+            FROM annotated
+        )
+        SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+               sum(n_emails)::BIGINT AS total_emails,
+               sum(n_refs)::BIGINT AS total_refs,
+               sum({_duck_md5_prefix32("redacted")}::BIGINT)::BIGINT AS redacted_hash
+        FROM det GROUP BY 1
+    """
+    d["embedding_normalize"] = """
+        WITH ex AS (
+            SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT dim, count(*)::DOUBLE AS n, sum(v) AS s, sum(v * v) AS ss
+            FROM ex GROUP BY 1
+        ),
+        z AS (
+            SELECT e.label, e.dim,
+                   (e.v - st.s / st.n)
+                   / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) AS z
+            FROM ex e JOIN stats st USING (dim)
+        )
+        SELECT label, dim, count(*)::BIGINT AS n_vals,
+               round(avg(z), 6) AS mean_z,
+               round(min(z), 6) AS min_z,
+               round(max(z), 6) AS max_z
+        FROM z WHERE dim < 4
+        GROUP BY 1, 2
     """
     return d

@@ -99,7 +99,10 @@ BENCH_QUERIES = [
 ]
 
 # every declared query runs; the curated list above just pins a stable
-# ordering for cross-round comparability, stragglers run after it
+# ordering for cross-round comparability, stragglers run after it.  Names
+# consolidated into composite queries (r07) drop out of queries() — filter
+# rather than KeyError so the curated ordering survives refactors.
+BENCH_QUERIES = [n for n in BENCH_QUERIES if n in entry_mod.queries()]
 BENCH_QUERIES += sorted(set(entry_mod.queries()) - set(BENCH_QUERIES))
 
 

@@ -26,6 +26,7 @@ from kafka_streams_one_to_many_join_spark.streaming.stream_join import (
     stream_stream_join,
 )
 from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+    streaming_bloom_filter,
     streaming_cms_counts,
     streaming_hll_distinct,
     streaming_quantile_sketch,
@@ -38,6 +39,7 @@ from kafka_streams_one_to_many_join_spark.streaming.windows import (
 
 __all__ = [
     "car_move_detection",
+    "streaming_bloom_filter",
     "streaming_cms_counts",
     "streaming_hll_distinct",
     "streaming_quantile_sketch",

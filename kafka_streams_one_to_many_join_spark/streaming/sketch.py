@@ -335,3 +335,87 @@ def streaming_cms_counts(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter twin (batch recipe: functions/bloom.py — m bits as 32-bit
+# words, k md5-prefix hashes).  bit_or is commutative and idempotent, so
+# the state after ANY micro-batch partitioning of the input equals the
+# batch filter over the same rows — the equivalence test replays 3
+# batches and compares word-for-word.
+# ---------------------------------------------------------------------------
+
+_BLOOM_OUTPUT = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("n_seen", LongType(), False),
+        StructField("bits_set", LongType(), False),
+        StructField("words", ArrayType(LongType()), False),
+    ]
+)
+
+_BLOOM_STATE = StructType(
+    [
+        StructField("words", ArrayType(LongType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def bloom_word_mask(i: int, value: str, m: int) -> tuple[int, int]:
+    """(word index, mask) of hash i — nibble-identical to the Spark SQL
+    ``conv(substring(md5(concat(i, ':', x)), 1, 8), 16, 10) % m`` layout
+    in functions/bloom.py."""
+    h = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
+    return h // 32, 1 << (h % 32)
+
+
+def streaming_bloom_filter(
+    events: DataFrame, key_col: str, value_col: str, m: int = 1024, k: int = 4
+) -> DataFrame:
+    """Per-key running Bloom filter (update semantics: one refreshed row
+    per touched key per batch).  State is m/32 longs per key regardless
+    of stream volume — the streaming side of a continuously-maintained
+    join-pruning filter."""
+
+    n_words = m // 32
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        words, n = (
+            (list(state.get[0]), int(state.get[1]))
+            if state.exists
+            else ([0] * n_words, 0)
+        )
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None:
+                    continue
+                for i in range(k):
+                    w, mask = bloom_word_mask(i, str(v), m)
+                    words[w] |= mask
+                n += 1
+        state.update((words, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "n_seen": n,
+                    "bits_set": sum(bin(w).count("1") for w in words),
+                    "words": words,
+                }
+            ]
+        )
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=_BLOOM_OUTPUT,
+        stateStructType=_BLOOM_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

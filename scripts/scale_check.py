@@ -64,6 +64,9 @@ SCALE_QUERIES = [
     ("token_chunks", "documents"),
     ("packing_efficiency", "documents"),
     ("doc_profile", "documents"),
+    ("segment_dedup", "documents"),
+    ("unigram_logprob", "documents"),
+    ("embedding_normalize", "embeddings"),
 ]
 
 

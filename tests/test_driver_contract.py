@@ -66,3 +66,15 @@ def test_each_query_builds_plan_on_vanilla_session(spark, sf_dir, name):
     fn = entrymod.queries()[name]
     df = fn(_make_vanilla(spark), sf_dir)
     df.schema  # forces analysis
+
+
+def test_bench_roster_matches_declared_queries():
+    """bench.py must run EXACTLY the declared queries: a stale curated
+    name would KeyError the whole benchmark run (the r07 consolidation
+    removed 10 names the curated list still carried), and a missing one
+    would silently under-report the suite."""
+    import bench
+
+    qs = set(entrymod.queries())
+    assert set(bench.BENCH_QUERIES) == qs
+    assert len(bench.BENCH_QUERIES) == len(qs)  # no duplicates

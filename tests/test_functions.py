@@ -745,3 +745,41 @@ def test_packing_efficiency_ordering_and_exactness(spark):
         <= out["sorted_prefix"][1]
         <= out["pad_each_doc"][1]
     )
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    """Every inserted key must probe positive (the property that makes
+    Bloom join-pruning safe); non-members mostly probe negative at this
+    fill level; duplicate inserts change nothing (bit_or idempotence)."""
+    from kafka_streams_one_to_many_join_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    dupes = members.unionAll(members)
+    bloom = bloom_build(members, "k", m=2048, k=3)
+    bloom_dup = bloom_build(dupes, "k", m=2048, k=3)
+    assert sorted(map(tuple, bloom.collect())) == sorted(
+        map(tuple, bloom_dup.collect())
+    )
+
+    probe = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    res = {r.k: r.maybe_present for r in bloom_probe(probe, "k", bloom, m=2048, k=3).collect()}
+    assert all(res[i] for i in range(200)), "false negative!"
+    fp = sum(1 for i in range(200, 400) if res[i])
+    assert fp < 60, f"implausible false-positive count {fp} at ~14% fill"
+
+
+def test_bloom_masks_stay_in_32_bit_words(spark):
+    """The layout never shifts into the sign bit: every stored word is a
+    non-negative BIGINT < 2^32, so the identical arithmetic is portable
+    to engines without unsigned 64-bit types."""
+    from kafka_streams_one_to_many_join_spark.functions.bloom import bloom_build
+
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(500)], "k string")
+    rows = bloom_build(keys, "k", m=256, k=4).collect()
+    assert rows, "empty filter"
+    for r in rows:
+        assert 0 <= r.word < 256 // 32
+        assert 0 <= r.bits < 2**32

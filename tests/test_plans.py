@@ -424,3 +424,70 @@ def test_packing_efficiency_broadcasts_length_offsets(spark, sf_dir):
     df = entry_mod.q_packing_efficiency(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_segment_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """Line-level dedup: the corpus text is scanned and tokenized once;
+    only (doc_id, 32-bit segment hash) pairs cross the network (occurrence
+    agg, hash-keyed join-back, per-doc re-agg)."""
+    import re
+
+    df = entry_mod.q_segment_dedup(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # the tokenize+hash projection sits BEHIND the lazy localCheckpoint
+    # boundary, so both consumers replay the materialized compact pairs —
+    # the plan re-derives the text zero times
+    assert plan.count("regexp_extract_all") == 0, plan
+    # the shuffled attributes are hashes and ids, never the text column
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m, plan
+    assert plans.count_shuffles(df) <= 3, plan
+
+
+def test_unigram_logprob_single_tokenize_branch(spark, sf_dir):
+    """The perplexity proxy reuses ONE exploded (doc, token) branch for
+    both the vocabulary counts and the per-doc average; the corpus total
+    comes back as a 1-row broadcast."""
+    df = entry_mod.q_unigram_logprob(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_is_projection_over_broadcast(spark, sf_dir):
+    """The probed table never shuffles: the filter collapses to a 1-row
+    word->bits map broadcast onto the probe side, and the membership test
+    runs as a pure projection."""
+    from kafka_streams_one_to_many_join_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = entry_mod.load_table(spark, sf_dir, "orders")
+    cust = entry_mod.load_table(spark, sf_dir, "customer").select("c_custkey")
+    bloom = bloom_build(orders, "o_custkey")
+    probed = bloom_probe(cust, "c_custkey", bloom)
+    plan = plans.formatted_plan(probed)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # shuffles: the build-side bit_or agg only (plus optional input spread)
+    assert plans.count_shuffles(probed) <= 2, plan
+
+
+def test_pii_redaction_pure_projection_one_agg(spark, sf_dir):
+    """Detection + redaction is whole-stage-codegen row work; the only
+    exchange is the |segments|-row rollup."""
+    df = entry_mod.q_pii_redaction(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plans.count_shuffles(df) <= 1, plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed, executed
+
+
+def test_embedding_normalize_broadcasts_moments(spark, sf_dir):
+    """Per-dimension moments (64 rows) come back via broadcast; the
+    exploded corpus never join-shuffles."""
+    df = entry_mod.q_embedding_normalize(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

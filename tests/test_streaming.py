@@ -1237,3 +1237,72 @@ def test_streaming_minhash_lsh_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("select * from mhlsh").collect()
     }
     assert got == expected
+
+
+def test_streaming_bloom_matches_batch_build(spark, tmp_path, sf_dir):
+    """Incremental 3-batch streaming Bloom == the batch bloom_build
+    word-for-word (bit_or is commutative+idempotent, so micro-batch
+    partitioning must not change the final filter), and the filter
+    admits every inserted key (no false negatives through the streaming
+    path either)."""
+    from kafka_streams_one_to_many_join_spark.functions.bloom import (
+        bloom_build,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_bloom_filter,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        bloom_word_mask,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = [
+        (r.o_orderpriority, r.o_custkey)
+        for r in orders.select("o_orderpriority", "o_custkey").limit(3000).collect()
+    ]
+    schema = "prio string, custkey long"
+    os.makedirs(f"{tmp_path}/keys", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/keys")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/keys",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    est = streaming_bloom_filter(stream, "prio", "custkey", m=512, k=3)
+    q = write_stream(
+        est, "memory", query_name="bloomtwin", output_mode="update",
+        checkpoint=f"{tmp_path}/cp",
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for r in spark.sql("select * from bloomtwin").collect():
+        if r.key not in final or r.n_seen > final[r.key].n_seen:
+            final[r.key] = r
+    prios = {p for p, _ in rows}
+    assert set(final) == prios
+    df_all = spark.createDataFrame(rows, schema)
+    for prio in prios:
+        batch = {
+            r.word: r.bits
+            for r in bloom_build(
+                df_all.filter(F.col("prio") == prio), "custkey", m=512, k=3
+            ).collect()
+        }
+        stream_words = list(final[prio].words)
+        # batch emits only non-zero words; align representations
+        assert {w: b for w, b in enumerate(stream_words) if b} == batch, prio
+        assert final[prio].n_seen == sum(1 for p, _ in rows if p == prio)
+        # no false negatives through the streaming path
+        for p, ck in rows:
+            if p != prio:
+                continue
+            for i in range(3):
+                w, mask = bloom_word_mask(i, str(ck), 512)
+                assert stream_words[w] & mask == mask
