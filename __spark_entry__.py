@@ -3044,6 +3044,41 @@ def q_embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val near-dup leakage audit — the eval-integrity check a
+    training pipeline runs after splitting: a near-duplicate pair that
+    straddles the split boundary leaks training content into validation.
+
+    Composes two already-pinned recipes with ZERO extra joins: the
+    MinHash-LSH verified pair set (functions/dedup.py, the exact
+    ``minhash_lsh`` recipe) and the md5-bucket split assignment
+    (functions/sampling.train_val_split) — the split label is a pure
+    hash projection of each pair endpoint's doc_id, so labeling the
+    pairs adds no shuffle beyond the pair pipeline itself.  Emits every
+    near-dup pair with both split labels and the leak flag; the fix
+    (move one side, or drop the val member) is a broadcast anti-join of
+    this frame against the corpus."""
+    from kafka_streams_one_to_many_join_spark.functions.sampling import (
+        _hash_bucket,
+    )
+
+    pairs = _minhash_pairs(spark, sf)
+
+    def split_of(col: str) -> F.Column:
+        return F.when(_hash_bucket(col) < 9000, F.lit("train")).otherwise(
+            F.lit("val")
+        )
+
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        split_of("doc_a").alias("split_a"),
+        split_of("doc_b").alias("split_b"),
+        (split_of("doc_a") != split_of("doc_b")).alias("leaks"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3063,13 +3098,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cap loses nothing.  Rotate per round.
     #
     # r07 state: the trivial-query tail was consolidated into composite
-    # queries (see the "consolidated composite queries" section), then 5
+    # queries (see the "consolidated composite queries" section), then 6
     # genuinely new operators landed (segment_dedup, unigram_logprob,
-    # bloom_filter, pii_redaction, embedding_normalize) — total 105.
-    # Front block = 5 new ops + 8 composites + 6 queries new/changed this
-    # round; then the one r04 survivor (dedup_exact); then the r05-green
-    # block; r06-green at the back.  The last 8 r05 entries
-    # (customer_order_totals .. token_type_ratio — trivial, locally
+    # bloom_filter, pii_redaction, embedding_normalize, split_leakage) —
+    # total 106.  Front block = 6 new ops + 8 composites + 6 queries
+    # new/changed this round; then the one r04 survivor (dedup_exact);
+    # then the r05-green block; r06-green at the back.  The last 9 r05
+    # entries (cube_returnflag .. token_type_ratio — trivial, locally
     # pinned projections) overflow the cap once the round's brand-new
     # queries are prepended; they are the documented <=9-entry staleness
     # tail and go FIRST in r08.
@@ -3080,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "pii_redaction": q_pii_redaction,
         "embedding_normalize": q_embedding_normalize,
+        "split_leakage": q_split_leakage,
         "doc_profile": q_doc_profile,
         "customer_features": q_customer_features,
         "corpus_stats": q_corpus_stats,
@@ -4565,6 +4601,22 @@ def oracle_sql() -> dict[str, str]:
                sum(n_refs)::BIGINT AS total_refs,
                sum({_duck_md5_prefix32("redacted")}::BIGINT)::BIGINT AS redacted_hash
         FROM det GROUP BY 1
+    """
+    _leak_a = (
+        f"CASE WHEN (({_duck_md5_prefix32('doc_a::VARCHAR')}) % 10000) < 9000 "
+        "THEN 'train' ELSE 'val' END"
+    )
+    _leak_b = (
+        f"CASE WHEN (({_duck_md5_prefix32('doc_b::VARCHAR')}) % 10000) < 9000 "
+        "THEN 'train' ELSE 'val' END"
+    )
+    d["split_leakage"] = f"""
+        WITH pairs AS ({_minhash_lsh_sql(tok, threshold=0.7)})
+        SELECT doc_a, doc_b, jaccard,
+               {_leak_a} AS split_a,
+               {_leak_b} AS split_b,
+               ({_leak_a}) <> ({_leak_b}) AS leaks
+        FROM pairs
     """
     d["embedding_normalize"] = """
         WITH ex AS (

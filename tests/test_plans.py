@@ -491,3 +491,12 @@ def test_embedding_normalize_broadcasts_moments(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_split_leakage_adds_no_shuffle_over_pair_pipeline(spark, sf_dir):
+    """The leak audit labels each pair endpoint with a pure hash
+    projection of its doc_id — shuffle count must equal the underlying
+    MinHash-LSH pair pipeline's exactly."""
+    base = plans.count_shuffles(entry_mod.q_minhash_lsh(spark, sf_dir))
+    audited = plans.count_shuffles(entry_mod.q_split_leakage(spark, sf_dir))
+    assert audited == base, (audited, base)

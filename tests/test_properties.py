@@ -124,3 +124,41 @@ def test_quantile_bin_total_preservation(vals):
         assert 0 <= b < _Q_BINS
         counts[b] += 1
     assert sum(counts) == len(vals)
+
+
+@given(
+    keys=st.lists(st.text(alphabet="abcxyz0189", min_size=1, max_size=8), max_size=200),
+    probes=st.lists(st.text(alphabet="abcxyz0189", min_size=1, max_size=8), max_size=50),
+)
+def test_bloom_membership_properties(keys, probes):
+    """Bloom invariants for any key set: every inserted key tests
+    positive (zero false negatives), word state is insert-order- and
+    duplication-independent, and every word stays inside its 32-bit
+    budget (the engine-portability guarantee)."""
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        bloom_word_mask,
+    )
+
+    m, k = 512, 3
+
+    def build(ks):
+        words = [0] * (m // 32)
+        for key in ks:
+            for i in range(k):
+                w, mask = bloom_word_mask(i, key, m)
+                words[w] |= mask
+        return words
+
+    words = build(keys)
+    assert words == build(list(reversed(keys)) + keys)  # order/dup-free
+    assert all(0 <= w < 2**32 for w in words)
+
+    def member(key):
+        return all(
+            words[wm[0]] & wm[1] == wm[1]
+            for wm in (bloom_word_mask(i, key, m) for i in range(k))
+        )
+
+    assert all(member(key) for key in keys)
+    if not keys:
+        assert not any(member(p) for p in probes)
