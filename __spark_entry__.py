@@ -405,31 +405,22 @@ def q_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_returnflag_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """Grouping-set rollup (flag, status) with exact counts."""
-    li = load_table(spark, sf, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-    )
-
-
-def q_customers_with_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """Left-semi join (EXISTS)."""
+def q_customer_order_presence(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi/anti join surface — the r07 consolidation of
+    customers_with_orders (left-semi, EXISTS) + customers_without_orders
+    (left-anti, NOT EXISTS) into one oracle row: both join types run,
+    tagged with has_orders, and bag-union.  The two outputs partition
+    the customer table, so the union hash additionally pins that no
+    customer is dropped or double-counted."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
-    return cust.join(
+    semi = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
-    cust = load_table(spark, sf, "customer")
-    orders = load_table(spark, sf, "orders")
-    return cust.join(
+    ).select("c_custkey", "c_name", F.lit(True).alias("has_orders"))
+    anti = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    ).select("c_custkey", "c_name", F.lit(False).alias("has_orders"))
+    return semi.unionByName(anti)
 
 
 def q_avg_order_by_segment(spark: SparkSession, sf: str) -> DataFrame:
@@ -496,13 +487,24 @@ def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_cube_returnflag(spark: SparkSession, sf: str) -> DataFrame:
-    """Grouping-set CUBE over (flag, status)."""
+def q_returnflag_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-set surface — the r07 consolidation of cube_returnflag +
+    returnflag_rollup into one oracle row: BOTH the ``.rollup`` and
+    ``.cube`` DataFrame APIs run over (flag, status), tagged and bag-
+    unioned, so each operator's exact row set (including the NULL
+    aggregate rows) stays hash-pinned."""
     li = load_table(spark, sf, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ]
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(*aggs).withColumn(
+        "grouping_mode", F.lit("rollup")
     )
+    cube = li.cube("l_returnflag", "l_linestatus").agg(*aggs).withColumn(
+        "grouping_mode", F.lit("cube")
+    )
+    return rollup.unionByName(cube)
 
 
 def q_customer_order_totals(spark: SparkSession, sf: str) -> DataFrame:
@@ -546,20 +548,27 @@ def q_zone_pollution_full(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional aggregation over a broadcast FK join,
-    one month of shipments."""
-    li = load_table(spark, sf, "lineitem").filter(
+def q_promo_q19_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate-heavy lineitem×part revenue metrics — the r07
+    consolidation of promo_revenue (TPC-H Q14: conditional aggregation
+    over a broadcast FK join, one month of shipments) + discounted_revenue
+    (TPC-H Q19: disjunctive multi-column predicate spanning both join
+    sides) into ONE single-row oracle entry: the two 1-row aggregates
+    crossJoin (1×1 — free), so every original metric stays hash-pinned.
+    Both keep their own scan-level predicate pushdown (Q14's shipdate
+    range, Q19's extracted p_brand IN conjunct)."""
+    part = load_table(spark, sf, "part")
+    disc = _disc_price()
+    zero = F.lit(0).cast("decimal(17,4)")
+
+    li_month = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    part = load_table(spark, sf, "part")
     # Exact-decimal sums (order-independent), then one double division —
     # both engines divide identical inputs.
-    disc = _disc_price()
-    zero = F.lit(0).cast("decimal(17,4)")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q14 = (
+        li_month.join(F.broadcast(part), li_month.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -570,6 +579,25 @@ def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+    li = load_table(spark, sf, "lineitem")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    branch = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    q19 = (
+        joined.where(
+            branch("Brand#1", 15, 1, 20)
+            | branch("Brand#2", 25, 10, 30)
+            | branch("Brand#3", 35, 20, 40)
+        ).agg(
+            _money_sum(_disc_price(), "q19_revenue"),
+            F.count(F.lit(1)).alias("q19_n_items"),
+        )
+    )
+    return q14.crossJoin(q19)
 
 
 def q_brand_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1422,12 +1450,21 @@ def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus vocabulary: global token frequencies, deterministic top-20.
-    explode → codegen hash agg with map-side partials; only (token, count)
-    pairs shuffle."""
+def q_top_token_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary + Zipf fit — the r07 consolidation of top_tokens
+    (global token frequencies, deterministic top-20) + zipf_slope (OLS
+    slope of ln(freq) vs ln(rank) over the top-100, regr_slope) into one
+    oracle row: the top-20 rows carry rank and count, and the corpus-
+    level slope/n_points ride along as constant columns (1-row broadcast
+    crossJoin — the same pattern as mixture_weights' totals).
+
+    ONE token-count aggregate feeds both read-offs; the top-k is
+    orderBy+limit (distributed TakeOrdered), never a global window over
+    the whole vocabulary."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf, "documents")
-    return (
+    counts = (
         docs.select(
             F.explode(
                 F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
@@ -1435,20 +1472,28 @@ def q_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("token"))
-        .limit(20)
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+        .localCheckpoint(eager=False)  # 100 rows; count once, read twice
     )
-
-
-def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-label embedding centroid, element-wise: posexplode → (label,
-    dim) aggregate — the shuffle-friendly formulation (no array state in
-    the agg buffer, plain double avg with map-side partials)."""
-    emb = load_table(spark, sf, "embeddings")
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "token"))
+        .alias("rank"),
+    )
+    slope = ranked.agg(
+        F.round(
+            F.regr_slope(F.log(F.col("n").cast("double")), F.log(F.col("rank").cast("double"))),
+            6,
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
     return (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+        ranked.filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(slope))
+        .select("rank", "token", "n", "zipf_slope", "n_points")
     )
 
 
@@ -1802,33 +1847,6 @@ def q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q19 shape: disjunctive multi-column predicate spanning both
-    join sides (brand × size-range × quantity-range triples OR-ed
-    together).  Catalyst extracts the common `p_brand IN (...)` conjunct
-    from the DNF and pushes it to the part scan; the residual OR runs
-    post-join.  Single-row aggregate — map-side partials, one shuffle of
-    32 partial rows."""
-    li = load_table(spark, sf, "lineitem")
-    part = load_table(spark, sf, "part")
-    joined = li.join(part, li.l_partkey == part.p_partkey)
-    branch = lambda brand, smax, qlo, qhi: (
-        (F.col("p_brand") == brand)
-        & F.col("p_size").between(1, smax)
-        & F.col("l_quantity").between(qlo, qhi)
-    )
-    return (
-        joined.where(
-            branch("Brand#1", 15, 1, 20)
-            | branch("Brand#2", 25, 10, 30)
-            | branch("Brand#3", 35, 20, 40)
-        ).agg(
-            _money_sum(_disc_price(), "revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
 def q_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q4 shape: per-priority count of orders having at least one
     lineitem shipped >60 days after the order date — a correlated EXISTS,
@@ -1888,39 +1906,6 @@ def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("entropy"),
         F.count(F.lit(1)).alias("n_unique_tokens"),
-    )
-
-
-def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus Zipf-law fit: OLS slope of ln(freq) vs ln(rank) over the
-    top-100 tokens (regr_slope — JVM-side aggregate).  The top-100 is
-    taken with orderBy+limit (distributed TakeOrdered — per-partition
-    top-k then a 100-row merge), NOT a global row_number window, so no
-    single-partition sort of the whole vocabulary ever happens."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf, "documents")
-    counts = (
-        docs.select(
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-            ).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-        .orderBy(F.col("n").desc(), "tok")
-        .limit(100)
-    )
-    ranked = counts.select(
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.col("n").desc(), "tok"))
-        .cast("double")
-        .alias("rank"),
-    )
-    return ranked.agg(
-        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("slope"),
-        F.count(F.lit(1)).alias("n_points"),
     )
 
 
@@ -2093,27 +2078,6 @@ def q_pareto_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.round("cum_share_raw", 6).alias("cum_share"),
         )
         .orderBy(F.col("total_spent").desc(), "o_custkey")
-    )
-
-
-def q_token_type_ratio(spark: SparkSession, sf: str) -> DataFrame:
-    """Lexical diversity (type-token ratio) per document — a standard
-    pre-training quality signal (low TTR = repetitive/boilerplate text).
-    Pure codegen projection: tokenize once, count distinct types in-array
-    (no explode, no shuffle)."""
-    docs = load_table(spark, sf, "documents")
-    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-    n_tok = F.size(toks).cast("bigint")
-    n_types = F.size(F.array_distinct(toks)).cast("bigint")
-    return docs.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        n_types.alias("n_types"),
-        F.round(
-            F.when(n_tok > 0, n_types.cast("double") / n_tok.cast("double"))
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("type_token_ratio"),
     )
 
 
@@ -2533,7 +2497,7 @@ def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
 def q_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document curation profile — the consolidation of
     doc_fingerprint + text_stats + lang_id + simhash + length_quartiles
-    into ONE scan.
+    (+ token_type_ratio since r07's second batch) into ONE scan.
 
     The token array is projected once; every derived column (token
     count, ratios, per-language stopword scores, 60-bit simhash) comes
@@ -2587,6 +2551,7 @@ def q_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars_total",
         "fingerprint",
         F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("bigint").alias("n_types"),
         F.expr(
             "aggregate(_toks, cast(0 as bigint), (s, t) -> s + length(t))"
         ).alias("_alpha"),
@@ -2638,6 +2603,13 @@ def q_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("stopword_ratio"),
         lang_pred.alias("lang_pred"),
+        "n_types",
+        F.round(
+            F.when(
+                n_tok > 0, F.col("n_types").cast("double") / n_tok.cast("double")
+            ).otherwise(zero),
+            6,
+        ).alias("type_token_ratio"),
         F.expr(simhash_majority_expr("_th")).alias("simhash"),
         F.ntile(4).over(w).alias("quartile"),
     )
@@ -2821,8 +2793,16 @@ def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     re-deriving them.  Three hash aggregates: per-hash occurrence counts
     (map-side partials), the hash→count join keyed on the segment hash,
     and the per-doc fraction re-agg.  O(segments) end-to-end, the
-    standard CCNet/RefinedWeb layout."""
-    docs = load_table(spark, sf, "documents")
+    standard CCNet/RefinedWeb layout.
+
+    The single-row-group test scan is spread before the token/hash-heavy
+    projection (the doc_profile precedent — measured 1.27 → 0.92 s
+    median-of-3 on the driver's sf0.1 file; a no-op on a well-partitioned
+    at-scale scan.  On the already-2-partition 10x twin the spread costs
+    ~0.2 s — the gate keeps it from firing on real multi-file scans)."""
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     segs = docs.select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("_toks"),
@@ -2868,14 +2848,22 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     and the per-doc average of ln c(t) - ln N.  The token→logprob attach
     is a shuffle join keyed on the token — at web scale the vocabulary is
     still millions of rows, so no broadcast assumption; Catalyst/AQE
-    picks broadcast when it fits."""
+    picks broadcast when it fits.
+
+    The (doc_id, token) pairs are lazily localCheckpointed so the text
+    is scanned and tokenized ONCE for the two consumers (vocab counts +
+    the per-doc attach).  Measured against the alternatives at sf0.1 /
+    the 10x twin: plain diamond 0.95 s / 1.37 s, input-spread 1.19 s /
+    2.96 s (the round-robin text exchange executes once per branch — the
+    vocab_growth counter-case again), checkpoint 0.78 s / 1.41 s —
+    checkpoint wins or ties everywhere."""
     docs = load_table(spark, sf, "documents")
     pairs = docs.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=False)
     vocab = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
     scored = (
@@ -3011,7 +2999,9 @@ def q_embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
     aggregate (map-side partials, sketch-sized shuffle) and the
     standardized read-off; the moments come back as a broadcast join on
     dim.  Output pins the per-(label, dim) distribution of the
-    standardized values for the first 4 dimensions — verifying the
+    standardized values across ALL dimensions, plus the raw per-(label,
+    dim) centroid (absorbing the former label_centroids query — r07
+    consolidation, same grain, zero extra shuffles) — verifying the
     whole mean/std pipeline without emitting every vector."""
     emb = load_table(spark, sf, "embeddings")
     ex = emb.select(
@@ -3030,17 +3020,17 @@ def q_embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     z = ex.join(F.broadcast(stats), "dim").select(
-        "label", "dim", ((F.col("v") - F.col("mean_d")) / F.col("std_d")).alias("z")
+        "label",
+        "dim",
+        "v",
+        ((F.col("v") - F.col("mean_d")) / F.col("std_d")).alias("z"),
     )
-    return (
-        z.filter(F.col("dim") < 4)
-        .groupBy("label", "dim")
-        .agg(
-            F.count(F.lit(1)).alias("n_vals"),
-            F.round(F.avg("z"), 6).alias("mean_z"),
-            F.round(F.min("z"), 6).alias("min_z"),
-            F.round(F.max("z"), 6).alias("max_z"),
-        )
+    return z.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.round(F.avg("v"), 6).alias("centroid"),
+        F.round(F.avg("z"), 6).alias("mean_z"),
+        F.round(F.min("z"), 6).alias("min_z"),
+        F.round(F.max("z"), 6).alias("max_z"),
     )
 
 
@@ -3098,16 +3088,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cap loses nothing.  Rotate per round.
     #
     # r07 state: the trivial-query tail was consolidated into composite
-    # queries (see the "consolidated composite queries" section), then 6
+    # queries (see the "consolidated composite queries" section), 6
     # genuinely new operators landed (segment_dedup, unigram_logprob,
-    # bloom_filter, pii_redaction, embedding_normalize, split_leakage) —
-    # total 106.  Front block = 6 new ops + 8 composites + 6 queries
-    # new/changed this round; then the one r04 survivor (dedup_exact);
-    # then the r05-green block; r06-green at the back.  The last 9 r05
-    # entries (cube_returnflag .. token_type_ratio — trivial, locally
-    # pinned projections) overflow the cap once the round's brand-new
-    # queries are prepended; they are the documented <=9-entry staleness
-    # tail and go FIRST in r08.
+    # bloom_filter, pii_redaction, embedding_normalize, split_leakage),
+    # and a second consolidation pass absorbed 10 more trivial queries
+    # into 4 new composites (returnflag_grouping, customer_order_presence,
+    # top_token_zipf, promo_q19_revenue) and 2 extended existing ones
+    # (doc_profile += type_token_ratio, embedding_normalize +=
+    # label_centroids) — total EXACTLY 100.  Front block = new ops +
+    # composites + queries changed this round; then the one r04 survivor
+    # (dedup_exact); then the r05-green block; r06-green at the back.
+    # The last 5 r05 entries (embedding_stats .. segment_priority_matrix)
+    # overflow the cap; they go FIRST in r08, where 5 + the 45 r06-green
+    # entries = exactly the 50-row cap — the 2-round green window closes
+    # with zero residue at this count.  Keep the total AT 100: every
+    # future addition must be matched by a consolidation.
     return {
         # --- new/changed this round (never driver-checked in this form) ---
         "segment_dedup": q_segment_dedup,
@@ -3116,6 +3111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "embedding_normalize": q_embedding_normalize,
         "split_leakage": q_split_leakage,
+        "returnflag_grouping": q_returnflag_grouping,
+        "customer_order_presence": q_customer_order_presence,
+        "top_token_zipf": q_top_token_zipf,
+        "promo_q19_revenue": q_promo_q19_revenue,
         "doc_profile": q_doc_profile,
         "customer_features": q_customer_features,
         "corpus_stats": q_corpus_stats,
@@ -3157,20 +3156,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "nation_revenue": q_nation_revenue,
         "top_orders_per_customer": q_top_orders_per_customer,
-        "returnflag_rollup": q_returnflag_rollup,
-        "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
         "avg_order_by_segment": q_avg_order_by_segment,
         "embedding_stats": q_embedding_stats,
-        "cube_returnflag": q_cube_returnflag,
         "customer_order_totals": q_customer_order_totals,
-        "promo_revenue": q_promo_revenue,
         "brand_stats": q_brand_stats,
         "big_orders": q_big_orders,
         "segment_priority_matrix": q_segment_priority_matrix,
-        "label_centroids": q_label_centroids,
-        "top_tokens": q_top_tokens,
-        "token_type_ratio": q_token_type_ratio,
         # --- green in r06 (freshest; past the cap loses nothing) ---
         "sequence_pack": q_sequence_pack,
         "shingle_novelty": q_shingle_novelty,
@@ -3180,11 +3171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_modes": q_token_count_modes,
         "mixture_weights": q_mixture_weights,
         "sequence_pack_text": q_sequence_pack_text,
-        "discounted_revenue": q_discounted_revenue,
         "late_shipment_priority": q_late_shipment_priority,
         "brand_price_rank": q_brand_price_rank,
         "token_entropy": q_token_entropy,
-        "zipf_slope": q_zipf_slope,
         "order_gap_days": q_order_gap_days,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -3366,17 +3355,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rn <= 3
         """,
-        "returnflag_rollup": """
+        "returnflag_grouping": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-                   round(sum(l_quantity), 2) AS sum_qty
+                   round(sum(l_quantity), 2) AS sum_qty, 'rollup' AS grouping_mode
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty, 'cube' AS grouping_mode
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
-        "customers_with_orders": """
-            SELECT c_custkey, c_name FROM customer
+        "customer_order_presence": """
+            SELECT c_custkey, c_name, TRUE AS has_orders FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer
+            UNION ALL
+            SELECT c_custkey, c_name, FALSE AS has_orders FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "avg_order_by_segment": """
@@ -3423,11 +3415,6 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 4) AS median_value
             FROM events GROUP BY event_type
         """,
-        "cube_returnflag": """
-            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-                   round(sum(l_quantity), 2) AS sum_qty
-            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        """,
         "customer_order_totals": """
             SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
                    CAST(round(coalesce(
@@ -3452,15 +3439,27 @@ def oracle_sql() -> dict[str, str]:
                    z.pollution_level
             FROM occ o FULL OUTER JOIN zones z ON o.zone_id = z.zone_id
         """,
-        "promo_revenue": f"""
-            SELECT round(
-                100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-                                 THEN {_SQL_DISC_PRICE}
-                                 ELSE 0 END) AS DOUBLE)
-                / CAST(sum({_SQL_DISC_PRICE}) AS DOUBLE), 4) AS promo_revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-              AND l_shipdate < TIMESTAMP '1997-04-01'
+        "promo_q19_revenue": f"""
+            SELECT * FROM (
+                SELECT round(
+                    100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                     THEN {_SQL_DISC_PRICE}
+                                     ELSE 0 END) AS DOUBLE)
+                    / CAST(sum({_SQL_DISC_PRICE}) AS DOUBLE), 4) AS promo_revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+            ) CROSS JOIN (
+                SELECT CAST(round(sum({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS q19_revenue,
+                       count(*) AS q19_n_items
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                       AND l_quantity BETWEEN 1 AND 20)
+                   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                       AND l_quantity BETWEEN 10 AND 30)
+                   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                       AND l_quantity BETWEEN 20 AND 40)
+            )
         """,
         "brand_stats": """
             SELECT p_brand, count(DISTINCT p_type) AS n_types,
@@ -3961,17 +3960,24 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest(fps) AS fingerprint FROM m)
     """
     _bucket = f"({_duck_md5_prefix32('doc_id::VARCHAR')} % 10000)"
-    d["top_tokens"] = f"""
-        SELECT tk AS token, count(*) AS n
-        FROM (SELECT unnest({tok}) AS tk FROM documents)
-        GROUP BY tk ORDER BY n DESC, tk LIMIT 20
-    """
-    d["label_centroids"] = """
-        SELECT label, p - 1 AS dim, round(avg(x::DOUBLE), 6) AS centroid
-        FROM (SELECT label, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS p
-              FROM embeddings)
-        GROUP BY label, p - 1
+    d["top_token_zipf"] = f"""
+        WITH counts AS (
+            SELECT tk AS token, count(*) AS n
+            FROM (SELECT unnest({tok}) AS tk FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 100
+        ),
+        ranked AS (
+            SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rank
+            FROM counts
+        ),
+        slope AS (
+            SELECT round(regr_slope(ln(n::DOUBLE), ln(rank::DOUBLE)), 6) AS zipf_slope,
+                   count(*) AS n_points
+            FROM ranked
+        )
+        SELECT rank, token, n, zipf_slope, n_points
+        FROM ranked CROSS JOIN slope WHERE rank <= 20
     """
     # same semantics, different physical path (Arrow/numpy) — same oracle
     d["ann_topk_pandas"] = d["ann_topk"]
@@ -3987,17 +3993,6 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE n1.n_nationkey < n2.n_nationkey
         GROUP BY 1, 2
-    """
-    d["discounted_revenue"] = f"""
-        SELECT {_SQL_REVENUE},
-               count(*) AS n_items
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 1 AND 20)
-           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
-               AND l_quantity BETWEEN 10 AND 30)
-           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
-               AND l_quantity BETWEEN 20 AND 40)
     """
     d["late_shipment_priority"] = """
         SELECT o_orderpriority, count(*) AS n_orders
@@ -4025,20 +4020,6 @@ def oracle_sql() -> dict[str, str]:
                    AS entropy,
                count(*) AS n_unique_tokens
         FROM c GROUP BY doc_id
-    """
-    d["zipf_slope"] = f"""
-        WITH counts AS (
-            SELECT tk, count(*)::DOUBLE AS n
-            FROM (SELECT unnest({tok}) AS tk FROM documents)
-            GROUP BY 1
-        ),
-        top AS (
-            SELECT n, row_number() OVER (ORDER BY n DESC, tk)::DOUBLE AS rank
-            FROM counts ORDER BY n DESC, tk LIMIT 100
-        )
-        SELECT round(regr_slope(ln(n), ln(rank)), 6) AS slope,
-               count(*) AS n_points
-        FROM top
     """
     d["order_gap_days"] = """
         SELECT o_custkey, o_orderkey, next_orderkey,
@@ -4122,16 +4103,6 @@ def oracle_sql() -> dict[str, str]:
                round(cum_share_raw, 6) AS cum_share
         FROM ranked WHERE cum_share_raw <= 0.25
         ORDER BY total_spent DESC, o_custkey
-    """
-    d["token_type_ratio"] = f"""
-        SELECT doc_id,
-               len({tok})::BIGINT AS n_tokens,
-               len(list_distinct({tok}))::BIGINT AS n_types,
-               round(CASE WHEN len({tok}) > 0
-                          THEN len(list_distinct({tok}))::DOUBLE
-                               / len({tok})::DOUBLE
-                          ELSE 0.0 END, 6) AS type_token_ratio
-        FROM documents
     """
     d["sequence_pack_text"] = f"""
         WITH t AS (
@@ -4339,6 +4310,7 @@ def oracle_sql() -> dict[str, str]:
         ), scored AS (
             SELECT doc_id, source, n_chars, n_chars_total, fingerprint,
                    len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_types,
                    coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT AS alpha_chars,
                    len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t)))::BIGINT AS s_en,
                    len(list_filter(toks, t -> list_contains(['le','la','et','de','un'], t)))::BIGINT AS s_fr,
@@ -4373,6 +4345,9 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
                     WHEN s_es >= s_de AND s_es > 0 THEN 'es'
                     WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang_pred,
+               s.n_types,
+               round(CASE WHEN n_tokens > 0
+                     THEN n_types::DOUBLE / n_tokens ELSE 0.0 END, 6) AS type_token_ratio,
                coalesce(m.simhash, 0)::BIGINT AS simhash,
                ntile(4) OVER (PARTITION BY s.source
                               ORDER BY s.n_chars, s.doc_id) AS quartile
@@ -4629,16 +4604,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ex GROUP BY 1
         ),
         z AS (
-            SELECT e.label, e.dim,
+            SELECT e.label, e.dim, e.v,
                    (e.v - st.s / st.n)
                    / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) AS z
             FROM ex e JOIN stats st USING (dim)
         )
         SELECT label, dim, count(*)::BIGINT AS n_vals,
+               round(avg(v), 6) AS centroid,
                round(avg(z), 6) AS mean_z,
                round(min(z), 6) AS min_z,
                round(max(z), 6) AS max_z
-        FROM z WHERE dim < 4
+        FROM z
         GROUP BY 1, 2
     """
     return d

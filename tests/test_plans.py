@@ -109,11 +109,15 @@ def test_props_surface_pushes_projection(spark, sf_dir):
 
 
 def test_promo_revenue_broadcasts_part(spark, sf_dir):
-    df = entry_mod.q_promo_revenue(spark, sf_dir)
+    """The Q14 branch of the consolidated query keeps its broadcast FK
+    join and its shipdate pushdown; the Q19 branch keeps the extracted
+    p_brand conjunct at its part scan."""
+    df = entry_mod.q_promo_q19_revenue(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     pushed = plans.pushed_filters(df)
     assert "l_shipdate" in pushed, pushed
+    assert "p_brand" in pushed, pushed
 
 
 def test_sessionize_single_shuffle(spark, sf_dir):
