@@ -504,3 +504,24 @@ def test_split_leakage_adds_no_shuffle_over_pair_pipeline(spark, sf_dir):
     base = plans.count_shuffles(entry_mod.q_minhash_lsh(spark, sf_dir))
     audited = plans.count_shuffles(entry_mod.q_split_leakage(spark, sf_dir))
     assert audited == base, (audited, base)
+
+
+def test_lsh_topk_explodes_query_side_only(spark, sf_dir):
+    """Multi-probe lives on the broadcast query side: the corpus keeps
+    exactly one bucket per row (no corpus-side Generate), joins via
+    broadcast, and never shuffles by key."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        lsh_topk,
+        seeded_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = lsh_topk(emb, q, seeded_planes(8, 64, 7), k=10, probe_hamming=2)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one Generate (the query-side probe explode), none under
+    # the corpus scan branch
+    assert plan.count("+- Generate") == 1, plan
