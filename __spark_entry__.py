@@ -2816,6 +2816,9 @@ def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     median-of-3 on the driver's sf0.1 file; a no-op on a well-partitioned
     at-scale scan.  On the already-2-partition 10x twin the spread costs
     ~0.2 s — the gate keeps it from firing on real multi-file scans)."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_hash_expr,
+    )
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf, "documents"))
@@ -2824,14 +2827,7 @@ def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("_toks"),
     ).select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "case when size(_toks) = 0 then cast(array() as array<bigint>) else transform("
-                "  sequence(0, cast(floor((size(_toks) + 9) / 10) as int) - 1),"
-                "  i -> cast(conv(substring(md5(concat_ws(' ', "
-                "       slice(_toks, i * 10 + 1, 10))), 1, 8), 16, 10) as bigint)) end"
-            )
-        ).alias("seg_h"),
+        F.explode(F.expr(segment_hash_expr("_toks"))).alias("seg_h"),
     ).localCheckpoint(eager=False)
     occ = segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
     per_doc = (

@@ -662,3 +662,19 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def segment_hash_expr(toks_col: str, width: int = 10) -> str:
+    """SQL expression: array of 32-bit md5 hashes of the non-overlapping
+    ``width``-token segments of a token array — the line-dedup segmenter
+    (sub-document "lines" for single-line corpora) shared bit-for-bit by
+    the batch query (``q_segment_dedup``), the streaming twin
+    (``streaming.dedup.streaming_segment_dup_deltas``), and the DuckDB
+    oracle (nibble-identical md5-prefix arithmetic)."""
+    return (
+        f"case when size({toks_col}) = 0 then cast(array() as array<bigint>) "
+        f"else transform("
+        f"  sequence(0, cast(floor((size({toks_col}) + {width - 1}) / {width}) as int) - 1),"
+        f"  i -> cast(conv(substring(md5(concat_ws(' ', "
+        f"       slice({toks_col}, i * {width} + 1, {width}))), 1, 8), 16, 10) as bigint)) end"
+    )

@@ -25,6 +25,10 @@ from kafka_streams_one_to_many_join_spark.streaming.stream_join import (
     stream_static_join,
     stream_stream_join,
 )
+from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+    streaming_segment_dup_deltas,
+    streaming_segment_dup_totals,
+)
 from kafka_streams_one_to_many_join_spark.streaming.sketch import (
     streaming_bloom_filter,
     streaming_cms_counts,
@@ -41,6 +45,8 @@ __all__ = [
     "car_move_detection",
     "streaming_bloom_filter",
     "streaming_cms_counts",
+    "streaming_segment_dup_deltas",
+    "streaming_segment_dup_totals",
     "streaming_hll_distinct",
     "streaming_quantile_sketch",
     "session_agg",

@@ -191,3 +191,179 @@ def streaming_minhash_lsh_pairs(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming segment-level (line) dedup — the stream twin of the batch
+# q_segment_dedup recipe (functions.dedup.segment_hash_expr reused
+# bit-for-bit).  Two chained stateful stages, because the semantics are
+# RETROACTIVE: when a later document repeats a segment, every EARLIER
+# holder of that segment becomes partially duplicated too — so stage 1
+# (keyed by segment hash) must re-emit deltas for old documents when a
+# segment's global occurrence count crosses 2, and stage 2 (keyed by
+# doc_id) folds the deltas into per-document totals.  Spark allows one
+# stateful operator per query, so the stages chain through a parquet
+# "through" directory — the same topology pattern as the reference's
+# move-detection → symmetric-join pipeline (streaming/join.py tests).
+# ---------------------------------------------------------------------------
+
+
+def streaming_segment_dup_deltas(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 10,
+) -> DataFrame:
+    """Stage 1: per segment-hash keyed state → (doc_id, d_segments, d_dup)
+    deltas, append semantics.
+
+    State per segment: its holders (doc_id → within-doc occurrence count)
+    and the global count.  Per batch: a new document's occurrences are
+    new segments (d_segments += k); they are duplicated occurrences
+    (d_dup += k) iff the segment's global count is ≥ 2 AFTER the batch;
+    and when the batch pushes the count across the 2 threshold, every
+    EARLIER holder retroactively gains d_dup += its own k — the
+    re-emission that makes the final totals equal the batch join's,
+    regardless of arrival order or batch split (asserted by the 3-batch
+    replay test).  Documents already in a segment's state are skipped
+    (idempotent under at-least-once replay).
+
+    Scale: state per segment is its holder list — the same information
+    the batch pipeline shuffles to the hash-keyed join, held instead in
+    the state store; the emitted deltas are O(new occurrences + one
+    retroactive burst per segment lifetime).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_hash_expr,
+    )
+
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
+            "_toks"
+        ),
+    ).select(
+        "doc_id",
+        F.explode(F.expr(segment_hash_expr("_toks", width))).alias("seg_h"),
+    )
+
+    output_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("d_segments", LongType(), False),
+            StructField("d_dup", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("doc_ids", ArrayType(LongType()), True),
+            StructField("doc_occs", ArrayType(LongType()), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        ids, occs = (
+            ([int(x) for x in state.get[0]], [int(x) for x in state.get[1]])
+            if state.exists
+            else ([], [])
+        )
+        holders = dict(zip(ids, occs))
+        occ_before = sum(holders.values())
+        new: dict[int, int] = {}
+        for pdf in pdfs:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d in holders:  # replayed input — idempotent
+                    continue
+                new[d] = new.get(d, 0) + 1
+        if not new:
+            yield pd.DataFrame([], columns=["doc_id", "d_segments", "d_dup"])
+            return
+        occ_after = occ_before + sum(new.values())
+        out = []
+        for d, k in new.items():
+            out.append((d, k, k if occ_after >= 2 else 0))
+        if occ_before < 2 <= occ_after:
+            # threshold crossed: earlier holders become duplicated too
+            for d, k in holders.items():
+                out.append((d, 0, k))
+        holders.update(new)
+        state.update((list(holders), list(holders.values())))
+        yield pd.DataFrame(out, columns=["doc_id", "d_segments", "d_dup"])
+
+    return segs.groupBy("seg_h").applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def streaming_segment_dup_totals(deltas: DataFrame) -> DataFrame:
+    """Stage 2: fold the (doc_id, d_segments, d_dup) deltas into running
+    per-document totals (update semantics — one refreshed row per touched
+    doc per batch): (doc_id, n_segments, n_dup_segments, dup_frac, keep),
+    the exact columns of the batch q_segment_dedup."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_segments", LongType(), False),
+            StructField("n_dup_segments", LongType(), False),
+            StructField("dup_frac", DoubleType(), False),
+            StructField("keep", BooleanType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_segments", LongType(), True),
+            StructField("n_dup", LongType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        n_seg, n_dup = (
+            (int(state.get[0]), int(state.get[1])) if state.exists else (0, 0)
+        )
+        for pdf in pdfs:
+            n_seg += int(pdf["d_segments"].sum())
+            n_dup += int(pdf["d_dup"].sum())
+        state.update((n_seg, n_dup))
+        frac = round(n_dup / n_seg, 6) if n_seg else 0.0
+        yield pd.DataFrame(
+            [
+                {
+                    "doc_id": key[0],
+                    "n_segments": n_seg,
+                    "n_dup_segments": n_dup,
+                    "dup_frac": frac,
+                    "keep": frac <= 0.5,
+                }
+            ]
+        )
+
+    return deltas.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

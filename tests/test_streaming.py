@@ -1306,3 +1306,177 @@ def test_streaming_bloom_matches_batch_build(spark, tmp_path, sf_dir):
             for i in range(3):
                 w, mask = bloom_word_mask(i, str(ck), 512)
                 assert stream_words[w] & mask == mask
+
+
+def test_streaming_segment_dedup_matches_batch(spark, tmp_path):
+    """Retroactive cross-batch line-dedup equivalence: documents arrive in
+    3 micro-batches; when a later doc repeats an earlier doc's segment,
+    the earlier doc's duplicated-fraction must update RETROACTIVELY —
+    stage 1 (segment-keyed state) re-emits deltas on the 2-occurrence
+    crossing, stage 2 (doc-keyed state) folds totals.  Final streaming
+    rows must equal the batch segment-dedup pipeline on the full corpus
+    (same segment_hash_expr, same join semantics)."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_hash_expr,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_segment_dup_deltas,
+        streaming_segment_dup_totals,
+    )
+
+    w = lambda *words: " ".join(words)
+    seg = lambda tag: w(*[f"{tag}{i}" for i in range(10)])  # one 10-token segment
+    # batch 1: A unique; B shares nothing yet.  batch 2: C repeats one of
+    # A's segments (retroactive flip for A) and has a WITHIN-DOC repeated
+    # segment.  batch 3: D repeats B's segment (retroactive flip for B)
+    # and C's repeated one (already dup — no re-emission for C).
+    docs = [
+        (1, seg("a") + " " + seg("x")),                     # A: segs {a, x}
+        (2, seg("b")),                                      # B: seg {b}
+        (3, seg("x") + " " + seg("c") + " " + seg("c")),    # C: x (dups A's), c twice
+        (4, seg("b") + " " + seg("c")),                     # D: b (dups B's), c (already dup)
+    ]
+    batches = [docs[:2], docs[2:3], docs[3:]]
+    schema = "doc_id long, text string"
+    tmp = str(tmp_path)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
+            f"{tmp}/docs"
+        )
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp}/docs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    deltas = streaming_segment_dup_deltas(stream)
+    q1 = write_stream(
+        deltas, "parquet", f"{tmp}/through", checkpoint=f"{tmp}/cp1",
+        query_name="segdeltas",
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    totals = streaming_segment_dup_totals(
+        read_stream(spark, "parquet", f"{tmp}/through", schema=deltas.schema)
+    )
+    q2 = write_stream(
+        totals, "memory", query_name="segtotals", output_mode="update",
+        checkpoint=f"{tmp}/cp2",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    final = {}
+    for r in spark.sql("select * from segtotals").collect():
+        if r.doc_id not in final or r.n_segments > final[r.doc_id].n_segments or (
+            r.n_segments == final[r.doc_id].n_segments
+            and r.n_dup_segments >= final[r.doc_id].n_dup_segments
+        ):
+            final[r.doc_id] = r
+
+    # batch reference: the q_segment_dedup pipeline on the full corpus
+    all_docs = spark.createDataFrame(docs, schema)
+    segs = all_docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("_toks"),
+    ).select("doc_id", F.explode(F.expr(segment_hash_expr("_toks"))).alias("seg_h"))
+    occ = segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
+    expected = {
+        r.doc_id: r
+        for r in segs.join(occ, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("occ") >= 2).cast("bigint")).alias("n_dup_segments"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for d, exp in expected.items():
+        got = final[d]
+        assert (got.n_segments, got.n_dup_segments) == (
+            exp.n_segments,
+            exp.n_dup_segments,
+        ), (d, got, exp)
+    # the engineered retroactive flips actually happened
+    assert final[1].n_dup_segments == 1  # A's 'x' flipped by C
+    assert final[2].n_dup_segments == 1  # B's 'b' flipped by D
+    assert final[3].n_dup_segments == 3  # C: x + both c's
+    assert final[4].n_dup_segments == 2  # D: both segments already dup
+
+
+def test_streaming_segment_dedup_fixture_replay(spark, tmp_path, sf_dir):
+    """The same equivalence on the real documents fixture split across 3
+    arbitrary batches — arrival order and batch boundaries must not
+    change the final per-document totals."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_hash_expr,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_segment_dup_deltas,
+        streaming_segment_dup_totals,
+    )
+
+    docs_df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = [(r.doc_id, r.text) for r in docs_df.limit(150).collect()]
+    schema = "doc_id long, text string"
+    tmp = str(tmp_path)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/docs")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp}/docs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    deltas = streaming_segment_dup_deltas(stream)
+    q1 = write_stream(
+        deltas, "parquet", f"{tmp}/through", checkpoint=f"{tmp}/cp1",
+        query_name="segdeltas_fx",
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    totals = streaming_segment_dup_totals(
+        read_stream(spark, "parquet", f"{tmp}/through", schema=deltas.schema)
+    )
+    q2 = write_stream(
+        totals, "memory", query_name="segtotals_fx", output_mode="update",
+        checkpoint=f"{tmp}/cp2",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    final = {}
+    for r in spark.sql("select * from segtotals_fx").collect():
+        cur = final.get(r.doc_id)
+        if cur is None or (r.n_segments, r.n_dup_segments) >= (
+            cur.n_segments, cur.n_dup_segments
+        ):
+            final[r.doc_id] = r
+
+    all_docs = spark.createDataFrame(rows, schema)
+    segs = all_docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("_toks"),
+    ).select("doc_id", F.explode(F.expr(segment_hash_expr("_toks"))).alias("seg_h"))
+    occ = segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
+    expected = {
+        r.doc_id: (r.n_segments, r.n_dup_segments)
+        for r in segs.join(occ, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("occ") >= 2).cast("bigint")).alias("n_dup_segments"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    mismatches = {
+        d: ((final[d].n_segments, final[d].n_dup_segments), exp)
+        for d, exp in expected.items()
+        if (final[d].n_segments, final[d].n_dup_segments) != exp
+    }
+    assert not mismatches, mismatches
