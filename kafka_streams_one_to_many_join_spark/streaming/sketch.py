@@ -371,12 +371,21 @@ def bloom_word_mask(i: int, value: str, m: int) -> tuple[int, int]:
 
 
 def streaming_bloom_filter(
-    events: DataFrame, key_col: str, value_col: str, m: int = 1024, k: int = 4
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    m: int = 1024,
+    k: int = 4,
+    output_mode: str = "update",
 ) -> DataFrame:
-    """Per-key running Bloom filter (update semantics: one refreshed row
-    per touched key per batch).  State is m/32 longs per key regardless
-    of stream volume — the streaming side of a continuously-maintained
-    join-pruning filter."""
+    """Per-key running Bloom filter (one refreshed row per touched key
+    per batch).  State is m/32 longs per key regardless of stream volume
+    — the streaming side of a continuously-maintained join-pruning
+    filter.  ``output_mode="append"`` emits the same per-batch snapshots
+    append-only (each is new information — the latest per key is the one
+    with the max n_seen), which is what a file sink requires; that is
+    also the mode the kill-and-resume test drives, since the memory sink
+    cannot recover from a checkpoint."""
 
     n_words = m // 32
 
@@ -416,6 +425,6 @@ def streaming_bloom_filter(
         fn,
         outputStructType=_BLOOM_OUTPUT,
         stateStructType=_BLOOM_STATE,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf="NoTimeout",
     )

@@ -1480,3 +1480,63 @@ def test_streaming_segment_dedup_fixture_replay(spark, tmp_path, sf_dir):
         if (final[d].n_segments, final[d].n_dup_segments) != exp
     }
     assert not mismatches, mismatches
+
+
+def test_sketch_checkpoint_restart_exactness(spark, tmp_path, sf_dir):
+    """Kill-and-resume exactness for the sketch family: the streaming
+    Bloom filter processes its input across TWO separate query instances
+    sharing one checkpoint (planned restart between micro-batches), and
+    the recovered RocksDB state must continue the bit_or accumulation
+    exactly — the final filter equals the one-shot batch build word for
+    word, with n_seen equal to the full row count."""
+    from kafka_streams_one_to_many_join_spark.functions.bloom import (
+        bloom_build,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_bloom_filter,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = [
+        (r.o_orderpriority, r.o_custkey)
+        for r in orders.select("o_orderpriority", "o_custkey").limit(2000).collect()
+    ]
+    schema = "prio string, custkey long"
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/keys", exist_ok=True)
+    half = (len(rows) + 1) // 2
+    for chunk in (rows[:half], rows[half:]):  # fresh query per chunk, shared cp
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/keys")
+        stream = read_stream(
+            spark, "parquet", f"{tmp}/keys",
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        est = streaming_bloom_filter(
+            stream, "prio", "custkey", m=512, k=3, output_mode="append"
+        )
+        q = write_stream(
+            est, "parquet", path=f"{tmp}/out",
+            checkpoint=f"{tmp}/cp", trigger_available_now=True,
+            query_name="bloomrst",
+        )
+        q.awaitTermination()
+    final = {}
+    for r in spark.read.parquet(f"{tmp}/out").collect():
+        if r.key not in final or r.n_seen > final[r.key].n_seen:
+            final[r.key] = r
+    df_all = spark.createDataFrame(rows, schema)
+    prios = {p for p, _ in rows}
+    assert set(final) == prios
+    for prio in prios:
+        batch = {
+            r.word: r.bits
+            for r in bloom_build(
+                df_all.filter(F.col("prio") == prio), "custkey", m=512, k=3
+            ).collect()
+        }
+        got = {w: b for w, b in enumerate(final[prio].words) if b}
+        assert got == batch, prio
+        assert final[prio].n_seen == sum(1 for p, _ in rows if p == prio)
