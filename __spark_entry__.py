@@ -3095,14 +3095,24 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     seeds): per (method, query_id), recall = |approx top-10 ∩ exact
     top-10| / 10 via a left-semi join on (query_id, vec_id).  The joins
     are between k·|queries|-row frames — broadcast, nothing corpus-sized
-    shuffles beyond what the three parent pipelines already do.
+    shuffles beyond what the three parent pipelines already do.  The
+    exact frame (k rows per query) is lazily checkpointed: it feeds both
+    the semi-join and the n_exact denominator, and without the
+    checkpoint the diamond re-executes the full brute-force scan — the
+    most expensive branch — once per consumer (measured 2.72 → 2.46 s
+    at sf0.1; modest locally because idle cores overlap the branches,
+    but at cluster scale the re-executed Q·N cosine pass is real cost).
 
     Measured at sf0.01 (random-gaussian fixture — the worst case for
     sublinear ANN, see similarity.lsh_topk): lsh (multi-probe Hamming 2,
     ~14% of corpus scanned) 0.26, ivf (nprobe 3/16, ~19% scanned) 0.44 —
     recall tracks scanned fraction on unstructured data, which is
     exactly what this eval exists to expose."""
-    exact = q_ann_topk(spark, sf).select("query_id", "vec_id")
+    exact = (
+        q_ann_topk(spark, sf)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     approx = (
         q_ann_topk_lsh(spark, sf)
         .select("query_id", "vec_id", F.lit("lsh").alias("method"))

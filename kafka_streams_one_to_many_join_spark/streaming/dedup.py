@@ -213,6 +213,7 @@ def streaming_segment_dup_deltas(
     text_col: str = "text",
     id_col: str = "doc_id",
     width: int = 10,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Stage 1: per segment-hash keyed state → (doc_id, d_segments, d_dup)
     deltas, append semantics.
@@ -231,7 +232,11 @@ def streaming_segment_dup_deltas(
     Scale: state per segment is its holder list — the same information
     the batch pipeline shuffles to the hash-keyed join, held instead in
     the state store; the emitted deltas are O(new occurrences + one
-    retroactive burst per segment lifetime).
+    retroactive burst per segment lifetime).  ``ttl_ms`` opts into
+    processing-time state expiry (sliding-corpus semantics: retroactive
+    flips older than the TTL horizon are deliberately missed — the
+    bounded-state trade for unbounded corpora); default None keeps exact
+    keep-forever semantics, matching the batch pipeline.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -271,6 +276,13 @@ def streaming_segment_dup_deltas(
     )
 
     def fn(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            # opt-in sliding-corpus semantics: a segment idle past the TTL
+            # forgets its holders — retroactive flips older than the TTL
+            # horizon are deliberately missed (the bounded-state trade)
+            state.remove()
+            yield pd.DataFrame([], columns=["doc_id", "d_segments", "d_dup"])
+            return
         ids, occs = (
             ([int(x) for x in state.get[0]], [int(x) for x in state.get[1]])
             if state.exists
@@ -286,6 +298,8 @@ def streaming_segment_dup_deltas(
                     continue
                 new[d] = new.get(d, 0) + 1
         if not new:
+            if ttl_ms is not None and state.exists:
+                state.setTimeoutDuration(ttl_ms)  # re-arm: invocation clears it
             yield pd.DataFrame([], columns=["doc_id", "d_segments", "d_dup"])
             return
         occ_after = occ_before + sum(new.values())
@@ -298,6 +312,8 @@ def streaming_segment_dup_deltas(
                 out.append((d, 0, k))
         holders.update(new)
         state.update((list(holders), list(holders.values())))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=["doc_id", "d_segments", "d_dup"])
 
     return segs.groupBy("seg_h").applyInPandasWithState(
@@ -305,7 +321,7 @@ def streaming_segment_dup_deltas(
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout",
     )
 
 

@@ -525,3 +525,43 @@ def test_lsh_topk_explodes_query_side_only(spark, sf_dir):
     # exactly one Generate (the query-side probe explode), none under
     # the corpus scan branch
     assert plan.count("+- Generate") == 1, plan
+
+
+def test_roster_wide_plan_hygiene(spark, sf_dir):
+    """Global scale invariants over EVERY declared query's physical plan:
+    no cartesian product ever; no row-at-a-time Python UDF
+    (BatchEvalPython) — Python crossings must be Arrow-vectorized; and
+    broadcast nested-loop joins only where a 1-row/bounded side makes
+    them the designed plan (whitelisted).  One test, whole-roster
+    coverage — a regression anywhere in the 100 queries fails here even
+    if the query's own plan test doesn't exist."""
+    # queries whose DESIGN uses a bounded-side nested-loop broadcast:
+    # ANN/near-dup pair generation (capped query side), 1-row scalar
+    # attach (totals/slope/fill), and the recall eval built on them
+    bnlj_ok = {
+        "ann_topk", "ann_topk_pandas", "ann_topk_lsh", "ann_topk_ivf",
+        "ann_recall", "embedding_near_dup", "embedding_near_dup_lsh",
+        "kmeans_step", "contamination_check", "mixture_weights",
+        "unigram_logprob", "top_token_zipf", "bloom_filter",
+        "promo_q19_revenue", "zone_occupancy", "curation_funnel",
+        "packing_efficiency", "sequence_pack", "sequence_pack_text",
+        "click_purchase_funnel", "corpus_stats", "quantile_sketch",
+        "cms_token_counts", "hll_distinct", "vocab_growth",
+        # 1-row scalar-threshold attaches (corpus totals, z-score cuts,
+        # as-of watermark bounds) — audited designed plans
+        "bigram_pmi", "tfidf_top_terms", "wealthy_low_activity",
+        "join_trace", "incremental_snapshot",
+    }
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        plan = plans.formatted_plan(fn(spark, sf_dir))
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("cartesian")
+        if "BatchEvalPython" in plan:
+            problems.append("row-python-udf")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            problems.append("unlisted-bnlj")
+        if problems:
+            offenders[name] = problems
+    assert not offenders, offenders

@@ -1540,3 +1540,72 @@ def test_sketch_checkpoint_restart_exactness(spark, tmp_path, sf_dir):
         got = {w: b for w, b in enumerate(final[prio].words) if b}
         assert got == batch, prio
         assert final[prio].n_seen == sum(1 for p, _ in rows if p == prio)
+
+
+def test_segment_dedup_state_ttl_expires(spark, tmp_path):
+    """Opt-in TTL on the segment-dedup stage-1 state: after the TTL
+    horizon a segment forgets its holders, so a later repeat neither
+    retro-flips the earlier doc nor counts as duplicated itself
+    (sliding-corpus semantics).  The keep-forever control on the same
+    batches gets both.  Uses the cleanup-batch wait (not a fixed sleep)
+    so the timer has provably fired before the second batch."""
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_segment_dup_deltas,
+    )
+
+    seg = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    b1 = [(1, seg("a"))]
+    b2 = [(2, seg("a"))]
+    schema = "doc_id long, text string"
+
+    def run(name, ttl_ms):
+        src = f"{tmp_path}/src_{name}"
+        os.makedirs(src, exist_ok=True)
+        stream = read_stream(
+            spark, "parquet", src,
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        deltas = streaming_segment_dup_deltas(stream, ttl_ms=ttl_ms)
+        q = write_stream(
+            deltas, "memory", query_name=name, checkpoint=f"{tmp_path}/cp_{name}",
+        )
+        seen: dict = {}
+        written = 0
+        try:
+            for batch in (b1, b2):
+                spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+                written += len(batch)
+                _await_input_rows(q, seen, written)
+                processed_at = time.time()
+                if ttl_ms is not None:
+                    _await_cleanup_batch(q, processed_at + ttl_ms / 1000 + 0.3)
+                else:
+                    time.sleep(1.5)
+            time.sleep(0.5)
+            return {
+                (r.doc_id,): (r.d_segments, r.d_dup)
+                for r in spark.sql(f"select * from {name}").collect()
+            }
+        finally:
+            q.stop()
+
+    run("segttl", ttl_ms=400)
+    run("segkeep", ttl_ms=None)
+
+    # doc 1 emits (1, 0) on arrival and a retro (0, 1) delta as separate
+    # sink rows — delta semantics, so assert on SUMS per doc
+    def totals(rows_name):
+        agg = {}
+        for r in spark.sql(f"select * from {rows_name}").collect():
+            s, d = agg.get(r.doc_id, (0, 0))
+            agg[r.doc_id] = (s + r.d_segments, d + r.d_dup)
+        return agg
+
+    t_control = totals("segkeep")
+    t_expired = totals("segttl")
+    assert t_control[1] == (1, 1), t_control   # retro-flipped
+    assert t_control[2] == (1, 1), t_control   # arrived duplicated
+    assert t_expired[1] == (1, 0), t_expired   # state forgot — no flip
+    assert t_expired[2] == (1, 0), t_expired   # counted as fresh again
