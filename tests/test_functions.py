@@ -783,3 +783,63 @@ def test_bloom_masks_stay_in_32_bit_words(spark):
     for r in rows:
         assert 0 <= r.word < 256 // 32
         assert 0 <= r.bits < 2**32
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """Probing more cells can only add candidates, so recall@k against
+    the exact baseline must be non-decreasing in nprobe — and at nprobe
+    = nlist (scan everything) the result IS the exact top-k."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = seeded_centroids(16, 64, 23)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    recalls = []
+    for nprobe in (1, 3, 16):
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, queries, cents, nprobe=nprobe, k=10).collect()
+        }
+        recalls.append(len(approx & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls  # nprobe = nlist degenerates to exact
+
+
+def test_lsh_recall_monotone_in_probe_hamming(spark):
+    """Multi-probe candidates are supersets as probe Hamming distance
+    grows (bucket sets nest), so recall@k is non-decreasing in
+    probe_hamming."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        seeded_planes,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = seeded_planes(8, 64, 7)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    recalls = []
+    for ph in (0, 1, 2):
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in lsh_topk(emb, queries, planes, k=10, probe_hamming=ph).collect()
+        }
+        recalls.append(len(approx & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[2] > recalls[0], recalls  # the upgrade actually helps
