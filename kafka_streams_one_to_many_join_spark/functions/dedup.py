@@ -363,10 +363,17 @@ def simhash_majority_expr(th_col: str) -> str:
     column → the 60-bit simhash.  ``th_col`` must be a plain column
     reference (not the transform expression itself): the vote reads the
     array 120×, so inlining the hash computation would re-hash every
-    token 120×."""
+    token 120×.
+
+    The per-bit count is a plain aggregate sum, not size(filter(...)):
+    identical result, but filter ALLOCATES a new array per bit (60
+    allocations per row) — measured 0.30 → 0.22 s for the vote stage at
+    sf0.1.  (A single-pass zip_with counts-vector variant was measured
+    7× SLOWER — one 60-element array allocation per token.)"""
     return (
         f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, b) -> acc + "
-        f"if(size(filter({th_col}, v -> pmod(shiftright(v, b), 2) = 1)) * 2 > size({th_col}), "
+        f"if(aggregate({th_col}, cast(0 as bigint), (a, v) -> a + pmod(shiftright(v, b), 2)) * 2 "
+        f"> size({th_col}), "
         "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
     )
 
@@ -451,21 +458,30 @@ def simhash_near_dup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    # In-lambda Hamming verification BEFORE any pair materializes:
+    # element_at indexing instead of slice() (slice COPIES the tail
+    # sub-array per member — O(n²) struct copies in a clustery bucket),
+    # and only qualifying pairs ever become structs / exploded rows.
+    # On the self-similar sf0.1 fixture one bucket alone holds 1.25M
+    # candidate pairs of which ~90% fail the Hamming check — measured
+    # 2.21 s → 1.94 s for the operator (the remaining cost is the
+    # genuine 2.9M-pair xor/bit_count work plus the 271k-pair distinct).
     pair_expr = (
         "flatten(transform(members, (x, i) -> "
-        "transform(slice(members, i + 2, size(members) - i - 1), y -> "
-        "struct(x.doc_id as doc_a, x.simhash as sim_a, "
-        "y.doc_id as doc_b, y.simhash as sim_b))))"
+        "transform("
+        "  filter(if(i + 1 >= size(members), cast(array() as array<int>), "
+        "            sequence(i + 1, size(members) - 1)), "
+        f"         j -> bit_count(x.simhash ^ element_at(members, j + 1).simhash) <= {max_hamming}), "
+        "  j -> struct(x.doc_id as doc_a, element_at(members, j + 1).doc_id as doc_b, "
+        "cast(bit_count(x.simhash ^ element_at(members, j + 1).simhash) as bigint) as hamming))))"
     )
     return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .filter(F.col("p.doc_a") < F.col("p.doc_b"))
         .select(
             F.col("p.doc_a").alias("doc_a"),
             F.col("p.doc_b").alias("doc_b"),
-            F.expr("cast(bit_count(p.sim_a ^ p.sim_b) as bigint)").alias("hamming"),
+            F.col("p.hamming").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 
