@@ -60,6 +60,7 @@ def streaming_minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     seed: int = 11,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Cross-batch fuzzy near-dup candidate maintenance: the streaming
     twin of ``functions.dedup.minhash_lsh_pairs`` (recipe reused
@@ -88,8 +89,11 @@ def streaming_minhash_lsh_pairs(
     Scale: state per bucket is the docs that ever hashed into it —
     bounded by the LSH guarantee that buckets stay small (the same
     property that bounds the batch operator's per-bucket quadratic
-    work); unbounded corpora add a timeout exactly like the join-state
-    TTL (streaming/join.py).
+    work); for unbounded corpora ``ttl_ms`` opts into processing-time
+    bucket expiry exactly like the join-state TTL (streaming/join.py) —
+    sliding-corpus semantics: pairs against docs older than the TTL
+    horizon are deliberately missed; default None keeps the batch-exact
+    keep-forever semantics.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -159,6 +163,10 @@ def streaming_minhash_lsh_pairs(
     )
 
     def fn(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["doc_a", "doc_b", "jaccard"])
+            return
         known_ids, known_sets = (
             ([int(x) for x in state.get[0]], [set(int(h) for h in s) for s in state.get[1]])
             if state.exists
@@ -181,6 +189,8 @@ def streaming_minhash_lsh_pairs(
                         out.append((lo, hi, round(jac, 6)))
                 known[doc_id] = hset
         state.update((list(known), [sorted(s) for s in known.values()]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out:
             yield pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
@@ -189,7 +199,7 @@ def streaming_minhash_lsh_pairs(
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout",
     )
 
 

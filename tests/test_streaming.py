@@ -1609,3 +1609,56 @@ def test_segment_dedup_state_ttl_expires(spark, tmp_path):
     assert t_control[2] == (1, 1), t_control   # arrived duplicated
     assert t_expired[1] == (1, 0), t_expired   # state forgot — no flip
     assert t_expired[2] == (1, 0), t_expired   # counted as fresh again
+
+
+def test_minhash_state_ttl_expires(spark, tmp_path):
+    """Opt-in TTL on the MinHash bucket state: a near-dup arriving after
+    the TTL horizon no longer pairs with the expired earlier doc
+    (sliding-corpus semantics); the keep-forever control on the same
+    batches emits the pair."""
+    from kafka_streams_one_to_many_join_spark.streaming import dedup as sd
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = [(1, text)]
+    b2 = [(2, text + " tail")]  # near-dup of doc 1, shares most shingles
+    schema = "doc_id long, text string"
+
+    def run(name, ttl_ms):
+        src = f"{tmp_path}/src_{name}"
+        os.makedirs(src, exist_ok=True)
+        stream = read_stream(
+            spark, "parquet", src,
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        pairs = sd.streaming_minhash_lsh_pairs(
+            stream, threshold=0.5, ttl_ms=ttl_ms
+        )
+        q = write_stream(
+            pairs, "memory", query_name=name, checkpoint=f"{tmp_path}/cp_{name}",
+        )
+        seen: dict = {}
+        written = 0
+        try:
+            for batch in (b1, b2):
+                spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+                written += len(batch)
+                _await_input_rows(q, seen, written)
+                processed_at = time.time()
+                if ttl_ms is not None:
+                    _await_cleanup_batch(q, processed_at + ttl_ms / 1000 + 0.3)
+                else:
+                    time.sleep(1.5)
+            time.sleep(0.5)
+            return {
+                (r.doc_a, r.doc_b)
+                for r in spark.sql(f"select * from {name}").collect()
+            }
+        finally:
+            q.stop()
+
+    control = run("mhkeep", ttl_ms=None)
+    expired = run("mhttl", ttl_ms=400)
+    assert (1, 2) in control, control     # cross-batch pair found
+    assert (1, 2) not in expired, expired  # bucket forgot doc 1
