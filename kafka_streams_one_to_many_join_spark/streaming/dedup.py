@@ -335,11 +335,17 @@ def streaming_segment_dup_deltas(
     )
 
 
-def streaming_segment_dup_totals(deltas: DataFrame) -> DataFrame:
+def streaming_segment_dup_totals(
+    deltas: DataFrame, output_mode: str = "update"
+) -> DataFrame:
     """Stage 2: fold the (doc_id, d_segments, d_dup) deltas into running
-    per-document totals (update semantics — one refreshed row per touched
-    doc per batch): (doc_id, n_segments, n_dup_segments, dup_frac, keep),
-    the exact columns of the batch q_segment_dedup."""
+    per-document totals (one refreshed row per touched doc per batch):
+    (doc_id, n_segments, n_dup_segments, dup_frac, keep), the exact
+    columns of the batch q_segment_dedup.  ``output_mode="append"``
+    emits the same per-batch snapshots append-only (totals are
+    monotonically non-decreasing, so the latest row per doc is the max)
+    — required for a file sink, and for checkpoint recovery in the
+    restart test (memory sinks cannot recover)."""
     import pandas as pd
     from pyspark.sql.types import (
         BooleanType,
@@ -390,6 +396,6 @@ def streaming_segment_dup_totals(deltas: DataFrame) -> DataFrame:
         fn,
         outputStructType=output_schema,
         stateStructType=state_schema,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf="NoTimeout",
     )

@@ -78,3 +78,12 @@ def test_bench_roster_matches_declared_queries():
     qs = set(entrymod.queries())
     assert set(bench.BENCH_QUERIES) == qs
     assert len(bench.BENCH_QUERIES) == len(qs)  # no duplicates
+
+
+def test_roster_pinned_at_one_hundred():
+    """The rotation contract (see queries()' header comment): the roster
+    stays at EXACTLY 100 so the driver's 50-row correctness cap covers
+    everything in a 2-round window.  Additions must be paid for by
+    consolidation — this test is the tripwire."""
+    assert len(entrymod.queries()) == 100
+    assert len(entrymod.oracle_sql()) == 100

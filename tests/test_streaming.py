@@ -1662,3 +1662,85 @@ def test_minhash_state_ttl_expires(spark, tmp_path):
     expired = run("mhttl", ttl_ms=400)
     assert (1, 2) in control, control     # cross-batch pair found
     assert (1, 2) not in expired, expired  # bucket forgot doc 1
+
+
+def test_segment_dedup_full_topology_restart(spark, tmp_path):
+    """Kill-and-resume across BOTH stages of the chained segment-dedup
+    topology: each input batch is processed by FRESH query instances of
+    stage 1 (segment-keyed deltas) and stage 2 (doc-keyed totals), every
+    instance recovering from the shared per-stage checkpoints.  The
+    retroactive delta for doc A must survive the stage-1 restart (its
+    segment's holder state recovers from RocksDB), and stage 2's running
+    totals must continue exactly — final totals equal the batch
+    pipeline, no duplicates through the file-sink manifest."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_hash_expr,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_segment_dup_deltas,
+        streaming_segment_dup_totals,
+    )
+
+    seg = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    docs = [
+        (1, seg("a") + " " + seg("x")),
+        (2, seg("b")),
+        (3, seg("x") + " " + seg("c") + " " + seg("c")),
+        (4, seg("b") + " " + seg("c")),
+    ]
+    schema = "doc_id long, text string"
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/docs", exist_ok=True)
+    deltas_schema = None
+    for batch in (docs[:2], docs[2:]):  # restart between the two halves
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/docs")
+        stream = read_stream(
+            spark, "parquet", f"{tmp}/docs",
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        deltas = streaming_segment_dup_deltas(stream)
+        deltas_schema = deltas.schema
+        q1 = write_stream(
+            deltas, "parquet", f"{tmp}/through", checkpoint=f"{tmp}/cp1",
+            trigger_available_now=True, query_name="segrst1",
+        )
+        q1.awaitTermination()
+        totals = streaming_segment_dup_totals(
+            read_stream(spark, "parquet", f"{tmp}/through", schema=deltas_schema),
+            output_mode="append",
+        )
+        q2 = write_stream(
+            totals, "parquet", path=f"{tmp}/out",
+            checkpoint=f"{tmp}/cp2", trigger_available_now=True,
+            query_name="segrst2",
+        )
+        q2.awaitTermination()
+    final = {}
+    for r in spark.read.parquet(f"{tmp}/out").collect():
+        cur = final.get(r.doc_id)
+        if cur is None or (r.n_segments, r.n_dup_segments) >= (
+            cur.n_segments, cur.n_dup_segments
+        ):
+            final[r.doc_id] = r
+    all_docs = spark.createDataFrame(docs, schema)
+    segs = all_docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("_toks"),
+    ).select("doc_id", F.explode(F.expr(segment_hash_expr("_toks"))).alias("seg_h"))
+    occ = segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
+    expected = {
+        r.doc_id: (r.n_segments, r.n_dup_segments)
+        for r in segs.join(occ, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("occ") >= 2).cast("bigint")).alias("n_dup_segments"),
+        )
+        .collect()
+    }
+    got = {d: (r.n_segments, r.n_dup_segments) for d, r in final.items()}
+    assert got == expected, (got, expected)
+    # the retroactive flip for doc 1 crossed the restart boundary
+    assert got[1] == (2, 1), got
