@@ -106,13 +106,15 @@ def _hll_fn(
 
 
 def streaming_hll_distinct(
-    events: DataFrame, key_col: str, value_col: str
+    events: DataFrame, key_col: str, value_col: str, output_mode: str = "update"
 ) -> DataFrame:
     """Per-key running distinct-count estimate over a stream.
 
     Emits one (key, n_seen, hll_estimate) row per key per micro-batch
     that touched the key (update semantics — pair with an update-mode
-    sink or an idempotent upsert writer)."""
+    sink or an idempotent upsert writer; ``output_mode="append"`` emits
+    the same snapshots append-only for file sinks / checkpoint recovery,
+    latest per key = max n_seen)."""
     keyed = events.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("string").alias("value"),
@@ -121,7 +123,7 @@ def streaming_hll_distinct(
         _hll_fn,
         outputStructType=_OUTPUT,
         stateStructType=_STATE,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf="NoTimeout",
     )
 
@@ -218,10 +220,11 @@ def _quantile_fn(
 
 
 def streaming_quantile_sketch(
-    events: DataFrame, key_col: str, value_col: str
+    events: DataFrame, key_col: str, value_col: str, output_mode: str = "update"
 ) -> DataFrame:
     """Per-key running quantile estimates over a stream (update semantics,
-    one refreshed row per touched key per micro-batch)."""
+    one refreshed row per touched key per micro-batch;
+    ``output_mode="append"`` for file sinks / checkpoint recovery)."""
     keyed = events.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("value"),
@@ -230,7 +233,7 @@ def streaming_quantile_sketch(
         _quantile_fn,
         outputStructType=_Q_OUTPUT,
         stateStructType=_Q_STATE,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf="NoTimeout",
     )
 
@@ -292,7 +295,11 @@ _CMS_STATE = StructType(
 
 
 def streaming_cms_counts(
-    events: DataFrame, key_col: str, token_col: str, probes: list[str]
+    events: DataFrame,
+    key_col: str,
+    token_col: str,
+    probes: list[str],
+    output_mode: str = "update",
 ) -> DataFrame:
     """Per-key running count-min estimates for a fixed probe-token list
     (update semantics: one row per probe per touched key per batch)."""
@@ -332,7 +339,7 @@ def streaming_cms_counts(
         fn,
         outputStructType=_CMS_OUTPUT,
         stateStructType=_CMS_STATE,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf="NoTimeout",
     )
 

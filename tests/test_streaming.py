@@ -1744,3 +1744,85 @@ def test_segment_dedup_full_topology_restart(spark, tmp_path):
     assert got == expected, (got, expected)
     # the retroactive flip for doc 1 crossed the restart boundary
     assert got[1] == (2, 1), got
+
+
+@pytest.mark.parametrize("twin", ["hll", "quantile", "cms"])
+def test_all_sketch_twins_checkpoint_restart(spark, tmp_path, twin):
+    """Kill-and-resume exactness for EVERY sketch twin (Bloom has its own
+    dedicated test): two query instances share one checkpoint across a
+    planned restart, and the recovered state must continue the
+    commutative merge exactly — the final emission equals the one-shot
+    python recipe over the full input."""
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        _CMS_D,
+        _CMS_W,
+        _Q_BINS,
+        cms_estimate,
+        cms_update,
+        hll_estimate,
+        hll_register,
+        quantile_bin,
+        quantile_estimate,
+        streaming_cms_counts,
+        streaming_hll_distinct,
+        streaming_quantile_sketch,
+    )
+
+    rows = [("k1", float(i * 7 % 500)) for i in range(400)] + [
+        ("k2", float(i * 13 % 300)) for i in range(200)
+    ]
+    schema = "key string, v double"
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    half = len(rows) // 2
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/in")
+        stream = read_stream(
+            spark, "parquet", f"{tmp}/in",
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        if twin == "hll":
+            est = streaming_hll_distinct(stream, "key", "v", output_mode="append")
+        elif twin == "quantile":
+            est = streaming_quantile_sketch(stream, "key", "v", output_mode="append")
+        else:
+            est = streaming_cms_counts(
+                stream, "key", "v", probes=["7.0", "91.0"], output_mode="append"
+            )
+        q = write_stream(
+            est, "parquet", path=f"{tmp}/out",
+            checkpoint=f"{tmp}/cp", trigger_available_now=True,
+            query_name=f"sk_{twin}",
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(f"{tmp}/out").collect()
+    final = {}
+    for r in out:
+        k = (r.key, r.probe) if twin == "cms" else r.key
+        if k not in final or r.n_seen > final[k].n_seen:
+            final[k] = r
+    # one-shot python reference over the full input
+    for key in ("k1", "k2"):
+        vals = [v for k, v in rows if k == key]
+        if twin == "hll":
+            regs = [0] * 256
+            for v in vals:
+                b, rho = hll_register(str(v))
+                regs[b] = max(regs[b], rho)
+            assert final[key].n_seen == len(vals)
+            assert abs(final[key].hll_estimate - hll_estimate(regs)) < 1e-9
+        elif twin == "quantile":
+            counts = [0] * _Q_BINS
+            for v in vals:
+                counts[quantile_bin(v)] += 1
+            assert final[key].n_seen == len(vals)
+            assert final[key].p50_sketch == quantile_estimate(counts, 0.5)
+        else:
+            ref = [0] * (_CMS_D * _CMS_W)
+            for v in vals:
+                cms_update(ref, str(v))
+            for probe in ("7.0", "91.0"):
+                assert final[(key, probe)].cms_est == cms_estimate(ref, probe)
+                assert final[(key, probe)].n_seen == len(vals)
