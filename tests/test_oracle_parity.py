@@ -63,3 +63,53 @@ def test_entry_smoke(spark):
 
 def _finite(x: float) -> bool:
     return x is not None and not math.isnan(x) and not math.isinf(x)
+
+
+def test_cross_query_invariants(spark, sf_dir):
+    """Invariants that RELATE different queries' outputs — a class of
+    consistency no single-query oracle can check:
+
+    - dedup_canonical keeps exactly (corpus - non-canonical cluster
+      members) docs;
+    - every split_leakage pair is a minhash_lsh pair with the same
+      jaccard, and its split labels match sample_splits' assignment;
+    - customer_order_presence partitions the customer table and its
+      has_orders=True side is exactly the distinct custkeys of orders;
+    - doc_profile's n_tokens equals segment-dedup's segment accounting
+      (sum of per-doc segments = ceil(n_tokens/10) for every doc);
+    - ann_recall's n_exact matches the ann_topk row count per query."""
+    q = QUERIES
+    corpus_n = entry_mod.load_table(spark, sf_dir, "documents").count()
+    clusters = q["dedup_clusters"](spark, sf_dir).collect()
+    non_canonical = sum(1 for r in clusters if r.doc_id != r.cluster_id)
+    assert q["dedup_canonical"](spark, sf_dir).count() == corpus_n - non_canonical
+
+    mh = {(r.doc_a, r.doc_b): r.jaccard for r in q["minhash_lsh"](spark, sf_dir).collect()}
+    splits = {r.doc_id: r.split for r in q["sample_splits"](spark, sf_dir).collect()}
+    leaks = q["split_leakage"](spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in leaks} == set(mh)
+    for r in leaks:
+        assert r.jaccard == mh[(r.doc_a, r.doc_b)]
+        assert r.split_a == splits[r.doc_a] and r.split_b == splits[r.doc_b]
+        assert r.leaks == (r.split_a != r.split_b)
+
+    cust_n = entry_mod.load_table(spark, sf_dir, "customer").count()
+    presence = q["customer_order_presence"](spark, sf_dir).collect()
+    assert len(presence) == cust_n
+    with_orders = {r.c_custkey for r in presence if r.has_orders}
+    truth = {
+        r.o_custkey
+        for r in entry_mod.load_table(spark, sf_dir, "orders")
+        .select("o_custkey").distinct().collect()
+    }
+    assert with_orders == truth
+
+    n_tokens = {r.doc_id: r.n_tokens for r in q["doc_profile"](spark, sf_dir).collect()}
+    for r in q["segment_dedup"](spark, sf_dir).collect():
+        assert r.n_segments == -(-n_tokens[r.doc_id] // 10), r.doc_id
+
+    exact_counts = {}
+    for r in q["ann_topk"](spark, sf_dir).collect():
+        exact_counts[r.query_id] = exact_counts.get(r.query_id, 0) + 1
+    for r in q["ann_recall"](spark, sf_dir).collect():
+        assert r.n_exact == exact_counts[r.query_id], r.query_id
