@@ -67,6 +67,7 @@ SCALE_QUERIES = [
     ("segment_dedup", "documents"),
     ("unigram_logprob", "documents"),
     ("embedding_normalize", "embeddings"),
+    ("split_leakage", "documents"),
 ]
 
 
