@@ -228,30 +228,34 @@ def streaming_segment_dup_deltas(
     """Stage 1: per segment-hash keyed state → (doc_id, d_segments, d_dup)
     deltas, append semantics.
 
-    State per segment: its holders (doc_id → within-doc occurrence count)
-    and the global count.  Per batch: a new document's occurrences are
-    new segments (d_segments += k); they are duplicated occurrences
-    (d_dup += k) iff the segment's global count is ≥ 2 AFTER the batch;
-    and when the batch pushes the count across the 2 threshold, every
-    EARLIER holder retroactively gains d_dup += its own k — the
-    re-emission that makes the final totals equal the batch join's,
-    regardless of arrival order or batch split (asserted by the 3-batch
-    replay test).  Documents already in a segment's state are skipped
-    (idempotent under at-least-once replay).
+    Per batch: a new document's occurrences are new segments
+    (d_segments += k); they are duplicated occurrences (d_dup += k) iff
+    the segment's global count is ≥ 2 AFTER the batch; and when the
+    batch pushes the count across the 2 threshold, the single EARLIER
+    holder retroactively gains d_dup += its own count — the re-emission
+    that makes the final totals equal the batch join's, regardless of
+    arrival order or batch split (asserted by the 3-batch replay test).
 
-    Scale: state per segment is its holder list — the same information
-    the batch pipeline shuffles to the hash-keyed join, held instead in
-    the state store; the emitted deltas are O(new occurrences + one
-    retroactive burst per segment lifetime).  ``ttl_ms`` opts into
-    processing-time state expiry (sliding-corpus semantics: retroactive
-    flips older than the TTL horizon are deliberately missed — the
-    bounded-state trade for unbounded corpora); default None keeps exact
+    Scale — state is O(1) PER SEGMENT, not O(holders): below the
+    threshold a segment has at most one holder with one occurrence
+    (anything more crosses it), so the state is just (occ, holder_id,
+    holder_k); past the threshold every future arrival is duplicated by
+    definition and the holder detail is dropped.  A boilerplate segment
+    appearing in millions of documents therefore costs 3 longs of state,
+    not a million-entry list — the property that survives a 100 TB
+    corpus.  The trade: replay idempotence is only guarded below the
+    threshold (the single remembered holder); past it, an at-least-once
+    SOURCE would double-count a replayed document.  Structured Streaming
+    sources with checkpointed offsets are exactly-once, so this is moot
+    on the supported input paths — pair non-checkpointed sources with an
+    upstream dropDuplicates.  ``ttl_ms`` opts into processing-time state
+    expiry (sliding-corpus semantics: retroactive flips older than the
+    TTL horizon are deliberately missed); default None keeps exact
     keep-forever semantics, matching the batch pipeline.
     """
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
-        ArrayType,
         LongType,
         StructField,
         StructType,
@@ -280,31 +284,34 @@ def streaming_segment_dup_deltas(
     )
     state_schema = StructType(
         [
-            StructField("doc_ids", ArrayType(LongType()), True),
-            StructField("doc_occs", ArrayType(LongType()), True),
+            StructField("occ", LongType(), True),
+            StructField("holder_id", LongType(), True),
+            StructField("holder_k", LongType(), True),
         ]
     )
 
     def fn(key, pdfs, state):
         if ttl_ms is not None and state.hasTimedOut:
             # opt-in sliding-corpus semantics: a segment idle past the TTL
-            # forgets its holders — retroactive flips older than the TTL
-            # horizon are deliberately missed (the bounded-state trade)
+            # is forgotten — retroactive flips older than the TTL horizon
+            # are deliberately missed
             state.remove()
             yield pd.DataFrame([], columns=["doc_id", "d_segments", "d_dup"])
             return
-        ids, occs = (
-            ([int(x) for x in state.get[0]], [int(x) for x in state.get[1]])
+        occ, holder_id, holder_k = (
+            (
+                int(state.get[0]),
+                None if state.get[1] is None else int(state.get[1]),
+                int(state.get[2] or 0),
+            )
             if state.exists
-            else ([], [])
+            else (0, None, 0)
         )
-        holders = dict(zip(ids, occs))
-        occ_before = sum(holders.values())
         new: dict[int, int] = {}
         for pdf in pdfs:
             for d in pdf["doc_id"]:
                 d = int(d)
-                if d in holders:  # replayed input — idempotent
+                if occ < 2 and d == holder_id:  # pre-threshold replay guard
                     continue
                 new[d] = new.get(d, 0) + 1
         if not new:
@@ -312,16 +319,19 @@ def streaming_segment_dup_deltas(
                 state.setTimeoutDuration(ttl_ms)  # re-arm: invocation clears it
             yield pd.DataFrame([], columns=["doc_id", "d_segments", "d_dup"])
             return
-        occ_after = occ_before + sum(new.values())
+        occ_after = occ + sum(new.values())
         out = []
         for d, k in new.items():
             out.append((d, k, k if occ_after >= 2 else 0))
-        if occ_before < 2 <= occ_after:
-            # threshold crossed: earlier holders become duplicated too
-            for d, k in holders.items():
-                out.append((d, 0, k))
-        holders.update(new)
-        state.update((list(holders), list(holders.values())))
+        if occ < 2 <= occ_after and holder_id is not None:
+            # threshold crossed: the single earlier holder flips too
+            out.append((holder_id, 0, holder_k))
+        if occ_after < 2:
+            # below threshold ⇒ exactly one doc with a single occurrence
+            ((d, k),) = new.items()
+            state.update((occ_after, d, k))
+        else:
+            state.update((occ_after, None, 0))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=["doc_id", "d_segments", "d_dup"])
