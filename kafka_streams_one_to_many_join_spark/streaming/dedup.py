@@ -218,6 +218,30 @@ def streaming_minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def segment_delta_transition(
+    occ: int,
+    holder_id: int | None,
+    holder_k: int,
+    new: dict[int, int],
+) -> tuple[list[tuple[int, int, int]], tuple[int, int | None, int]]:
+    """The pure threshold-crossing algebra of stage 1, lifted out of the
+    stateful closure so it can be property-tested exhaustively against a
+    brute-force batch reference (tests/test_properties.py): given the
+    O(1) state (occ, holder_id, holder_k) and this batch's new per-doc
+    occurrence counts, return the (doc_id, d_segments, d_dup) emissions
+    and the next state."""
+    if not new:
+        return [], (occ, holder_id, holder_k)
+    occ_after = occ + sum(new.values())
+    out = [(d, k, k if occ_after >= 2 else 0) for d, k in new.items()]
+    if occ < 2 <= occ_after and holder_id is not None:
+        out.append((holder_id, 0, holder_k))
+    if occ_after < 2:
+        ((d, k),) = new.items()
+        return out, (occ_after, d, k)
+    return out, (occ_after, None, 0)
+
+
 def streaming_segment_dup_deltas(
     docs: DataFrame,
     text_col: str = "text",
@@ -319,19 +343,8 @@ def streaming_segment_dup_deltas(
                 state.setTimeoutDuration(ttl_ms)  # re-arm: invocation clears it
             yield pd.DataFrame([], columns=["doc_id", "d_segments", "d_dup"])
             return
-        occ_after = occ + sum(new.values())
-        out = []
-        for d, k in new.items():
-            out.append((d, k, k if occ_after >= 2 else 0))
-        if occ < 2 <= occ_after and holder_id is not None:
-            # threshold crossed: the single earlier holder flips too
-            out.append((holder_id, 0, holder_k))
-        if occ_after < 2:
-            # below threshold ⇒ exactly one doc with a single occurrence
-            ((d, k),) = new.items()
-            state.update((occ_after, d, k))
-        else:
-            state.update((occ_after, None, 0))
+        out, next_state = segment_delta_transition(occ, holder_id, holder_k, new)
+        state.update(next_state)
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=["doc_id", "d_segments", "d_dup"])

@@ -162,3 +162,48 @@ def test_bloom_membership_properties(keys, probes):
     assert all(member(key) for key in keys)
     if not keys:
         assert not any(member(p) for p in probes)
+
+
+@given(
+    ks=st.lists(st.integers(min_value=1, max_value=3), min_size=0, max_size=12),
+    cuts=st.lists(st.booleans(), min_size=12, max_size=12),
+)
+def test_segment_delta_transition_algebra(ks, cuts):
+    """The O(1)-state threshold-crossing algebra for ONE segment: for ANY
+    sequence of per-doc occurrence counts split ANY way into batches, the
+    summed (d_segments, d_dup) emissions must equal the batch reference
+    (every occurrence of a globally-≥2 segment is duplicated), and the
+    state never stores more than the single pre-threshold holder."""
+    from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+        segment_delta_transition,
+    )
+
+    arrivals = [(doc, k) for doc, k in enumerate(ks)]  # distinct docs
+    # split into batches at the random cut points
+    batches, cur = [], {}
+    for (doc, k), cut in zip(arrivals, cuts):
+        cur[doc] = k
+        if cut:
+            batches.append(cur)
+            cur = {}
+    if cur:
+        batches.append(cur)
+
+    state = (0, None, 0)
+    totals: dict[int, list[int]] = {}
+    for batch in batches:
+        out, state = segment_delta_transition(*state, batch)
+        for d, ds, dd in out:
+            t = totals.setdefault(d, [0, 0])
+            t[0] += ds
+            t[1] += dd
+        occ, holder_id, holder_k = state
+        assert (holder_id is None) == (occ >= 2 or occ == 0)
+        if holder_id is not None:
+            assert occ == 1 and holder_k == 1
+
+    total_occ = sum(k for _, k in arrivals)
+    expected = {
+        d: [k, k if total_occ >= 2 else 0] for d, k in arrivals
+    }
+    assert totals == expected
