@@ -39,7 +39,9 @@ from kafka_streams_one_to_many_join_spark.functions.similarity import (
     seeded_planes,
 )
 from kafka_streams_one_to_many_join_spark.functions.text import (
+    bpe_pair_counts,
     doc_fingerprint,
+    hashed_quality_score,
     language_id,
     text_stats,
     tokens_expr,
@@ -47,6 +49,7 @@ from kafka_streams_one_to_many_join_spark.functions.text import (
 
 __all__ = [
     "asset_metadata",
+    "bpe_pair_counts",
     "brute_force_topk",
     "brute_force_topk_pandas",
     "cosine_expr",
@@ -57,6 +60,7 @@ __all__ = [
     "exact_duplicates",
     "extract_audio_features",
     "extract_image_features",
+    "hashed_quality_score",
     "hyperplane_lsh_bucket",
     "ivf_topk",
     "language_id",

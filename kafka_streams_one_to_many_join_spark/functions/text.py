@@ -160,6 +160,134 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One BPE merge iteration over a corpus — the inner loop of
+    byte-pair-encoding tokenizer training (Sennrich et al. 2016),
+    structured the only way it survives 100 TB: the corpus collapses to a
+    word-frequency table FIRST, and all symbol-pair work happens on the
+    vocabulary, never the corpus.
+
+    Stages (scale posture per stage):
+      1. tokenize + count words — the single corpus-sized pass; the
+         groupBy is map-side-combined down to |vocab| rows before its
+         one shuffle (vocabulary-bounded, like ``vocab_growth``).
+      2. explode adjacent character pairs of each DISTINCT word,
+         weighted by the word's corpus frequency — |vocab|·avg_len rows,
+         corpus-size-independent.
+      3. aggregate per (left_sym, right_sym) — alphabet²-bounded
+         (≤ ~1.3k rows for [a-z0-9]).
+      4. rank merges (row_number over the tiny pair table — the single-
+         partition window is over alphabet²-bounded input by
+         construction, not an at-scale trap).
+
+    Iterating BPE re-runs stages 2-4 against the persisted vocabulary
+    with the chosen merge applied; the corpus is scanned exactly once
+    across ALL iterations.  Counting is standard BPE: overlapping pairs
+    each count ("aaa" contributes (a,a) twice per occurrence);
+    ``n_words`` is the number of distinct vocabulary words containing
+    the pair at least once.
+    """
+    toks = tokens_expr(text_col)
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substr(w, i, 1)").alias("left_sym"),
+            F.expr("substr(w, i + 1, 1)").alias("right_sym"),
+            "w",
+            "c",
+        )
+    )
+    agg = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("c").alias("pair_count"),
+        F.countDistinct("w").alias("n_words"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+    return agg.withColumn(
+        "merge_rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+def hashed_quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    slope: float = 8.0,
+) -> DataFrame:
+    """Hashed linear quality classifier — the fasttext-style scoring
+    stage of a pre-training curation pipeline (CCNet / LLaMA-recipe
+    shape): score = sigmoid(slope · (mean token weight)), where each
+    token's weight is a pure hash function of the token itself, so the
+    "model" needs no weight table, no broadcast, and no Python.
+
+    The per-token weight is the md5-prefix-32 uniform (the same
+    oracle-proven recipe as ``weighted_sample``'s A-ES uniforms) mapped
+    to [-1, 1).  Weights are INTEGER-summed per document (exact,
+    order-independent — float-sum drift can't break cross-engine hash
+    agreement) with ONE double division at the end, the repo-wide
+    "sum exact, divide once" discipline.
+
+    Dataflow: explode_outer → ONE per-doc integer aggregation (the
+    gopher_quality pattern — empty documents keep their row with no
+    join-back).  The groupBy is map-side combined to one row per
+    document before its shuffle, so the exchange is |docs|-sized, not
+    |tokens|-sized.  The higher-order ``aggregate()`` lambda formulation
+    (zero shuffles) was measured and rejected: interpreted HOF lambdas
+    run the md5+conv per token outside codegen (6.1 s vs 4.8 s warm on
+    the same single-partition sf0.1 input — see gopher_quality's
+    parallel measurement) and lose to the combined exchange.  Empty
+    documents pin score = 0.5 (the sigmoid midpoint — no evidence
+    either way).
+    """
+    toks = tokens_expr(text_col)
+    per_tok = docs.select(
+        F.col(id_col),
+        F.explode_outer(toks).alias("_t"),
+    ).select(
+        id_col,
+        F.expr(
+            "case when _t is null then cast(null as bigint) "
+            "else cast(conv(substring(md5(_t), 1, 8), 16, 10) as bigint) end"
+        ).alias("_w"),
+    )
+    base = per_tok.groupBy(id_col).agg(
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("bigint").alias("w_sum"),
+        F.count("_w").cast("bigint").alias("n_tokens"),
+    )
+    mean_u = (
+        F.col("w_sum").cast("double")
+        / F.col("n_tokens").cast("double")
+        / F.lit(4294967296.0)
+    )
+    raw = mean_u * F.lit(2.0) - F.lit(1.0)
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-slope) * raw)), 6
+        ),
+    ).otherwise(F.lit(0.5))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "w_sum",
+        score.alias("score"),
+        F.least(F.floor(score * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "decile"
+        ),
+    )
+
+
 def gopher_quality(
     docs: DataFrame,
     text_col: str = "text",

@@ -68,6 +68,8 @@ SCALE_QUERIES = [
     ("unigram_logprob", "documents"),
     ("embedding_normalize", "embeddings"),
     ("split_leakage", "documents"),
+    ("bpe_merge_step", "documents"),
+    ("quality_classifier", "documents"),
 ]
 
 

@@ -843,3 +843,54 @@ def test_lsh_recall_monotone_in_probe_hamming(spark):
         recalls.append(len(approx & exact) / len(exact))
     assert recalls == sorted(recalls), recalls
     assert recalls[2] > recalls[0], recalls  # the upgrade actually helps
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """Standard BPE counting on a hand-checkable corpus: overlapping
+    pairs each count ("aaa" → (a,a) twice per occurrence), pair totals
+    weight by word frequency, single-char words contribute nothing, and
+    the rank order is (count desc, pair asc)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab a"), (2, "aaa ba"), (3, "a a a")],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r.left_sym, r.right_sym): (r.pair_count, r.n_words, r.merge_rank)
+        for r in bpe_pair_counts(docs).collect()
+    }
+    # "aaa" occurs twice → (a,a) = 2 occurrences × 2 positions = 4
+    assert rows[("a", "a")] == (4, 1, 1)
+    # "ab" once, "ba" once; tie broken lexicographically
+    assert rows[("a", "b")] == (1, 1, 2)
+    assert rows[("b", "a")] == (1, 1, 3)
+    assert len(rows) == 3  # bare "a" words never reach the pair stage
+
+
+def test_hashed_quality_score_edges(spark):
+    """Empty documents keep their row at the sigmoid midpoint; token
+    weights are exact integer sums (identical regardless of execution
+    order); deciles stay clamped to 0..9."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        hashed_quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "...!!!"), (3, "hello hello")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in hashed_quality_score(docs).collect()}
+    assert out[2].n_tokens == 0 and out[2].w_sum == 0
+    assert out[2].score == 0.5 and out[2].decile == 5
+    # doc 3 = the same token twice → w_sum exactly 2x the single weight
+    assert out[3].w_sum % 2 == 0 and out[3].n_tokens == 2
+    single = out[3].w_sum // 2
+    assert 0 <= single < 2**32
+    # doc 1 sums the two tokens' independent weights
+    assert out[1].n_tokens == 2
+    for r in out.values():
+        assert 0 <= r.decile <= 9
+        assert 0.0 < r.score < 1.0 or r.score == 0.5

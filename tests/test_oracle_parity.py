@@ -113,3 +113,35 @@ def test_cross_query_invariants(spark, sf_dir):
         exact_counts[r.query_id] = exact_counts.get(r.query_id, 0) + 1
     for r in q["ann_recall"](spark, sf_dir).collect():
         assert r.n_exact == exact_counts[r.query_id], r.query_id
+
+    # quality_classifier and doc_profile tokenize independently (explode
+    # vs array) — their per-doc token counts must agree exactly, and the
+    # corpus total must equal corpus_stats' per-lang grouping total
+    qc = {r.doc_id: r.n_tokens for r in q["quality_classifier"](spark, sf_dir).collect()}
+    assert qc == n_tokens
+    lang_total = sum(
+        r.total_tokens
+        for r in q["corpus_stats"](spark, sf_dir).collect()
+        if r.bucket == -1  # the (lang) grouping rows
+    )
+    assert sum(qc.values()) == lang_total
+
+    # BPE pair conservation: every token occurrence of length L yields
+    # L-1 adjacent pairs, so sum(pair_count) == total alnum chars -
+    # total tokens (computed directly from the corpus)
+    import pyspark.sql.functions as F
+
+    alnum_chars = (
+        entry_mod.load_table(spark, sf_dir, "documents")
+        .select(
+            F.length(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    pair_total = sum(
+        r.pair_count for r in q["bpe_merge_step"](spark, sf_dir).collect()
+    )
+    assert pair_total == alnum_chars - sum(qc.values())

@@ -527,6 +527,31 @@ def test_lsh_topk_explodes_query_side_only(spark, sf_dir):
     assert plan.count("+- Generate") == 1, plan
 
 
+def test_bpe_pairs_explode_vocab_not_corpus(spark, sf_dir):
+    """BPE pair counting must run over the vocabulary, never the corpus:
+    exactly two Generates (corpus token explode feeding the word-count
+    aggregate, and the pair-position explode ABOVE it, on distinct
+    words), with the word aggregate map-side combined before its
+    exchange.  Shuffle budget covers spread + vocab agg + two-phase
+    distinct pair agg + the alphabet²-bounded rank window."""
+    df = entry_mod.q_bpe_merge_step(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("+- Generate") == 2, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 stages
+    assert plans.count_shuffles(df) <= 5, plan
+
+
+def test_quality_classifier_single_doc_sized_exchange(spark, sf_dir):
+    """The hashed classifier is explode → ONE map-side-combined per-doc
+    aggregate: no join-back, no second corpus pass — at most the
+    parallelism spread plus the |docs|-sized aggregation exchange."""
+    df = entry_mod.q_quality_classifier(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plans.count_shuffles(df) <= 2, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
 def test_roster_wide_plan_hygiene(spark, sf_dir):
     """Global scale invariants over EVERY declared query's physical plan:
     no cartesian product ever; no row-at-a-time Python UDF

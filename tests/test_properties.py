@@ -207,3 +207,83 @@ def test_segment_delta_transition_algebra(ks, cuts):
         d: [k, k if total_occ >= 2 else 0] for d, k in arrivals
     }
     assert totals == expected
+
+
+def _bpe_reference(texts: list[str]) -> dict[tuple[str, str], tuple[int, int]]:
+    """Sequential BPE pair counting: corpus → word counts → weighted
+    adjacent-pair totals + distinct-word support."""
+    import re
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(re.findall("[a-z0-9]+", t.lower()))
+    pair_count: Counter = Counter()
+    pair_words: dict = {}
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            p = (w[i], w[i + 1])
+            pair_count[p] += c
+            pair_words.setdefault(p, set()).add(w)
+    return {p: (n, len(pair_words[p])) for p, n in pair_count.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 .", min_size=0, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_pair_counts_matches_reference(spark, texts):
+    """The vocabulary-bounded distributed formulation equals sequential
+    BPE pair counting for ANY corpus (overlapping pairs, repeated words,
+    empty/token-free documents)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.left_sym, r.right_sym): (r.pair_count, r.n_words)
+        for r in bpe_pair_counts(df).collect()
+    }
+    assert got == _bpe_reference(texts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy7 !", min_size=0, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_hashed_quality_score_matches_reference(spark, texts):
+    """The per-token md5 weight sum is exact: the distributed integer
+    aggregation equals a sequential hashlib reference bit-for-bit, and
+    every document (including token-free ones) keeps exactly one row."""
+    import hashlib
+    import re
+
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        hashed_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.w_sum)
+        for r in hashed_quality_score(df).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = re.findall("[a-z0-9]+", t.lower())
+        ref = sum(
+            int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) for tok in toks
+        )
+        assert got[i] == (len(toks), ref), (i, t)
+    assert len(got) == len(texts)
