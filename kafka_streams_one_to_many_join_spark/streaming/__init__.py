@@ -25,6 +25,10 @@ from kafka_streams_one_to_many_join_spark.streaming.stream_join import (
     stream_static_join,
     stream_stream_join,
 )
+from kafka_streams_one_to_many_join_spark.streaming.bpe import (
+    streaming_bpe_pair_totals,
+    streaming_word_deltas,
+)
 from kafka_streams_one_to_many_join_spark.streaming.dedup import (
     streaming_segment_dup_deltas,
     streaming_segment_dup_totals,
@@ -44,6 +48,8 @@ from kafka_streams_one_to_many_join_spark.streaming.windows import (
 __all__ = [
     "car_move_detection",
     "streaming_bloom_filter",
+    "streaming_bpe_pair_totals",
+    "streaming_word_deltas",
     "streaming_cms_counts",
     "streaming_segment_dup_deltas",
     "streaming_segment_dup_totals",

@@ -1826,3 +1826,94 @@ def test_all_sketch_twins_checkpoint_restart(spark, tmp_path, twin):
             for probe in ("7.0", "91.0"):
                 assert final[(key, probe)].cms_est == cms_estimate(ref, probe)
                 assert final[(key, probe)].n_seen == len(vals)
+
+
+def test_streaming_bpe_pair_counts_match_batch(spark, tmp_path, sf_dir):
+    """Incremental tokenizer statistics equal the batch BPE operator:
+    documents arrive in 3 micro-batches; stage 1 (per-word seen-flag
+    state — the only custom state, since pair counts are linear in word
+    deltas) feeds stage 2 (pure pair expansion + BUILT-IN streaming
+    aggregation).  The final per-pair (pair_count, n_words) must equal
+    functions.text.bpe_pair_counts on the full corpus, including the
+    merge ranking read off the maintained counts — regardless of batch
+    boundaries (words repeat across batches, so first-seen flags and
+    count deltas both cross batch lines)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        bpe_pair_counts,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_bpe_pair_totals,
+        streaming_word_deltas,
+    )
+
+    rows = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").limit(90).collect()
+    ]
+    rows.append((9001, "aaa ab aaa"))  # overlapping pairs + within-corpus repeats
+    rows.append((9002, "zq"))          # pair unique to one word
+    schema = "doc_id long, text string"
+    tmp = str(tmp_path)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/docs")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp}/docs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    deltas = streaming_word_deltas(stream)
+    q1 = write_stream(
+        deltas, "parquet", f"{tmp}/through", checkpoint=f"{tmp}/cp1",
+        query_name="bpedeltas",
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    totals = streaming_bpe_pair_totals(
+        read_stream(spark, "parquet", f"{tmp}/through", schema=deltas.schema)
+    )
+    q2 = write_stream(
+        totals, "memory", query_name="bpetotals", output_mode="update",
+        checkpoint=f"{tmp}/cp2",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    final = {}
+    for r in spark.sql("select * from bpetotals").collect():
+        key = (r.left_sym, r.right_sym)
+        cur = final.get(key)
+        if cur is None or (r.pair_count, r.n_words) >= (
+            cur.pair_count, cur.n_words
+        ):
+            final[key] = r
+
+    expected = {
+        (r.left_sym, r.right_sym): r
+        for r in bpe_pair_counts(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert set(final) == set(expected)
+    mismatches = {
+        p: ((final[p].pair_count, final[p].n_words),
+            (e.pair_count, e.n_words))
+        for p, e in expected.items()
+        if (final[p].pair_count, final[p].n_words)
+        != (e.pair_count, e.n_words)
+    }
+    assert not mismatches, mismatches
+    # the merge ranking is a read-off of the maintained counts
+    stream_rank = [
+        p for p, _ in sorted(
+            final.items(), key=lambda kv: (-kv[1].pair_count, kv[0])
+        )
+    ]
+    batch_rank = [
+        p for p, _ in sorted(expected.items(), key=lambda kv: kv[1].merge_rank)
+    ]
+    assert stream_rank == batch_rank
+    # the engineered cases survived the batch split
+    assert final[("z", "q")].pair_count == 1 and final[("z", "q")].n_words == 1
