@@ -1917,3 +1917,100 @@ def test_streaming_bpe_pair_counts_match_batch(spark, tmp_path, sf_dir):
     assert stream_rank == batch_rank
     # the engineered cases survived the batch split
     assert final[("z", "q")].pair_count == 1 and final[("z", "q")].n_words == 1
+
+
+def test_streaming_bpe_checkpoint_restart_exactness(spark, tmp_path, sf_dir):
+    """Kill-and-resume exactness for the BPE twin, across BOTH stages:
+    each chunk of the corpus is processed by FRESH query instances
+    sharing the per-stage checkpoints (planned restart between
+    micro-batches).  The recovered stage-1 word state must keep first-
+    seen flags exact (a word seen before the restart must NOT re-count
+    toward n_words after it) and the recovered stage-2 aggregation state
+    must continue the running totals — the final pair table equals the
+    one-shot batch operator on the full corpus."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        bpe_pair_counts,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_bpe_pair_totals,
+        streaming_word_deltas,
+    )
+
+    rows = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").limit(60).collect()
+    ]
+    # the same rare word on both sides of the restart: its second
+    # arrival must not re-increment n_words from recovered state
+    rows.insert(0, (9001, "zquv"))
+    rows.append((9002, "zquv zquv"))
+    schema = "doc_id long, text string"
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/docs", exist_ok=True)
+
+    def _idempotent(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{tmp}/out")
+        )
+
+    half = (len(rows) + 1) // 2
+    for chunk in (rows[:half], rows[half:]):  # fresh queries, shared cps
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/docs")
+        stream = read_stream(
+            spark, "parquet", f"{tmp}/docs",
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        q1 = write_stream(
+            streaming_word_deltas(stream), "parquet", f"{tmp}/through",
+            checkpoint=f"{tmp}/cp1", trigger_available_now=True,
+            query_name="bperst1",
+        )
+        q1.awaitTermination()
+        totals = streaming_bpe_pair_totals(
+            read_stream(
+                spark, "parquet", f"{tmp}/through",
+                schema=streaming_word_deltas(stream).schema,
+            )
+        )
+        q2 = (
+            totals.writeStream.foreachBatch(_idempotent)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/cp2")
+            .trigger(availableNow=True)
+            .queryName("bperst2")
+            .start()
+        )
+        q2.awaitTermination()
+
+    final = {}
+    for r in spark.read.parquet(f"{tmp}/out").collect():
+        key = (r.left_sym, r.right_sym)
+        cur = final.get(key)
+        if cur is None or (r.pair_count, r.n_words) >= (
+            cur.pair_count, cur.n_words
+        ):
+            final[key] = r
+    expected = {
+        (r.left_sym, r.right_sym): (r.pair_count, r.n_words)
+        for r in bpe_pair_counts(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert set(final) == set(expected)
+    mismatches = {
+        p: ((final[p].pair_count, final[p].n_words), e)
+        for p, e in expected.items()
+        if (final[p].pair_count, final[p].n_words) != e
+    }
+    assert not mismatches, mismatches
+    # the engineered word: 3 occurrences of each pair, ONE distinct word —
+    # the post-restart arrivals continued recovered counts without
+    # re-flagging first-seen
+    assert final[("z", "q")].pair_count == 3
+    assert final[("z", "q")].n_words == 1
