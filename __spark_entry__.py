@@ -455,7 +455,11 @@ def q_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
     corpus is scanned once; every further BPE iteration at 100 TB runs
     against the persisted vocabulary, never the corpus.  Input spread
     before the tokenize-heavy first stage (single-row-group local
-    fixture), a no-op on any well-partitioned at-scale scan."""
+    fixture), a no-op on any well-partitioned at-scale scan.  0.73 s at
+    sf0.1; flat at the 10x seeded twin (SCALE.md) — wall time tracks
+    parallelism, not rows.  Streaming twin: streaming/bpe.py (per-word
+    seen-flag state + built-in aggregation, batch==3-batch-replay and
+    kill-and-resume exactness both asserted)."""
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf, "documents"))
@@ -470,7 +474,8 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     per-token-hash + exact-integer-sum discipline after the former
     embedding_stats' higher-order-lambda surface was retired in its
     favor (the HOF fold was measured slower — see the function
-    docstring)."""
+    docstring).  0.79 s at sf0.1; flat at the 10x seeded twin
+    (SCALE.md)."""
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf, "documents"))

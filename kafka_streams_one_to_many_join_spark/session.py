@@ -86,7 +86,18 @@ def get_session(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the generated-class cache defaults to 100 entries; a 100-query
+        # suite compiles far more codegen stages than that, so later
+        # queries recompile classes their predecessors evicted.  Sizing
+        # the cache to the working set avoids that recompilation (a few
+        # hundred extra cached classes of footprint).  Measured effect on
+        # bench totals: none beyond the host's ±5% run-to-run noise —
+        # kept because the eviction cost is real even where it is not
+        # the dominant noise source (see SCALE.md "Measurement noise").
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # 16g on a 128 GiB local[32] host: broadcast + window-heavy
+        # queries otherwise run the suite near the 8g ceiling
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

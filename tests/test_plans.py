@@ -527,6 +527,17 @@ def test_lsh_topk_explodes_query_side_only(spark, sf_dir):
     assert plan.count("+- Generate") == 1, plan
 
 
+def test_brand_price_rank_broadcasts_brand_stats(spark, sf_dir):
+    """The consolidated per-brand aggregate attaches to the window rows
+    via broadcast — the |brands|-row side must never trigger a
+    sort-merge shuffle of the part table beyond the window's own
+    p_brand exchange."""
+    df = entry_mod.q_brand_price_rank(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_bpe_pairs_explode_vocab_not_corpus(spark, sf_dir):
     """BPE pair counting must run over the vocabulary, never the corpus:
     exactly two Generates (corpus token explode feeding the word-count
