@@ -646,7 +646,7 @@ def q_segment_order_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return pivoted.select(
         "c_mktsegment",
         *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(cols[p]) for p in _PRIORITIES],
-    ).join(seg_stats, "c_mktsegment")
+    ).join(F.broadcast(seg_stats), "c_mktsegment")
 
 
 def q_quality_score_udf(spark: SparkSession, sf: str) -> DataFrame:
@@ -3154,7 +3154,11 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
     base = n_exact.crossJoin(F.broadcast(methods))
     per_q = base.join(
-        hits.groupBy("method", "query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+        F.broadcast(
+            hits.groupBy("method", "query_id").agg(
+                F.count(F.lit(1)).alias("n_hit")
+            )
+        ),
         ["method", "query_id"],
         "left",
     ).withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
