@@ -1923,30 +1923,69 @@ def q_brand_price_rank(spark: SparkSession, sf: str) -> DataFrame:
     return ranked.join(F.broadcast(bstats), "p_brand")
 
 
-def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document unigram Shannon entropy (nats) — a classic
-    LLM-corpus quality signal (low entropy = repetitive/templated text).
-    Two hash aggregates, no window: H = ln(total) - Σ c·ln(c) / total
-    folds the per-token probabilities into plain sums, so the state per
-    (doc, token) and per doc is a fixed-width double — map-side partials
-    all the way, safe at any corpus size."""
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix — the curation question
+    "which sources duplicate which" that decides, at 100 TB, which source
+    pairs are worth a joint dedup pass and which corpus licensing/mixing
+    decisions double-count content.
+
+    Reuses the verified MinHash-LSH pair set (functions/dedup.py — the
+    exact ``minhash_lsh`` recipe) and labels each pair endpoint with its
+    document's source via two doc_id-keyed joins against the (doc_id,
+    source) projection — key-partitioned joins of the pair frame against
+    a corpus-sized but two-column frame, the scalable attach (no caps,
+    no driver collect).  Pairs aggregate to the |sources|²-bounded
+    matrix: pair count, mean verified Jaccard, and the pair RATE
+    normalized by the number of possible cross pairs (n_lo·n_hi, or
+    C(n,2) within a source) — the rate is what makes two sources'
+    overlap comparable regardless of their sizes.  The 20-row per-source
+    count table attaches by broadcast."""
     docs = load_table(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-        ).alias("tok"),
+    pairs = _minhash_pairs(spark, sf)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_lo"),
+            F.greatest("_sa", "_sb").alias("source_hi"),
+            "jaccard",
+        )
     )
-    counts = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("cnt")
+    agg = lab.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
     )
-    return counts.groupBy("doc_id").agg(
-        F.round(
-            F.log(F.sum("cnt"))
-            - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"),
-            6,
-        ).alias("entropy"),
-        F.count(F.lit(1)).alias("n_unique_tokens"),
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    out = agg.join(
+        F.broadcast(counts.select(F.col("source").alias("source_lo"), F.col("n").alias("n_docs_lo"))),
+        "source_lo",
+    ).join(
+        F.broadcast(counts.select(F.col("source").alias("source_hi"), F.col("n").alias("n_docs_hi"))),
+        "source_hi",
+    )
+    possible = F.when(
+        F.col("source_lo") == F.col("source_hi"),
+        F.col("n_docs_lo").cast("double") * (F.col("n_docs_lo") - 1).cast("double") / F.lit(2.0),
+    ).otherwise(F.col("n_docs_lo").cast("double") * F.col("n_docs_hi").cast("double"))
+    return out.select(
+        "source_lo",
+        "source_hi",
+        "n_pairs",
+        "avg_jaccard",
+        "n_docs_lo",
+        "n_docs_hi",
+        F.round(F.col("n_pairs").cast("double") / possible, 9).alias("pair_rate"),
     )
 
 
@@ -3206,20 +3245,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # funded by folding brand_stats into brand_price_rank (which is
     # therefore "changed" and moves to the front) and retiring
     # embedding_stats (its array-surface pinned by embedding_normalize's
-    # per-dim moments and quality_classifier's per-token hash-sum) —
+    # per-dim moments and quality_classifier's per-token hash-sum); a
+    # fourth pass added source_overlap (cross-source near-dup matrix),
+    # funded by folding token_entropy into gopher_quality (same
+    # per-(doc,word) aggregate — two extra sums, zero extra shuffles;
+    # gopher_quality is therefore "changed" and moves to the front) —
     # still exactly 100.  Front block = new ops + composites + queries
     # changed this round; ann_topk_lsh changed semantics too but already
     # sits inside the checked window.  Then the one r04 survivor
     # (dedup_exact); then the r05-green block; r06-green at the back.
-    # The last 6 r05 entries (pricing_summary .. big_orders) overflow
-    # the cap; they go FIRST in r08, where 6 + the 44 r06-green entries
-    # = exactly the 50-row cap — the 2-round green window closes with
-    # zero residue at this count.  Keep the total AT 100: every future
-    # addition must be matched by a consolidation.
+    # The last 8 r05 entries (orders_with_customer .. big_orders)
+    # overflow the cap; they go FIRST in r08, where 8 + the 42 r06-green
+    # entries = exactly the 50-row cap — the 2-round green window closes
+    # with zero residue at this count.  Keep the total AT 100: every
+    # future addition must be matched by a consolidation.
     return {
         # --- new/changed this round (never driver-checked in this form) ---
         "bpe_merge_step": q_bpe_merge_step,
         "quality_classifier": q_quality_classifier,
+        "source_overlap": q_source_overlap,
+        "gopher_quality": q_gopher_quality,
         "brand_price_rank": q_brand_price_rank,
         "segment_dedup": q_segment_dedup,
         "unigram_logprob": q_unigram_logprob,
@@ -3286,12 +3331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "sequence_pack_text": q_sequence_pack_text,
         "late_shipment_priority": q_late_shipment_priority,
-        "token_entropy": q_token_entropy,
         "order_gap_days": q_order_gap_days,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "stratified_sample": q_stratified_sample,
-        "gopher_quality": q_gopher_quality,
         "contamination_check": q_contamination_check,
         "source_percentiles": q_source_percentiles,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3723,7 +3766,8 @@ def oracle_sql() -> dict[str, str]:
                        count(*)::BIGINT AS n_distinct,
                        max(c)::BIGINT AS top,
                        sum(CASE WHEN w IN ('the','a','and','of','to')
-                                THEN c ELSE 0 END)::BIGINT AS n_stopwords
+                                THEN c ELSE 0 END)::BIGINT AS n_stopwords,
+                       sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
                 FROM per_word GROUP BY doc_id
             )
             SELECT doc_id, n_words,
@@ -3731,6 +3775,10 @@ def oracle_sql() -> dict[str, str]:
                    round(n_distinct::DOUBLE / n_words, 6) AS distinct_ratio,
                    round(top::DOUBLE / n_words, 6) AS top_word_ratio,
                    n_stopwords,
+                   CASE WHEN n_words > 0 THEN
+                       round(ln(n_words::DOUBLE) - clnc / n_words::DOUBLE, 6)
+                   END AS entropy,
+                   n_distinct AS n_unique_tokens,
                    (n_words BETWEEN 20 AND 100000
                     AND chars::DOUBLE / n_words BETWEEN 3.0 AND 10.0
                     AND top::DOUBLE / n_words <= 0.2
@@ -4153,17 +4201,34 @@ def oracle_sql() -> dict[str, str]:
                b.n_types, b.n_parts, b.avg_price
         FROM ranked r JOIN bstats b USING (p_brand)
     """
-    d["token_entropy"] = f"""
-        WITH c AS (
-            SELECT doc_id, tk, count(*)::DOUBLE AS cnt
-            FROM (SELECT doc_id, unnest({tok}) AS tk FROM documents)
-            GROUP BY 1, 2
+    d["source_overlap"] = f"""
+        WITH pairs AS ({_minhash_lsh_sql(tok, threshold=0.7)}),
+        lab AS (
+            SELECT least(da.source, db.source) AS source_lo,
+                   greatest(da.source, db.source) AS source_hi,
+                   p.jaccard
+            FROM pairs p
+            JOIN documents da ON p.doc_a = da.doc_id
+            JOIN documents db ON p.doc_b = db.doc_id
+        ),
+        counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        agg AS (
+            SELECT source_lo, source_hi,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(avg(jaccard), 6) AS avg_jaccard
+            FROM lab GROUP BY source_lo, source_hi
         )
-        SELECT doc_id,
-               round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)
-                   AS entropy,
-               count(*) AS n_unique_tokens
-        FROM c GROUP BY doc_id
+        SELECT a.source_lo, a.source_hi, a.n_pairs, a.avg_jaccard,
+               CAST(clo.n AS BIGINT) AS n_docs_lo,
+               CAST(chi.n AS BIGINT) AS n_docs_hi,
+               round(a.n_pairs::DOUBLE /
+                     CASE WHEN a.source_lo = a.source_hi
+                          THEN clo.n::DOUBLE * (clo.n - 1)::DOUBLE / 2.0
+                          ELSE clo.n::DOUBLE * chi.n::DOUBLE END,
+                     9) AS pair_rate
+        FROM agg a
+        JOIN counts clo ON a.source_lo = clo.source
+        JOIN counts chi ON a.source_hi = chi.source
     """
     d["order_gap_days"] = """
         SELECT o_custkey, o_orderkey, next_orderkey,

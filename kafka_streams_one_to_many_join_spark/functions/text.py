@@ -314,6 +314,14 @@ def gopher_quality(
     per-(doc,word) aggregate is the scalable formulation of "top word
     ratio" (partial aggregation before each exchange, no per-row
     quadratic scan).  Empty docs yield n_words=0 and keep=false.
+
+    Also emits per-document unigram Shannon entropy (nats; the classic
+    low-entropy = repetitive/templated signal) and the distinct-token
+    count — the former standalone ``token_entropy`` query, folded in
+    here (r07) because H = ln(n) - Σ c·ln(c) / n is derivable from the
+    SAME per-(doc, word) counts this aggregation already shuffles: two
+    extra fixed-width sums, zero extra exchanges.  Entropy is NULL for
+    empty documents.
     """
     toks = tokens_expr(text_col)
     per_word = (
@@ -336,6 +344,12 @@ def gopher_quality(
             F.sum(F.expr(f"case when _w in ({stop_list}) then _c else 0 end")),
             F.lit(0),
         ).cast("bigint").alias("n_stopwords"),
+        F.sum(
+            F.when(
+                F.col("_w").isNotNull(),
+                F.col("_c").cast("double") * F.log(F.col("_c").cast("double")),
+            )
+        ).alias("_clnc"),
     )
     nw = F.col("n_words")
     mean_len = F.when(nw > 0, F.col("_chars").cast("double") / nw).otherwise(F.lit(0.0))
@@ -348,6 +362,12 @@ def gopher_quality(
         & (distinct_ratio >= min_distinct_ratio)
         & (F.col("n_stopwords") >= min_stopwords)
     )
+    entropy = F.when(
+        nw > 0,
+        F.round(
+            F.log(nw.cast("double")) - F.col("_clnc") / nw.cast("double"), 6
+        ),
+    )
     return agg.select(
         F.col(id_col),
         nw,
@@ -355,5 +375,7 @@ def gopher_quality(
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(top_ratio, 6).alias("top_word_ratio"),
         F.col("n_stopwords"),
+        entropy.alias("entropy"),
+        F.col("_distinct").alias("n_unique_tokens"),
         keep.alias("keep"),
     )

@@ -70,6 +70,7 @@ SCALE_QUERIES = [
     ("split_leakage", "documents"),
     ("bpe_merge_step", "documents"),
     ("quality_classifier", "documents"),
+    ("source_overlap", "documents"),
 ]
 
 

@@ -126,6 +126,26 @@ def test_cross_query_invariants(spark, sf_dir):
     )
     assert sum(qc.values()) == lang_total
 
+    # source_overlap is an exact regrouping of the minhash_lsh pair set:
+    # matrix totals must equal the pair count, and each source-pair
+    # cell's n_pairs must match a hand regroup of the labeled pairs
+    docs_src = {
+        r.doc_id: r.source
+        for r in entry_mod.load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source").collect()
+    }
+    from collections import Counter
+
+    regroup = Counter(
+        tuple(sorted((docs_src[a], docs_src[b]))) for a, b in mh
+    )
+    overlap = {
+        (r.source_lo, r.source_hi): r
+        for r in q["source_overlap"](spark, sf_dir).collect()
+    }
+    assert {k: r.n_pairs for k, r in overlap.items()} == dict(regroup)
+    assert sum(r.n_pairs for r in overlap.values()) == len(mh)
+
     # BPE pair conservation: every token occurrence of length L yields
     # L-1 adjacent pairs, so sum(pair_count) == total alnum chars -
     # total tokens (computed directly from the corpus)

@@ -563,6 +563,30 @@ def test_quality_classifier_single_doc_sized_exchange(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
 
 
+def test_source_overlap_attaches_sources_by_key_and_counts_by_broadcast(
+    spark, sf_dir
+):
+    """The overlap matrix adds to the MinHash pair pipeline exactly: two
+    doc_id-keyed attach joins of the 2-column (doc_id, source)
+    projection, one |sources|²-bounded aggregate, and the 20-row count
+    table back by broadcast — no cartesian, no corpus self-join."""
+    base = plans.count_shuffles(entry_mod.q_minhash_lsh(spark, sf_dir))
+    df = entry_mod.q_source_overlap(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # pair pipeline + (attach joins + matrix agg); the attach side is a
+    # pruned 2-column scan
+    assert plans.count_shuffles(df) <= base + 4, (plans.count_shuffles(df), base)
+
+
+def test_gopher_entropy_rides_the_same_aggregate(spark, sf_dir):
+    """Folding token_entropy into gopher_quality must add NO exchange:
+    the entropy sums ride the existing per-(doc, word) aggregation."""
+    df = entry_mod.q_gopher_quality(spark, sf_dir)
+    assert plans.count_shuffles(df) <= 2, plans.formatted_plan(df)
+
+
 def test_roster_wide_plan_hygiene(spark, sf_dir):
     """Global scale invariants over EVERY declared query's physical plan:
     no cartesian product ever; no row-at-a-time Python UDF
