@@ -37,6 +37,7 @@ from kafka_streams_one_to_many_join_spark.streaming.sketch import (
     streaming_bloom_filter,
     streaming_cms_counts,
     streaming_hll_distinct,
+    streaming_hll_distinct_tws,
     streaming_quantile_sketch,
 )
 from kafka_streams_one_to_many_join_spark.streaming.windows import (
@@ -54,6 +55,7 @@ __all__ = [
     "streaming_segment_dup_deltas",
     "streaming_segment_dup_totals",
     "streaming_hll_distinct",
+    "streaming_hll_distinct_tws",
     "streaming_quantile_sketch",
     "session_agg",
     "sliding_agg",

@@ -2014,3 +2014,70 @@ def test_streaming_bpe_checkpoint_restart_exactness(spark, tmp_path, sf_dir):
     # re-flagging first-seen
     assert final[("z", "q")].pair_count == 3
     assert final[("z", "q")].n_words == 1
+
+
+def test_streaming_hll_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir):
+    """Typed-state (transformWithStateInPandas) HLL == the portable
+    applyInPandasWithState twin == the one-shot python reference, on the
+    same 3-batch split: all three share the hash/register/estimator
+    recipe, so registers — and therefore estimates — must be
+    bit-identical, extending the Spark-4 typed-state surface from the
+    join to the sketch family."""
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_hll_distinct,
+        streaming_hll_distinct_tws,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.sketch import (
+        hll_estimate,
+        hll_register,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").cast("string"), F.col("user_id").cast("string")
+    )
+    rows = [(r[0], r[1]) for r in ev.limit(3000).collect()]
+    schema = "event_type string, user_id string"
+    os.makedirs(f"{tmp_path}/ev", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/ev")
+        time.sleep(1.05)
+
+    finals = {}
+    for name, op in [
+        ("hlltws", streaming_hll_distinct_tws),
+        ("hllaipws", streaming_hll_distinct),
+    ]:
+        stream = read_stream(
+            spark, "parquet", f"{tmp_path}/ev",
+            schema=spark.createDataFrame([], schema).schema,
+            maxFilesPerTrigger="1",
+        )
+        est = op(stream, "event_type", "user_id")
+        q = write_stream(
+            est, "memory", query_name=name, output_mode="update",
+            checkpoint=f"{tmp_path}/cp_{name}",
+        )
+        q.processAllAvailable()
+        q.stop()
+        final = {}
+        for r in spark.sql(f"select * from {name}").collect():
+            if r.key not in final or r.n_seen > final[r.key][0]:
+                final[r.key] = (r.n_seen, r.hll_estimate)
+        finals[name] = final
+
+    assert finals["hlltws"] == finals["hllaipws"]
+    ref_regs: dict[str, list[int]] = {}
+    ref_n: dict[str, int] = {}
+    for et, uid in rows:
+        regs = ref_regs.setdefault(et, [0] * 256)
+        b, rho = hll_register(uid)
+        regs[b] = max(regs[b], rho)
+        ref_n[et] = ref_n.get(et, 0) + 1
+    assert set(finals["hlltws"]) == set(ref_regs)
+    for et, (n, est_v) in finals["hlltws"].items():
+        assert n == ref_n[et]
+        assert est_v == hll_estimate(ref_regs[et]), et
