@@ -3771,21 +3771,33 @@ def oracle_sql() -> dict[str, str]:
                        sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
                 FROM per_word GROUP BY doc_id
             )
-            SELECT doc_id, n_words,
-                   round(chars::DOUBLE / n_words, 6) AS mean_word_len,
-                   round(n_distinct::DOUBLE / n_words, 6) AS distinct_ratio,
-                   round(top::DOUBLE / n_words, 6) AS top_word_ratio,
-                   n_stopwords,
-                   CASE WHEN n_words > 0 THEN
-                       round(ln(n_words::DOUBLE) - clnc / n_words::DOUBLE, 6)
+            -- LEFT JOIN from documents: token-free docs keep a row (the
+            -- Spark side uses explode_outer), with zeroed signals, NULL
+            -- entropy, keep = false — pinned for empty-text inputs even
+            -- though current fixtures have none (the quantile-null
+            -- lesson, ADVICE r06)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+                   CASE WHEN coalesce(a.n_words, 0) > 0
+                        THEN round(a.chars::DOUBLE / a.n_words, 6)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN coalesce(a.n_words, 0) > 0
+                        THEN round(a.n_distinct::DOUBLE / a.n_words, 6)
+                        ELSE 0.0 END AS distinct_ratio,
+                   CASE WHEN coalesce(a.n_words, 0) > 0
+                        THEN round(a.top::DOUBLE / a.n_words, 6)
+                        ELSE 0.0 END AS top_word_ratio,
+                   CAST(coalesce(a.n_stopwords, 0) AS BIGINT) AS n_stopwords,
+                   CASE WHEN coalesce(a.n_words, 0) > 0 THEN
+                       round(ln(a.n_words::DOUBLE) - a.clnc / a.n_words::DOUBLE, 6)
                    END AS entropy,
-                   n_distinct AS n_unique_tokens,
-                   (n_words BETWEEN 20 AND 100000
-                    AND chars::DOUBLE / n_words BETWEEN 3.0 AND 10.0
-                    AND top::DOUBLE / n_words <= 0.2
-                    AND n_distinct::DOUBLE / n_words >= 0.3
-                    AND n_stopwords >= 2) AS keep
-            FROM agg
+                   CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_unique_tokens,
+                   coalesce(a.n_words BETWEEN 20 AND 100000
+                    AND a.chars::DOUBLE / a.n_words BETWEEN 3.0 AND 10.0
+                    AND a.top::DOUBLE / a.n_words <= 0.2
+                    AND a.n_distinct::DOUBLE / a.n_words >= 0.3
+                    AND a.n_stopwords >= 2, false) AS keep
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "contamination_check": f"""
             WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),

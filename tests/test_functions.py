@@ -894,3 +894,45 @@ def test_hashed_quality_score_edges(spark):
     for r in out.values():
         assert 0 <= r.decile <= 9
         assert 0.0 < r.score < 1.0 or r.score == 0.5
+
+
+def test_gopher_quality_empty_doc_oracle_parity(spark, tmp_path):
+    """Token-free documents keep a row on BOTH engines (Spark via
+    explode_outer, the oracle via LEFT JOIN from documents): zeroed
+    signals, NULL entropy, keep=false — pinned here because the shipped
+    fixtures contain no empty text, so the driver's parity gate never
+    exercises this branch (the quantile-null lesson, ADVICE r06)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (1, "the quick brown fox and the dog of it", "en", 10, "s1"),
+        (2, "", "en", 0, "s1"),
+        (3, "...!!!", "en", 6, "s2"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "n_chars", "source"]
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    a = (
+        entry_mod.queries()["gopher_quality"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    b = (
+        con.execute(entry_mod.oracle_sql()["gopher_quality"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a, b = a[sorted(a.columns)], b[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    empty = a[a.doc_id != 1]
+    assert (empty.n_words == 0).all() and (~empty.keep).all()
+    assert empty.entropy.isna().all()
