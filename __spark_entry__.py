@@ -1041,11 +1041,18 @@ def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
     ).select(
         "doc_id",
+        # guard the sequence bounds: sequence(1, n) with n < 1 infers step
+        # -1 and walks NEGATIVE indices — an ANSI INVALID_ARRAY_INDEX
+        # crash for any document shorter than 3 (resp. 2) tokens
         F.expr(
-            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+            "case when size(t) >= 3 then "
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1])) "
+            "else array() end"
         ).alias("tris"),
         F.expr(
-            "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"
+            "case when size(t) >= 2 then "
+            "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i])) "
+            "else array() end"
         ).alias("bigs"),
     )
     # NOTE: no filter on size(tris) here — a predicate over a computed
@@ -1324,8 +1331,11 @@ def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     Hash-addressed like the unweighted sampler: stable under
     repartitioning, retries, engines, and corpus growth.  The plan is a
     projection + TakeOrdered (partial top-k per partition, no full
-    sort/shuffle of the corpus)."""
-    docs = load_table(spark, sf, "documents")
+    sort/shuffle of the corpus).  Zero-weight docs are excluded in both
+    engines — A-ES gives them sampling probability 0, and dividing by
+    the weight would otherwise crash under ANSI mode on a corpus with
+    empty documents."""
+    docs = load_table(spark, sf, "documents").filter(F.col("n_chars") > 0)
     u = (
         F.expr(
             "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
@@ -3251,15 +3261,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # funded by folding token_entropy into gopher_quality (same
     # per-(doc,word) aggregate — two extra sums, zero extra shuffles;
     # gopher_quality is therefore "changed" and moves to the front) —
-    # still exactly 100.  Front block = new ops + composites + queries
-    # changed this round; ann_topk_lsh changed semantics too but already
-    # sits inside the checked window.  Then the one r04 survivor
-    # (dedup_exact); then the r05-green block; r06-green at the back.
-    # The last 8 r05 entries (orders_with_customer .. big_orders)
-    # overflow the cap; they go FIRST in r08, where 8 + the 42 r06-green
-    # entries = exactly the 50-row cap — the 2-round green window closes
-    # with zero residue at this count.  Keep the total AT 100: every
-    # future addition must be matched by a consolidation.
+    # still exactly 100.  The degenerate-document hardening (empty /
+    # punct-only / 2-token docs — see test_degenerate_doc_parity)
+    # additionally changed simhash_near_dup, weighted_sample and
+    # doc_repetition, which therefore also move to the front (fixture
+    # results identical; the rotation contract re-verifies changed
+    # code).  Front block = new ops + composites + queries changed this
+    # round; ann_topk_lsh changed semantics too but already sits inside
+    # the checked window.  Then the one r04 survivor (dedup_exact); then
+    # the r05-green block; r06-green at the back.  The last 11 r05
+    # entries (embedding_near_dup_lsh .. big_orders) overflow the cap;
+    # they go FIRST in r08, where 11 + the 39 r06-green entries =
+    # exactly the 50-row cap — the 2-round green window closes with zero
+    # residue at this count.  Keep the total AT 100: every future
+    # addition must be matched by a consolidation.
     return {
         # --- new/changed this round (never driver-checked in this form) ---
         "bpe_merge_step": q_bpe_merge_step,
@@ -3267,6 +3282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "gopher_quality": q_gopher_quality,
         "brand_price_rank": q_brand_price_rank,
+        # degenerate-doc hardening changed these three (fixture results
+        # identical, but the rotation contract re-verifies changed code)
+        "simhash_near_dup": q_simhash_near_dup,
+        "weighted_sample": q_weighted_sample,
+        "doc_repetition": q_doc_repetition,
         "segment_dedup": q_segment_dedup,
         "unigram_logprob": q_unigram_logprob,
         "bloom_filter": q_bloom_filter,
@@ -3340,14 +3360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_percentiles": q_source_percentiles,
         "ann_topk_ivf": q_ann_topk_ivf,
         "bigram_pmi": q_bigram_pmi,
-        "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
         "posting_lists": q_posting_lists,
         "grouping_sets_segments": q_grouping_sets_segments,
         "rolling_avg_value": q_rolling_avg_value,
         "daily_click_purchase": q_daily_click_purchase,
         "hll_distinct": q_hll_distinct,
-        "weighted_sample": q_weighted_sample,
         "click_purchase_funnel": q_click_purchase_funnel,
         "kmeans_step": q_kmeans_step,
         "session_paths": q_session_paths,
@@ -3356,7 +3374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
-        "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
         "latest_by_key": q_latest_by_key,
         "one_to_many_snapshot": q_one_to_many_snapshot,
@@ -3952,6 +3969,7 @@ def oracle_sql() -> dict[str, str]:
                    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)
                             / 281474976710656.0) / n_chars, 9) AS sample_key
             FROM documents
+            WHERE n_chars > 0
             ORDER BY sample_key DESC, doc_id LIMIT 30
         """,
         "click_purchase_funnel": """
@@ -4645,8 +4663,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, (k - 1)::BIGINT AS chunk_no,
                len(list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32))::BIGINT
                    AS n_chunk_tokens,
-               md5(array_to_string(
-                   list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32), ' '))
+               -- coalesce: DuckDB's array_to_string of an EMPTY slice is
+               -- NULL (Spark's concat_ws is ''), so an empty document's
+               -- single empty chunk must pin md5('') in both engines
+               md5(coalesce(array_to_string(
+                   list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32), ' '), ''))
                    AS chunk_md5,
                md5(doc_id::VARCHAR || ':' || (k - 1)::VARCHAR) AS chunk_id
         FROM c, unnest(generate_series(1, n_chunks)) AS u(k)

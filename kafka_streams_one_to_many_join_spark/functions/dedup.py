@@ -427,6 +427,13 @@ def simhash_near_dup_pairs(
     minhash_lsh_pairs: groupBy (band, band-value) + in-bucket pair
     expansion, no self-join, 3 shuffles.
 
+    Token-free documents (empty or no alphanumerics) are excluded before
+    signing: a corpus's empty docs would otherwise all share the
+    zero-signature and spuriously pair with each other.  The exclusion
+    is a cheap ``rlike`` scan predicate — NOT a ``size(tokens) > 0``
+    filter, which Catalyst would push below the parallelism spread and
+    re-evaluate the whole tokenize+hash transform per row at the scan.
+
     Output: (doc_a < doc_b, hamming BIGINT ≤ max_hamming).
     """
     bands = max_hamming + 1
@@ -447,7 +454,9 @@ def simhash_near_dup_pairs(
         f"'bval', pmod(shiftright(simhash, {o}), {1 << w}))"
         for b, (o, w) in enumerate(offsets)
     )
-    sigs = simhash_buckets(docs, text_col, id_col)
+    sigs = simhash_buckets(
+        docs.filter(F.col(text_col).rlike("[a-zA-Z0-9]")), text_col, id_col
+    )
     band_rows = sigs.select(
         "doc_id",
         "simhash",

@@ -165,3 +165,67 @@ def test_cross_query_invariants(spark, sf_dir):
         r.pair_count for r in q["bpe_merge_step"](spark, sf_dir).collect()
     )
     assert pair_total == alnum_chars - sum(qc.values())
+
+
+# ---------------------------------------------------------------------------
+# degenerate-document differential: the fixtures contain no empty /
+# punctuation-only / 2-token documents, so the driver's parity gate never
+# exercises those branches — this sweep runs EVERY documents-reading query
+# against its oracle on a corpus seeded with exactly those rows.  It is
+# the generalization of the gopher empty-doc fix (r07): the first run of
+# this sweep found two ANSI crashes (doc_repetition negative-index
+# sequence, weighted_sample divide-by-zero weight) and two parity breaks
+# (token_chunks md5(NULL) in the oracle, simhash pairing empty docs by
+# their shared zero-signature).
+# ---------------------------------------------------------------------------
+
+DOC_QUERIES = sorted(
+    n for n in QUERIES if n in ORACLES and "documents" in ORACLES[n].lower()
+)
+
+
+@pytest.fixture(scope="session")
+def edge_corpus_dir(tmp_path_factory, sf_dir):
+    import shutil
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    tmp = str(tmp_path_factory.mktemp("edge_corpus"))
+    for t in TESTDATA_TABLES:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{tmp}/{t}.parquet")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    extra = docs.head(3).copy()
+    extra["doc_id"] = [990001, 990002, 990003]
+    extra["text"] = ["", "...!!!  ??", "one two"]
+    extra["n_chars"] = [0, 10, 7]
+    pd.concat([docs, extra], ignore_index=True).to_parquet(
+        f"{tmp}/documents.parquet"
+    )
+    return tmp
+
+
+@pytest.fixture(scope="session")
+def edge_duck(edge_corpus_dir):
+    import duckdb
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_corpus_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_degenerate_doc_parity(name, spark, edge_duck, edge_corpus_dir):
+    spark_pdf = QUERIES[name](spark, edge_corpus_dir).toPandas()
+    oracle_pdf = edge_duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), name
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
