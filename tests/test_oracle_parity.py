@@ -229,3 +229,65 @@ def test_degenerate_doc_parity(name, spark, edge_duck, edge_corpus_dir):
     )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# same differential, embeddings table: a zero vector (NaN/divide-by-zero
+# bait for every cosine path) and an exact-duplicate vector (top-k
+# tie-break determinism bait).  All embedding queries already handled
+# both when this sweep was first run — kept as the regression fence.
+
+EMB_QUERIES = sorted(
+    n for n in QUERIES if n in ORACLES and "embeddings" in ORACLES[n].lower()
+)
+
+
+@pytest.fixture(scope="session")
+def edge_emb_dir(tmp_path_factory, sf_dir):
+    import shutil
+
+    import numpy as np
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    tmp = str(tmp_path_factory.mktemp("edge_emb"))
+    for t in TESTDATA_TABLES:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{tmp}/{t}.parquet")
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    extra = emb.head(2).copy()
+    extra["vec_id"] = [980001, 980002]
+    dim = len(emb.embedding.iloc[0])
+    extra.at[extra.index[0], "embedding"] = np.zeros(
+        dim, dtype=emb.embedding.iloc[0].dtype
+    )
+    extra.at[extra.index[1], "embedding"] = emb.embedding.iloc[0].copy()
+    pd.concat([emb, extra], ignore_index=True).to_parquet(
+        f"{tmp}/embeddings.parquet"
+    )
+    return tmp
+
+
+@pytest.fixture(scope="session")
+def edge_emb_duck(edge_emb_dir):
+    import duckdb
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_emb_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_degenerate_embedding_parity(name, spark, edge_emb_duck, edge_emb_dir):
+    spark_pdf = QUERIES[name](spark, edge_emb_dir).toPandas()
+    oracle_pdf = edge_emb_duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), name
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
