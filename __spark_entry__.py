@@ -4614,11 +4614,20 @@ def oracle_sql() -> dict[str, str]:
         FROM base GROUP BY GROUPING SETS ((lang), (bucket))
     """
     d["props_surface"] = """
+        -- json_valid guard: DuckDB's json functions THROW on malformed
+        -- input where Spark's get_json_object/from_json return NULL (the
+        -- permissive-codec contract, model.py) — malformed rows must
+        -- silently drop in both engines
+        WITH p AS (
+            SELECT event_id,
+                   CASE WHEN json_valid(props) THEN props END AS props
+            FROM events
+        )
         SELECT event_id, json_extract(props, '$.k')::INT AS k,
                key AS prop_key,
                json_extract(props, '$.' || key)::INT AS prop_value
         FROM (SELECT event_id, props, unnest(json_keys(props)) AS key
-              FROM events)
+              FROM p)
         WHERE json_extract(props, '$.k')::INT >= 50
     """
     d["click_purchase_segments"] = """

@@ -291,3 +291,65 @@ def test_degenerate_embedding_parity(name, spark, edge_emb_duck, edge_emb_dir):
     )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# same differential, events table: NULL value (aggregate/percentile NULL
+# handling), NULL props, and MALFORMED-JSON props — the strict-vs-
+# permissive JSON trap.  First run found props_surface's oracle throwing
+# on malformed JSON where Spark's permissive codec returns NULL (fixed
+# with a json_valid guard).
+
+EV_QUERIES = sorted(
+    n
+    for n in QUERIES
+    if n in ORACLES
+    and "events" in ORACLES[n].lower()
+    and "documents" not in ORACLES[n].lower()
+)
+
+
+@pytest.fixture(scope="session")
+def edge_events_dir(tmp_path_factory, sf_dir):
+    import shutil
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    tmp = str(tmp_path_factory.mktemp("edge_events"))
+    for t in TESTDATA_TABLES:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{tmp}/{t}.parquet")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    extra = ev.head(3).copy()
+    extra["event_id"] = [9900001, 9900002, 9900003]
+    extra["value"] = [None, extra["value"].iloc[1], None]
+    extra["props"] = [None, "not valid json {", "{}"]
+    pd.concat([ev, extra], ignore_index=True).to_parquet(
+        f"{tmp}/events.parquet"
+    )
+    return tmp
+
+
+@pytest.fixture(scope="session")
+def edge_events_duck(edge_events_dir):
+    import duckdb
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_events_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EV_QUERIES)
+def test_degenerate_events_parity(name, spark, edge_events_duck, edge_events_dir):
+    spark_pdf = QUERIES[name](spark, edge_events_dir).toPandas()
+    oracle_pdf = edge_events_duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), name
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
