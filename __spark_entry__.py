@@ -428,8 +428,11 @@ def q_customer_order_presence(spark: SparkSession, sf: str) -> DataFrame:
 def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window (hourly) aggregation; batch twin of a streaming
     windowed agg.  events.ts is normalized to TIMESTAMP by load_table
-    (model.py) regardless of the parquet's physical vintage."""
-    ev = load_table(spark, sf, "events")
+    (model.py) regardless of the parquet's physical vintage.  Undated
+    (NULL-ts) events are excluded — they have no window, and NULL
+    ordering differs across engines (pinned by the NULL-ts row in
+    test_degenerate_events_parity)."""
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     hour = F.date_trunc("hour", F.col("ts"))
     return ev.groupBy(hour.alias("hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -438,8 +441,14 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
-    """Gap-based sessions (30 min) per user — operators.sessionize."""
-    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    """Gap-based sessions (30 min) per user — operators.sessionize.
+    Undated events carry no session position and are excluded in both
+    engines."""
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
     s = session_stats(
         ev, key="user_id", ts_col="ts", gap=F.expr("INTERVAL 30 MINUTES")
     )
@@ -1217,10 +1226,13 @@ def q_rolling_avg_value(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user rolling mean of the last 3 event values (ROWS BETWEEN 2
     PRECEDING) — the feature-engineering shape for per-entity time-series
     smoothing.  One shuffle on user_id; order includes event_id so the
-    frame is total-ordered and deterministic."""
+    frame is total-ordered and deterministic.  Undated events are
+    excluded — Spark orders NULL ts FIRST and DuckDB LAST, so a NULL-ts
+    row would silently shift every frame behind it differently per
+    engine."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf, "events")
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1418,8 +1430,10 @@ def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     clickstreams."""
     from kafka_streams_one_to_many_join_spark.operators import sessionize
 
-    ev = load_table(spark, sf, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())  # undated events have no session
+        .select("user_id", "ts", "event_id", "event_type")
     )
     sess = sessionize(
         ev, key="user_id", ts_col="ts", gap=F.expr("INTERVAL 30 MINUTES")
@@ -3261,20 +3275,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # funded by folding token_entropy into gopher_quality (same
     # per-(doc,word) aggregate — two extra sums, zero extra shuffles;
     # gopher_quality is therefore "changed" and moves to the front) —
-    # still exactly 100.  The degenerate-document hardening (empty /
-    # punct-only / 2-token docs — see test_degenerate_doc_parity)
-    # additionally changed simhash_near_dup, weighted_sample and
-    # doc_repetition, which therefore also move to the front (fixture
+    # still exactly 100.  The degenerate-input hardening (empty /
+    # punct-only / 2-token docs, zero/duplicate vectors, NULL-value /
+    # malformed-JSON / NULL-ts events — see the test_degenerate_*_parity
+    # sweeps) additionally changed simhash_near_dup, weighted_sample,
+    # doc_repetition, events_hourly, sessionization, rolling_avg_value
+    # and session_paths, which therefore also move to the front (fixture
     # results identical; the rotation contract re-verifies changed
     # code).  Front block = new ops + composites + queries changed this
-    # round; ann_topk_lsh changed semantics too but already sits inside
-    # the checked window.  Then the one r04 survivor (dedup_exact); then
-    # the r05-green block; r06-green at the back.  The last 11 r05
-    # entries (embedding_near_dup_lsh .. big_orders) overflow the cap;
-    # they go FIRST in r08, where 11 + the 39 r06-green entries =
-    # exactly the 50-row cap — the 2-round green window closes with zero
-    # residue at this count.  Keep the total AT 100: every future
-    # addition must be matched by a consolidation.
+    # round (incl. ann_topk_lsh, whose multi-probe upgrade must not slip
+    # past the cap).  Then the one r04 survivor (dedup_exact); then the
+    # r05-green block; r06-green at the back.  The last 13 r05 entries
+    # (ann_topk_pandas .. big_orders) overflow the cap; they go FIRST
+    # in r08, where 13 + the 37 r06-green entries = exactly the 50-row
+    # cap — the 2-round green window closes with zero residue at this
+    # count.  Keep the total AT 100: every future addition must be
+    # matched by a consolidation.
     return {
         # --- new/changed this round (never driver-checked in this form) ---
         "bpe_merge_step": q_bpe_merge_step,
@@ -3287,6 +3303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "weighted_sample": q_weighted_sample,
         "doc_repetition": q_doc_repetition,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "rolling_avg_value": q_rolling_avg_value,
+        "session_paths": q_session_paths,
         "segment_dedup": q_segment_dedup,
         "unigram_logprob": q_unigram_logprob,
         "bloom_filter": q_bloom_filter,
@@ -3323,13 +3344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linestatus_priority": q_linestatus_priority,
         "pareto_customers": q_pareto_customers,
         "asof_prior_purchase": q_asof_prior_purchase,
-        "events_hourly": q_events_hourly,
-        "sessionization": q_sessionization,
         "event_type_stats": q_event_type_stats,
         "zone_pollution_full": q_zone_pollution_full,
         "max_order_per_customer": q_max_order_per_customer,
         "ann_topk_pandas": q_ann_topk_pandas,
-        "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "asset_metadata": q_asset_metadata,
@@ -3363,12 +3381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "posting_lists": q_posting_lists,
         "grouping_sets_segments": q_grouping_sets_segments,
-        "rolling_avg_value": q_rolling_avg_value,
         "daily_click_purchase": q_daily_click_purchase,
         "hll_distinct": q_hll_distinct,
         "click_purchase_funnel": q_click_purchase_funnel,
         "kmeans_step": q_kmeans_step,
-        "session_paths": q_session_paths,
         "zone_history": q_zone_history,
         "quality_score_udf": q_quality_score_udf,
         "winnowing": q_winnowing,
@@ -3548,14 +3564,15 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(avg(value), 4) AS avg_value
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "sessionization": """
             WITH flagged AS (
                 SELECT user_id, ts,
                        CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS is_new
-                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ),
             sess AS (
                 SELECT user_id, ts,
@@ -3936,7 +3953,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts, event_id
                                           ROWS BETWEEN 2 PRECEDING
                                           AND CURRENT ROW), 6) AS rolling_avg
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         """,
         "zone_history": f"""
             SELECT car_id, zone_id, seq AS valid_from_seq,
@@ -3949,7 +3966,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, event_id, event_type,
                        CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS is_new
-                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ),
             sess AS (
                 SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts

@@ -322,7 +322,12 @@ def edge_events_dir(tmp_path_factory, sf_dir):
     extra["event_id"] = [9900001, 9900002, 9900003]
     extra["value"] = [None, extra["value"].iloc[1], None]
     extra["props"] = [None, "not valid json {", "{}"]
-    pd.concat([ev, extra], ignore_index=True).to_parquet(
+    # undated events: NULL ts orders FIRST in Spark windows and LAST in
+    # DuckDB — every temporal query must exclude them explicitly
+    undated = ev.head(2).copy()
+    undated["event_id"] = [9910001, 9910002]
+    undated["ts"] = [pd.NaT, pd.NaT]
+    pd.concat([ev, extra, undated], ignore_index=True).to_parquet(
         f"{tmp}/events.parquet"
     )
     return tmp
