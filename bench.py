@@ -197,6 +197,16 @@ def main() -> None:
         }
         out["prior"] = fname
         out["deltas_vs_prior"] = deltas
+        # self-reporting round-over-round number: sum of this round's
+        # medians over the prior round's on the queries both rounds ran —
+        # the roster churns (consolidations fund new operators), so the
+        # headline total is NOT comparable across rounds but this is
+        common = [n for n in timings if n in prev and prev[n] > 0]
+        if common:
+            out["common_ratio_vs_prior"] = round(
+                sum(timings[n] for n in common) / sum(prev[n] for n in common), 3
+            )
+            out["common_queries"] = len(common)
     # Full-fidelity copy on disk: the driver records only the last ~2000
     # bytes of stdout, which a 100+-query map exceeds (BENCH_r04/r05 were
     # recorded with "parsed": {} for exactly this reason).  The stdout

@@ -454,8 +454,13 @@ def simhash_near_dup_pairs(
         f"'bval', pmod(shiftright(simhash, {o}), {1 << w}))"
         for b, (o, w) in enumerate(offsets)
     )
+    # Predicate and tokenizer must agree: tokens come from
+    # regexp_extract_all(lower(text), '[a-z0-9]+'), so the token-free test
+    # is [a-z0-9] on the LOWERCASED text — a character that only lowercases
+    # into ASCII (e.g. U+212A KELVIN SIGN → 'k') yields tokens and must be
+    # signed, matching the oracle (which tokenizes and therefore signs it).
     sigs = simhash_buckets(
-        docs.filter(F.col(text_col).rlike("[a-zA-Z0-9]")), text_col, id_col
+        docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")), text_col, id_col
     )
     band_rows = sigs.select(
         "doc_id",

@@ -194,10 +194,17 @@ def edge_corpus_dir(tmp_path_factory, sf_dir):
     for t in TESTDATA_TABLES:
         shutil.copy(f"{sf_dir}/{t}.parquet", f"{tmp}/{t}.parquet")
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
-    extra = docs.head(3).copy()
-    extra["doc_id"] = [990001, 990002, 990003]
-    extra["text"] = ["", "...!!!  ??", "one two"]
-    extra["n_chars"] = [0, 10, 7]
+    extra = docs.head(5).copy()
+    extra["doc_id"] = [990001, 990002, 990003, 990004, 990005]
+    # 990004/990005: KELVIN SIGN (U+212A) docs — no ASCII alphanumerics in
+    # the RAW text, but lower() maps U+212A → 'k' so the tokenizer yields
+    # tokens in both engines; identical texts make them a hamming-0
+    # simhash pair the oracle emits, pinning the lowercased token-free
+    # pre-filter (functions/dedup.py) against the raw-text variant that
+    # would silently drop both.
+    kelvin = "\u212a\u212a \u212a"
+    extra["text"] = ["", "...!!!  ??", "one two", kelvin, kelvin]
+    extra["n_chars"] = [0, 10, 7, 4, 4]
     pd.concat([docs, extra], ignore_index=True).to_parquet(
         f"{tmp}/documents.parquet"
     )

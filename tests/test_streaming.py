@@ -2028,10 +2028,14 @@ def test_streaming_hll_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir):
         streaming_hll_distinct,
         streaming_hll_distinct_tws,
     )
+    from kafka_streams_one_to_many_join_spark.streaming.join_tws import HAS_TWS
     from kafka_streams_one_to_many_join_spark.streaming.sketch import (
         hll_estimate,
         hll_register,
     )
+
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas needs Spark>=4 + protobuf")
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").cast("string"), F.col("user_id").cast("string")
