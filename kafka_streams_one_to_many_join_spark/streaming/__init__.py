@@ -33,6 +33,9 @@ from kafka_streams_one_to_many_join_spark.streaming.dedup import (
     streaming_segment_dup_deltas,
     streaming_segment_dup_totals,
 )
+from kafka_streams_one_to_many_join_spark.streaming.packing import (
+    streaming_token_chunks,
+)
 from kafka_streams_one_to_many_join_spark.streaming.sketch import (
     streaming_bloom_filter,
     streaming_cms_counts,
@@ -57,6 +60,7 @@ __all__ = [
     "streaming_hll_distinct",
     "streaming_hll_distinct_tws",
     "streaming_quantile_sketch",
+    "streaming_token_chunks",
     "session_agg",
     "sliding_agg",
     "stream_static_join",

@@ -2085,3 +2085,148 @@ def test_streaming_hll_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir):
     for et, (n, est_v) in finals["hlltws"].items():
         assert n == ref_n[et]
         assert est_v == hll_estimate(ref_regs[et]), et
+
+
+def test_streaming_minhash_lsh_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume exactness for the streaming MinHash-LSH twin — the
+    last restart-unproven stateful operator: each input batch is processed
+    by a FRESH query instance recovering from the shared checkpoint, and a
+    candidate pair whose two endpoints straddle the restart must still be
+    emitted (the band-bucket state for the first endpoint recovers from
+    the state store) exactly as an uninterrupted run would emit it.
+    Asserted two ways: the recovered pair SET equals the batch
+    minhash_lsh_pairs set bit-for-bit, and the emission MULTISET (file
+    sink rows, multi-band duplicates and all) equals an uninterrupted
+    replay of the same two micro-batches — the restart added nothing and
+    lost nothing."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+        streaming_minhash_lsh_pairs,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima"
+    )
+    other = (
+        "zulu yankee xray whiskey victor uniform tango sierra romeo "
+        "quebec papa oscar"
+    )
+    docs = [
+        (1, base),
+        (2, other),
+        # after the restart: 3 pairs with 1 (cross-restart), 4 with both
+        (3, base + " mike"),
+        (4, "november " + base),
+    ]
+    schema = "doc_id long, text string"
+    all_docs = spark.createDataFrame(docs, schema)
+    expected = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(all_docs, threshold=0.5, shingle_n=3).collect()
+    }
+    # the scenario must actually exercise the cross-restart case
+    assert (1, 3) in {(a, b) for a, b, _ in expected}, expected
+
+    def run(workdir: str, restart: bool) -> list:
+        os.makedirs(f"{workdir}/docs", exist_ok=True)
+        batches = (docs[:2], docs[2:])
+        if restart:
+            for batch in batches:
+                spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(f"{workdir}/docs")
+                stream = read_stream(
+                    spark, "parquet", f"{workdir}/docs",
+                    schema=spark.createDataFrame([], schema).schema,
+                )
+                pairs = streaming_minhash_lsh_pairs(
+                    stream, threshold=0.5, shingle_n=3
+                )
+                q = write_stream(
+                    pairs, "parquet", f"{workdir}/out",
+                    checkpoint=f"{workdir}/cp",
+                    trigger_available_now=True, query_name="mhrst",
+                )
+                q.awaitTermination()
+        else:
+            for batch in batches:
+                spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(f"{workdir}/docs")
+                time.sleep(1.05)
+            stream = read_stream(
+                spark, "parquet", f"{workdir}/docs",
+                schema=spark.createDataFrame([], schema).schema,
+                maxFilesPerTrigger="1",
+            )
+            pairs = streaming_minhash_lsh_pairs(
+                stream, threshold=0.5, shingle_n=3
+            )
+            q = write_stream(
+                pairs, "parquet", f"{workdir}/out",
+                checkpoint=f"{workdir}/cp",
+                trigger_available_now=True, query_name="mhunint",
+            )
+            q.awaitTermination()
+        return sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in spark.read.parquet(f"{workdir}/out").collect()
+        )
+
+    restarted = run(f"{tmp_path}/restarted", restart=True)
+    uninterrupted = run(f"{tmp_path}/uninterrupted", restart=False)
+    assert set(restarted) == expected
+    assert restarted == uninterrupted  # multiset equality, band-for-band
+
+
+def test_streaming_token_chunks_matches_batch(spark, tmp_path, sf_dir):
+    """Replay equivalence for the chunking twin: 3 micro-batches of the
+    documents fixture through streaming_token_chunks emit exactly the
+    batch token_chunks row set (chunking is stateless per document, so
+    the twin IS the batch projection on a stream — this pins that the
+    plan really is stream-compatible: no batch-only repartition guard,
+    no disallowed operation under append mode)."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        token_chunks,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_token_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected = sorted(
+        tuple(r)
+        for r in token_chunks(docs, budget=32, stride=24).collect()
+    )
+    with pytest.raises(ValueError):
+        streaming_token_chunks(docs, budget=32, stride=24)
+
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    schema = "doc_id long, text string"
+    os.makedirs(f"{tmp_path}/docs", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/docs")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/docs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    chunks = streaming_token_chunks(stream, budget=32, stride=24)
+    q = write_stream(
+        chunks, "memory", query_name="chunktwin", output_mode="append",
+        checkpoint=f"{tmp_path}/cp_chunks",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from chunktwin").collect()
+    )
+    assert got == expected
