@@ -71,21 +71,38 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
 
     Returns (width, height, sum_r, sum_g, sum_b) — exact integer channel
     sums so downstream comparisons are bit-reproducible across engines.
+
+    Every malformed-input branch raises ``ValueError`` with a STABLE
+    message (the permissive decode channel surfaces it as the
+    ``decode_error`` column, and the corrupt-asset parity sweep predicts
+    it from the corruption rule in SQL) and is bounds-checked — a
+    truncated header terminates with "truncated PPM header" instead of
+    scanning past the end of the payload.
     """
-    if payload is None or not payload.startswith(b"P6"):
+    if payload is None:
+        raise ValueError("NULL payload")
+    if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     # header = magic, width, height, maxval as whitespace-separated ASCII
     fields: list[bytes] = []
+    end = len(payload)
     pos = 2
     while len(fields) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos == start:  # ran off the end before the field appeared
+            raise ValueError("truncated PPM header")
         fields.append(payload[start:pos])
     pos += 1  # single whitespace after maxval, then raw pixels
-    width, height, maxval = (int(f) for f in fields)
+    try:
+        width, height, maxval = (int(f) for f in fields)
+    except ValueError:
+        raise ValueError("malformed PPM header") from None
+    if width <= 0 or height <= 0:
+        raise ValueError("malformed PPM header")
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
     pixels = payload[pos : pos + width * height * 3]
@@ -97,32 +114,62 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
     return (width, height, sums[0], sums[1], sums[2])
 
 
-def extract_image_features(assets: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def extract_image_features(
+    assets: DataFrame, batch_size_hint: int = 1024, on_error: str = "raise"
+) -> DataFrame:
     """Decode-and-measure pipeline: mapInPandas over Arrow batches, real
     PPM decoding inside.
 
     Output: (asset_id, width, height, n_bytes, sum_r, sum_g, sum_b).
     Memory is bounded by Arrow batch size; the payload column is pruned
     away for any downstream query not using it.
+
+    ``on_error`` is the binary-payload twin of the JSON codec's
+    corrupt-record policy (model.py; the reference's dead-letter TODO at
+    JsonSerdes.scala:35 done right): "raise" (default) keeps the
+    reference's crash-on-parse semantics — one malformed asset fails the
+    task; "permit" decodes per-asset under try/except, emitting NULL
+    feature columns plus a ``decode_error`` column carrying the stable
+    reason (the row count is preserved, so a dead-letter query is just
+    ``WHERE decode_error IS NOT NULL``).
     """
     import pandas as pd
+
+    if on_error not in ("raise", "permit"):
+        raise ValueError(f"on_error must be 'raise' or 'permit', got {on_error!r}")
+    permissive = on_error == "permit"
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            decoded = [decode_ppm(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "sum_r": [d[2] for d in decoded],
-                    "sum_g": [d[3] for d in decoded],
-                    "sum_b": [d[4] for d in decoded],
-                }
-            )
+            if permissive:
+                decoded, errors = [], []
+                for p in pdf["payload"]:
+                    try:
+                        decoded.append(decode_ppm(p))
+                        errors.append(None)
+                    except ValueError as e:
+                        decoded.append((None,) * 5)
+                        errors.append(str(e))
+            else:
+                decoded = [decode_ppm(p) for p in pdf["payload"]]
+                errors = None
+            out = {
+                "asset_id": pdf["asset_id"],
+                "width": pd.array([d[0] for d in decoded], dtype="Int32"),
+                "height": pd.array([d[1] for d in decoded], dtype="Int32"),
+                "n_bytes": pd.array(
+                    [None if p is None else len(p) for p in pdf["payload"]],
+                    dtype="Int64",
+                ),
+                "sum_r": pd.array([d[2] for d in decoded], dtype="Int64"),
+                "sum_g": pd.array([d[3] for d in decoded], dtype="Int64"),
+                "sum_b": pd.array([d[4] for d in decoded], dtype="Int64"),
+            }
+            if permissive:
+                out["decode_error"] = errors
+            yield pd.DataFrame(out)
 
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
@@ -133,6 +180,7 @@ def extract_image_features(assets: DataFrame, batch_size_hint: int = 1024) -> Da
         schema=(
             "asset_id bigint, width int, height int, n_bytes bigint, "
             "sum_r bigint, sum_g bigint, sum_b bigint"
+            + (", decode_error string" if permissive else "")
         ),
     )
 
@@ -211,16 +259,32 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
     Returns (sample_rate, n_channels, n_samples, sum_abs, peak) — exact
     integer amplitude stats (sum of |sample| and max |sample|) so
     downstream comparisons are bit-reproducible across engines.
+
+    Malformed inputs raise ``ValueError`` with a STABLE message (see
+    decode_ppm): container-level failures from the stdlib ``wave``
+    module are normalized to "invalid WAV container: <reason>", and a
+    data chunk shorter than the header's frame count — which
+    ``readframes`` silently truncates — is an explicit
+    "truncated WAV data".
     """
     if payload is None:
-        raise ValueError("NULL payload is not a WAV stream")
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise ValueError(f"only PCM16 supported, width={w.getsampwidth()}")
-        n_channels = w.getnchannels()
-        sample_rate = w.getframerate()
-        n_frames = w.getnframes()
-        raw = w.readframes(n_frames)
+        raise ValueError("NULL payload")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only PCM16 supported, width={w.getsampwidth()}"
+                )
+            n_channels = w.getnchannels()
+            sample_rate = w.getframerate()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+    except wave.Error as e:
+        raise ValueError(f"invalid WAV container: {e}") from None
+    except EOFError:
+        raise ValueError("invalid WAV container: truncated header") from None
+    if len(raw) != n_frames * n_channels * 2:
+        raise ValueError("truncated WAV data")
     values = struct.unpack(f"<{n_frames * n_channels}h", raw)
     abs_vals = [abs(v) for v in values]
     return (
@@ -232,7 +296,9 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
     )
 
 
-def extract_audio_features(assets: DataFrame) -> DataFrame:
+def extract_audio_features(
+    assets: DataFrame, on_error: str = "raise"
+) -> DataFrame:
     """Audio decode-and-measure: mapInPandas over Arrow batches, real
     WAV/PCM16 decoding inside.
 
@@ -240,25 +306,49 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     sum_abs, peak).  Same scale contract as extract_image_features:
     memory bounded by Arrow batch size, payload column pruned for any
     downstream query not using it.
+
+    ``on_error``: "raise" (default) crash-on-parse; "permit" is the
+    permissive corrupt-payload channel — NULL features + stable
+    ``decode_error`` reason per malformed asset (see
+    extract_image_features).
     """
     import pandas as pd
+
+    if on_error not in ("raise", "permit"):
+        raise ValueError(f"on_error must be 'raise' or 'permit', got {on_error!r}")
+    permissive = on_error == "permit"
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            decoded = [decode_wav_pcm16(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "sample_rate": [d[0] for d in decoded],
-                    "n_channels": [d[1] for d in decoded],
-                    "n_samples": [d[2] for d in decoded],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "sum_abs": [d[3] for d in decoded],
-                    "peak": [d[4] for d in decoded],
-                }
-            )
+            if permissive:
+                decoded, errors = [], []
+                for p in pdf["payload"]:
+                    try:
+                        decoded.append(decode_wav_pcm16(p))
+                        errors.append(None)
+                    except ValueError as e:
+                        decoded.append((None,) * 5)
+                        errors.append(str(e))
+            else:
+                decoded = [decode_wav_pcm16(p) for p in pdf["payload"]]
+                errors = None
+            out = {
+                "asset_id": pdf["asset_id"],
+                "sample_rate": pd.array([d[0] for d in decoded], dtype="Int32"),
+                "n_channels": pd.array([d[1] for d in decoded], dtype="Int32"),
+                "n_samples": pd.array([d[2] for d in decoded], dtype="Int64"),
+                "n_bytes": pd.array(
+                    [None if p is None else len(p) for p in pdf["payload"]],
+                    dtype="Int64",
+                ),
+                "sum_abs": pd.array([d[3] for d in decoded], dtype="Int64"),
+                "peak": pd.array([d[4] for d in decoded], dtype="Int32"),
+            }
+            if permissive:
+                out["decode_error"] = errors
+            yield pd.DataFrame(out)
 
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
@@ -269,5 +359,6 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
         schema=(
             "asset_id bigint, sample_rate int, n_channels int, "
             "n_samples bigint, n_bytes bigint, sum_abs bigint, peak int"
+            + (", decode_error string" if permissive else "")
         ),
     )

@@ -365,3 +365,184 @@ def test_degenerate_events_parity(name, spark, edge_events_duck, edge_events_dir
     )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# corrupt-asset differential: the permissive binary-decode channel
+# (on_error="permit" — the binary twin of the JSON codec's corrupt-record
+# policy) against a SQL oracle that predicts, from the corruption rule
+# alone, the NULL feature columns and the STABLE decode_error reason for
+# every malformed payload class: NULL payload, garbage bytes, truncated
+# header, truncated pixel plane / data chunk — plus bit-exact features
+# for the untouched valid assets flowing through the same query.
+# ---------------------------------------------------------------------------
+
+_GARBAGE = b"GARBAGE BYTES, NOT A CONTAINER"  # 30 bytes, no container magic
+
+
+def _corrupt_assets(spark, sf_dir, media_type):
+    """Per-doc synthesized container bytes, then corrupted by id % 5:
+    0 → NULL payload, 1 → garbage, 2 → truncated header, 3 → last 5
+    bytes cut (short pixel plane / data chunk), 4 → left valid."""
+    import pandas as pd
+
+    import __spark_entry__ as m
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        synth_ppm_payload,
+        synth_wav_payload,
+    )
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    synth = synth_wav_payload if media_type == "audio" else synth_ppm_payload
+    head_len = 30 if media_type == "audio" else 4
+    docs = m.load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                mode, valid = d % 5, synth(d)
+                payloads.append(
+                    None if mode == 0
+                    else _GARBAGE if mode == 1
+                    else valid[:head_len] if mode == 2
+                    else valid[:-5] if mode == 3
+                    else valid
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": media_type,
+                    "payload": payloads,
+                }
+            )
+
+    return ensure_parallelism(docs).mapInPandas(
+        gen, schema="asset_id bigint, media_type string, payload binary"
+    )
+
+
+_CORRUPT_IMAGE_ORACLE = """
+    WITH m AS (
+        SELECT doc_id AS asset_id, doc_id % 5 AS mode,
+               (4 + doc_id % 13)::INTEGER AS width,
+               (3 + doc_id % 7)::INTEGER AS height
+        FROM documents
+    ), sized AS (
+        SELECT *, (3 + length(width::VARCHAR) + 1 + length(height::VARCHAR)
+                   + 1 + 4 + width * height * 3)::BIGINT AS full_bytes
+        FROM m
+    )
+    SELECT asset_id,
+           CASE WHEN mode = 4 THEN width END AS width,
+           CASE WHEN mode = 4 THEN height END AS height,
+           CASE mode WHEN 0 THEN NULL WHEN 1 THEN 30 WHEN 2 THEN 4
+                WHEN 3 THEN full_bytes - 5 ELSE full_bytes END::BIGINT AS n_bytes,
+           CASE WHEN mode = 4 THEN list_sum(list_transform(range(width * height),
+                p -> (asset_id * 31 + (3 * p + 0) * 7) % 256)) END::BIGINT AS sum_r,
+           CASE WHEN mode = 4 THEN list_sum(list_transform(range(width * height),
+                p -> (asset_id * 31 + (3 * p + 1) * 7) % 256)) END::BIGINT AS sum_g,
+           CASE WHEN mode = 4 THEN list_sum(list_transform(range(width * height),
+                p -> (asset_id * 31 + (3 * p + 2) * 7) % 256)) END::BIGINT AS sum_b,
+           CASE mode WHEN 0 THEN 'NULL payload'
+                WHEN 1 THEN 'not a binary PPM (P6) payload'
+                WHEN 2 THEN 'truncated PPM header'
+                WHEN 3 THEN 'truncated PPM pixel plane' END AS decode_error
+    FROM sized
+"""
+
+_CORRUPT_AUDIO_ORACLE = """
+    WITH m AS (
+        SELECT doc_id AS asset_id, doc_id % 5 AS mode,
+               (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                     ELSE 48000 END)::INTEGER AS sample_rate,
+               (64 + doc_id % 129)::BIGINT AS n_samples
+        FROM documents
+    ), s AS (
+        SELECT *, list_transform(range(n_samples),
+                   i -> abs((asset_id * 2654435761 + i * 40503) % 65536
+                            - 32768)) AS av
+        FROM m
+    )
+    SELECT asset_id,
+           CASE WHEN mode = 4 THEN sample_rate END AS sample_rate,
+           CASE WHEN mode = 4 THEN 1 END::INTEGER AS n_channels,
+           CASE WHEN mode = 4 THEN n_samples END::BIGINT AS n_samples,
+           CASE mode WHEN 0 THEN NULL WHEN 1 THEN 30 WHEN 2 THEN 30
+                WHEN 3 THEN 44 + 2 * n_samples - 5
+                ELSE 44 + 2 * n_samples END::BIGINT AS n_bytes,
+           CASE WHEN mode = 4 THEN list_sum(av) END::BIGINT AS sum_abs,
+           CASE WHEN mode = 4 THEN list_max(av) END::INTEGER AS peak,
+           CASE mode WHEN 0 THEN 'NULL payload'
+                WHEN 1 THEN 'invalid WAV container: file does not start with RIFF id'
+                WHEN 2 THEN 'invalid WAV container: truncated header'
+                WHEN 3 THEN 'truncated WAV data' END AS decode_error
+    FROM s
+"""
+
+
+@pytest.mark.parametrize("media_type", ["image", "audio"])
+def test_corrupt_asset_parity(media_type, spark, duck, sf_dir):
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    assets = _corrupt_assets(spark, sf_dir, media_type)
+    if media_type == "image":
+        got = extract_image_features(assets, on_error="permit")
+        oracle_sql = _CORRUPT_IMAGE_ORACLE
+    else:
+        got = extract_audio_features(assets, on_error="permit")
+        oracle_sql = _CORRUPT_AUDIO_ORACLE
+    spark_pdf = got.toPandas()
+    oracle_pdf = duck.execute(oracle_sql).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+    assert len(spark_pdf) == len(oracle_pdf)
+    # every corruption class must actually be present in the fixture
+    assert spark_pdf["decode_error"].nunique(dropna=False) == 5
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_strict_decode_still_raises(spark, sf_dir):
+    """The default on_error='raise' keeps the reference's crash-on-parse
+    contract (JsonSerdes.scala:40): one malformed payload fails the
+    query, and a truncated header terminates with an error instead of
+    scanning past the payload end."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        extract_image_features,
+    )
+
+    for bad, msg in [
+        (None, "NULL payload"),
+        (b"JUNK", "not a binary PPM"),
+        (b"P6\n4", "truncated PPM header"),
+        (b"P6\n4 x\n255\n" + b"\0" * 64, "malformed PPM header"),
+        (b"P6\n4 3\n65535\n" + b"\0" * 64, "only 8-bit PPM"),
+        (b"P6\n4 3\n255\n" + b"\0" * 5, "truncated PPM pixel plane"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            decode_ppm(bad)
+    for bad, msg in [
+        (None, "NULL payload"),
+        (_GARBAGE, "invalid WAV container"),
+        (b"RIFF", "invalid WAV container"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            decode_wav_pcm16(bad)
+    corrupt = _corrupt_assets(spark, sf_dir, "image")
+    # whichever corrupt row a worker hits first fails the task — every
+    # decoder message names the payload or the container
+    with pytest.raises(PythonException, match="payload|PPM"):
+        extract_image_features(corrupt).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_image_features(corrupt, on_error="lenient")
