@@ -33,7 +33,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # sf0.1 row counts (TESTDATA.md)
-BASE = {"documents": 5_000, "embeddings": 2_000, "events": 100_000}
+BASE = {
+    "documents": 5_000,
+    "embeddings": 2_000,
+    "events": 100_000,
+    "orders": 150_000,
+    "customer": 15_000,
+}
 
 VOCAB = (
     "batch part spark line column order small sort fast value scan slow "
@@ -116,6 +122,53 @@ def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_customer(n: int, rng: np.random.Generator) -> pa.Table:
+    """Matches the testdata customer schema; c_custkey is 1-based like
+    TPC-H so orders can draw foreign keys from the same range."""
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys),
+            "c_name": pa.array([f"Customer#{k:09d}" for k in keys], pa.string()),
+            "c_nationkey": pa.array(rng.integers(0, 25, n).astype(np.int32)),
+            "c_acctbal": pa.array(np.round(rng.random(n) * 11_000 - 1_000, 2)),
+            "c_mktsegment": pa.array(
+                np.array(segments)[rng.integers(0, len(segments), n)], pa.string()
+            ),
+        }
+    )
+
+
+def gen_orders(n: int, rng: np.random.Generator, n_cust: int) -> pa.Table:
+    """Matches the testdata orders schema.  Like TPC-H, only ~2/3 of
+    customers place orders (o_custkey drawn from the lower 2/3 of the key
+    range) — the bloom_filter query needs genuine non-members to score
+    false positives against."""
+    base_us = np.int64(757_382_400_000_000)  # 1994-01-01T00:00:00Z in µs
+    span_us = np.int64(6 * 365 * 24 * 3600) * 1_000_000
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "o_custkey": pa.array(
+                rng.integers(1, max(2, n_cust * 2 // 3), n).astype(np.int64)
+            ),
+            "o_orderstatus": pa.array(
+                np.array(["O", "F", "P"])[rng.integers(0, 3, n)], pa.string()
+            ),
+            "o_totalprice": pa.array(np.round(rng.random(n) * 400_000 + 900, 2)),
+            "o_orderdate": pa.array(
+                base_us + (rng.random(n) * span_us).astype(np.int64),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                np.array(prios)[rng.integers(0, len(prios), n)], pa.string()
+            ),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10, help="row-count multiple of sf0.1")
@@ -124,10 +177,13 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
+    n_cust = BASE["customer"] * args.mult
     for name, gen in [
         ("documents", gen_documents),
         ("embeddings", gen_embeddings),
         ("events", gen_events),
+        ("customer", gen_customer),
+        ("orders", lambda n, rng: gen_orders(n, rng, n_cust)),
     ]:
         table = gen(BASE[name] * args.mult, rng)
         # multiple row groups → parallel scan partitions, like real 100 TB

@@ -71,6 +71,8 @@ SCALE_QUERIES = [
     ("bpe_merge_step", "documents"),
     ("quality_classifier", "documents"),
     ("source_overlap", "documents"),
+    # round-8 additions (needs gen_scale's orders/customer twins)
+    ("bloom_filter", "orders customer"),
 ]
 
 
