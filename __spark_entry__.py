@@ -2018,10 +2018,18 @@ def q_order_gap_days(spark: SparkSession, sf: str) -> DataFrame:
     """Inter-arrival analysis: days between consecutive orders of the
     same customer (lead over the per-customer date order, tie-broken by
     orderkey).  One shuffle on o_custkey; per-customer frames are tiny,
-    so the sort is cheap and skew-free."""
+    so the sort is cheap and skew-free.
+
+    Undated orders are excluded in BOTH engines (same policy as the
+    temporal event queries): a NULL o_orderdate orders FIRST in Spark
+    windows and LAST in DuckDB, so it would silently pair with a
+    different neighbor per engine — caught by the relational degenerate
+    sweep (test_degenerate_relational_parity)."""
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf, "orders")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt_date = F.lead("o_orderdate").over(w)
     nxt_key = F.lead("o_orderkey").over(w)
@@ -2837,10 +2845,18 @@ def q_monthly_orders_growth(spark: SparkSession, sf: str) -> DataFrame:
     (date-part agg) + monthly_revenue_growth (month-over-month lag) into
     one aggregation + one months-sized window.  The pct change divides
     the already-rounded monthly totals so both engines divide identical
-    inputs — no float-order drift (exact-decimal money sums)."""
+    inputs — no float-order drift (exact-decimal money sums).
+
+    Undated orders are excluded in BOTH engines (events-query policy):
+    they would form a (NULL, NULL) month whose position in the lag
+    window differs per engine (Spark NULLS FIRST, DuckDB NULLS LAST),
+    shifting the first real month's pct_change — caught by the
+    relational degenerate sweep."""
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf, "orders")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = orders.groupBy(
         F.year("o_orderdate").alias("o_year"),
         F.month("o_orderdate").alias("o_month"),
@@ -3278,8 +3294,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # timing change only — same plan, same rows; the cross-query
     # invariant test re-checks it against ann_topk every run).  They go
     # FIRST in the back block so r09 re-verifies them before anything
-    # else.  Keep the total AT 100: every future addition must be
-    # matched by a consolidation.
+    # else.  Two members of the due-50 also changed this round
+    # (order_gap_days, monthly_orders_growth — undated-order exclusion
+    # after the relational degenerate sweep caught their NULL-date
+    # window divergence); they sit inside the checked window, so the
+    # driver re-verifies the changed code this round.  Keep the total AT
+    # 100: every future addition must be matched by a consolidation.
     return {
         # --- newest green row is r05 (the r07 overflow block — due now) ---
         "ann_topk_pandas": q_ann_topk_pandas,
@@ -4273,7 +4293,7 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
                      lead(o_orderdate) OVER w AS next_date,
                      lead(o_orderkey) OVER w AS next_orderkey
-              FROM orders
+              FROM orders WHERE o_orderdate IS NOT NULL
               WINDOW w AS (PARTITION BY o_custkey
                            ORDER BY o_orderdate, o_orderkey))
         WHERE next_date IS NOT NULL
@@ -4658,7 +4678,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
                    count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price,
                    CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
-            FROM orders GROUP BY 1, 2
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
         )
         SELECT o_year, o_month, n_orders, avg_price, revenue,
                round((revenue - lag(revenue) OVER w)

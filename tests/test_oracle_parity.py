@@ -546,3 +546,91 @@ def test_strict_decode_still_raises(spark, sf_dir):
         extract_image_features(corrupt).collect()
     with pytest.raises(ValueError, match="on_error"):
         extract_image_features(corrupt, on_error="lenient")
+
+
+# ---------------------------------------------------------------------------
+# same differential, relational tables (orders / lineitem / customer):
+# NULL o_orderdate (the window-order NULLS FIRST/LAST trap that bit the
+# events table), NULL / zero money amounts (decimal-cast and ordering
+# NULL handling), a dangling o_custkey (FK integrity is an ingest-time
+# promise, not a query-time one), NULL c_acctbal / c_mktsegment (NULL
+# grouping keys), NULL l_shipdate and NULL / zero l_quantity with 100%
+# discount (filter and aggregate NULL-skipping).
+# ---------------------------------------------------------------------------
+
+REL_QUERIES = sorted(
+    n
+    for n in QUERIES
+    if n in ORACLES
+    and any(t in ORACLES[n].lower() for t in ("orders", "lineitem", "customer"))
+)
+
+
+@pytest.fixture(scope="session")
+def edge_rel_dir(tmp_path_factory, sf_dir):
+    import shutil
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    tmp = str(tmp_path_factory.mktemp("edge_rel"))
+    for t in TESTDATA_TABLES:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{tmp}/{t}.parquet")
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    extra_o = orders.head(4).copy()
+    extra_o["o_orderkey"] = [9900001, 9900002, 9900003, 9900004]
+    extra_o["o_totalprice"] = [None, 1234.56, 50000.0, 0.0]
+    extra_o.iloc[1, extra_o.columns.get_loc("o_orderdate")] = pd.NaT
+    extra_o.iloc[2, extra_o.columns.get_loc("o_custkey")] = 99999999  # dangling FK
+    pd.concat([orders, extra_o], ignore_index=True).to_parquet(
+        f"{tmp}/orders.parquet"
+    )
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    extra_c = cust.head(2).copy()
+    extra_c["c_custkey"] = [9900001, 9900002]
+    extra_c["c_name"] = ["Customer#degen1", "Customer#degen2"]
+    extra_c.iloc[0, extra_c.columns.get_loc("c_acctbal")] = None
+    extra_c.iloc[1, extra_c.columns.get_loc("c_mktsegment")] = None
+    pd.concat([cust, extra_c], ignore_index=True).to_parquet(
+        f"{tmp}/customer.parquet"
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    extra_l = li.head(3).copy()  # keeps real l_orderkey/partkey/suppkey FKs
+    extra_l["l_linenumber"] = [91, 92, 93]
+    extra_l.iloc[0, extra_l.columns.get_loc("l_shipdate")] = pd.NaT
+    extra_l.iloc[1, extra_l.columns.get_loc("l_quantity")] = 0.0
+    extra_l.iloc[1, extra_l.columns.get_loc("l_discount")] = 1.0
+    extra_l.iloc[2, extra_l.columns.get_loc("l_quantity")] = None
+    pd.concat([li, extra_l], ignore_index=True).to_parquet(
+        f"{tmp}/lineitem.parquet"
+    )
+    return tmp
+
+
+@pytest.fixture(scope="session")
+def edge_rel_duck(edge_rel_dir):
+    import duckdb
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_rel_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_degenerate_relational_parity(name, spark, edge_rel_duck, edge_rel_dir):
+    spark_pdf = QUERIES[name](spark, edge_rel_dir).toPandas()
+    oracle_pdf = edge_rel_duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), name
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
