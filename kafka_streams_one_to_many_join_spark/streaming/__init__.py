@@ -36,6 +36,9 @@ from kafka_streams_one_to_many_join_spark.streaming.dedup import (
 from kafka_streams_one_to_many_join_spark.streaming.packing import (
     streaming_token_chunks,
 )
+from kafka_streams_one_to_many_join_spark.streaming.similarity import (
+    streaming_lsh_topk,
+)
 from kafka_streams_one_to_many_join_spark.streaming.sketch import (
     streaming_bloom_filter,
     streaming_cms_counts,
@@ -60,6 +63,7 @@ __all__ = [
     "streaming_hll_distinct",
     "streaming_hll_distinct_tws",
     "streaming_quantile_sketch",
+    "streaming_lsh_topk",
     "streaming_token_chunks",
     "session_agg",
     "sliding_agg",

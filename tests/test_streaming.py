@@ -2230,3 +2230,93 @@ def test_streaming_token_chunks_matches_batch(spark, tmp_path, sf_dir):
         tuple(r) for r in spark.sql("select * from chunktwin").collect()
     )
     assert got == expected
+
+
+def test_streaming_lsh_topk_matches_batch_and_restarts(spark, tmp_path, sf_dir):
+    """Continuously-maintained ANN: replaying the embeddings corpus in
+    micro-batches through streaming_lsh_topk must leave every query's
+    LATEST emitted top-k equal to the batch lsh_topk rows bit-for-bit
+    (same planes, probes, cosine rounding, and (sim DESC, vec_id ASC)
+    tie-break) — and a kill-and-resume run (fresh query instance per
+    micro-batch recovering from the shared checkpoint, append snapshots
+    to a file sink) must land on the same final table: state is O(k) per
+    query and the merge is order-insensitive."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        lsh_topk,
+        seeded_planes,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    planes = seeded_planes(8, dim, 7)
+    expected = {
+        (r.query_id, r.vec_id, r.sim, r.rank)
+        for r in lsh_topk(emb, queries, planes, k=10, probe_hamming=1).collect()
+    }
+    assert expected, "fixture must produce LSH candidates"
+    with pytest.raises(ValueError):
+        streaming_lsh_topk(emb, queries, planes)  # batch corpus rejected
+
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    schema = "vec_id long, embedding array<float>"
+
+    def finalize(collected):
+        latest: dict = {}
+        for r in collected:
+            if r.query_id not in latest or r.n_seen > latest[r.query_id][0]:
+                latest[r.query_id] = (r.n_seen, [])
+            if r.n_seen == latest[r.query_id][0]:
+                latest[r.query_id][1].append((r.query_id, r.vec_id, r.sim, r.rank))
+        return {t for _, rs in latest.values() for t in rs}
+
+    # --- 3-batch replay, single query instance, memory sink (update) ---
+    os.makedirs(f"{tmp_path}/vecs", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/vecs")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/vecs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    topk = streaming_lsh_topk(stream, queries, planes, k=10, probe_hamming=1)
+    q = write_stream(
+        topk, "memory", query_name="annstream", output_mode="update",
+        checkpoint=f"{tmp_path}/cp_mem",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert finalize(spark.sql("select * from annstream").collect()) == expected
+
+    # --- kill-and-resume: fresh instance per batch, shared checkpoint ---
+    os.makedirs(f"{tmp_path}/vecs2", exist_ok=True)
+    half = (len(rows) + 1) // 2
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp_path}/vecs2")
+        stream = read_stream(
+            spark, "parquet", f"{tmp_path}/vecs2",
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        topk = streaming_lsh_topk(
+            stream, queries, planes, k=10, probe_hamming=1,
+            output_mode="append",
+        )
+        q = write_stream(
+            topk, "parquet", path=f"{tmp_path}/out2",
+            checkpoint=f"{tmp_path}/cp_rst", trigger_available_now=True,
+            query_name="annrst",
+        )
+        q.awaitTermination()
+    assert finalize(spark.read.parquet(f"{tmp_path}/out2").collect()) == expected
