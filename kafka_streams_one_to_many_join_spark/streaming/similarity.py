@@ -160,9 +160,16 @@ def streaming_lsh_topk(
         for pdf in pdfs:
             for v, s in zip(pdf["vec_id"], pdf["sim"]):
                 v = int(v)
-                if v not in top:  # replay guard; pairs are probe-unique
+                s = float(s) if s is not None else float("nan")
+                if s != s:
+                    # zero-norm (degenerate) vectors cosine to NULL/NaN;
+                    # NaN breaks Python's sort ordering, so they are
+                    # excluded from the running top-k — same policy as
+                    # dropping them upstream
+                    continue
+                if v not in top:  # pairs are probe-unique (one bucket each)
                     new += 1
-                    top[v] = float(s)
+                    top[v] = s
         if not new:
             yield pd.DataFrame(
                 [], columns=["query_id", "vec_id", "sim", "rank", "n_seen"]
