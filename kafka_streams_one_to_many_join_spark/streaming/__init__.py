@@ -38,6 +38,7 @@ from kafka_streams_one_to_many_join_spark.streaming.packing import (
 )
 from kafka_streams_one_to_many_join_spark.streaming.similarity import (
     streaming_lsh_topk,
+    streaming_lsh_topk_tws,
 )
 from kafka_streams_one_to_many_join_spark.streaming.sketch import (
     streaming_bloom_filter,
@@ -64,6 +65,7 @@ __all__ = [
     "streaming_hll_distinct_tws",
     "streaming_quantile_sketch",
     "streaming_lsh_topk",
+    "streaming_lsh_topk_tws",
     "streaming_token_chunks",
     "session_agg",
     "sliding_agg",

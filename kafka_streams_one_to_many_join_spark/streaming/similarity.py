@@ -52,6 +52,88 @@ from kafka_streams_one_to_many_join_spark.functions.similarity import (
 )
 
 
+def _lsh_candidates(
+    corpus_stream: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    probe_hamming: int,
+    caller: str,
+) -> DataFrame:
+    """The stateless front half shared by both twins: multi-probe bucket
+    rows from the static query side, stream-static bucket join, exact
+    cosine re-rank — identical expressions to the batch operator."""
+    if not corpus_stream.isStreaming:
+        raise ValueError(
+            f"{caller} expects a streaming corpus; use "
+            "functions.similarity.lsh_topk for batch inputs"
+        )
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(len(planes))]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(len(planes))
+            for j in range(i + 1, len(planes))
+        ]
+    mask_list = ", ".join(str(m) for m in masks)
+    probe_rows = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.expr(norm_expr(vec_col)).alias("_qn"),
+        hyperplane_lsh_bucket(vec_col, planes).alias("_b0"),
+    ).select(
+        query_id_col,
+        "_qvec",
+        "_qn",
+        F.explode(
+            F.expr(f"transform(array({mask_list}), m -> _b0 ^ m)")
+        ).alias("_bucket"),
+    )
+    tagged = corpus_stream.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(norm_expr(vec_col)).alias("_n"),
+        hyperplane_lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    return (
+        tagged.join(F.broadcast(probe_rows), on="_bucket")  # stream-static
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                cosine_from_norms("_qvec", vec_col, "_qn", "_n"), 6
+            ).alias("sim"),
+        )
+    )
+
+
+def _fold_topk(top: dict, pdfs, k: int):
+    """Fold candidate frames into the (vec_id → sim) running top dict.
+    Returns (new candidate count, ranked [(vec_id, sim)] capped at k) —
+    the pure merge both twins share."""
+    new = 0
+    for pdf in pdfs:
+        for v, s in zip(pdf["vec_id"], pdf["sim"]):
+            v = int(v)
+            s = float(s) if s is not None else float("nan")
+            if s != s:
+                # zero-norm (degenerate) vectors cosine to NULL/NaN;
+                # NaN breaks Python's sort ordering, so they are
+                # excluded from the running top-k — same policy as
+                # dropping them upstream
+                continue
+            if v not in top:  # pairs are probe-unique (one bucket each)
+                new += 1
+                top[v] = s
+    ranked = sorted(top.items(), key=lambda vs: (-vs[1], vs[0]))[:k]
+    return new, ranked
+
+
 def streaming_lsh_topk(
     corpus_stream: DataFrame,
     queries: DataFrame,
@@ -86,50 +168,9 @@ def streaming_lsh_topk(
         StructType,
     )
 
-    if not corpus_stream.isStreaming:
-        raise ValueError(
-            "streaming_lsh_topk expects a streaming corpus; use "
-            "functions.similarity.lsh_topk for batch inputs"
-        )
-    masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << i for i in range(len(planes))]
-    if probe_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(len(planes))
-            for j in range(i + 1, len(planes))
-        ]
-    mask_list = ", ".join(str(m) for m in masks)
-    probe_rows = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        F.expr(norm_expr(vec_col)).alias("_qn"),
-        hyperplane_lsh_bucket(vec_col, planes).alias("_b0"),
-    ).select(
-        query_id_col,
-        "_qvec",
-        "_qn",
-        F.explode(
-            F.expr(f"transform(array({mask_list}), m -> _b0 ^ m)")
-        ).alias("_bucket"),
-    )
-    tagged = corpus_stream.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.expr(norm_expr(vec_col)).alias("_n"),
-        hyperplane_lsh_bucket(vec_col, planes).alias("_bucket"),
-    )
-    candidates = (
-        tagged.join(F.broadcast(probe_rows), on="_bucket")  # stream-static
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col,
-            F.col(id_col).alias("vec_id"),
-            F.round(
-                cosine_from_norms("_qvec", vec_col, "_qn", "_n"), 6
-            ).alias("sim"),
-        )
+    candidates = _lsh_candidates(
+        corpus_stream, queries, planes, id_col, vec_col, query_id_col,
+        probe_hamming, "streaming_lsh_topk",
     )
 
     output_schema = StructType(
@@ -156,27 +197,13 @@ def streaming_lsh_topk(
             n_seen = int(n_seen)
         else:
             top, n_seen = {}, 0
-        new = 0
-        for pdf in pdfs:
-            for v, s in zip(pdf["vec_id"], pdf["sim"]):
-                v = int(v)
-                s = float(s) if s is not None else float("nan")
-                if s != s:
-                    # zero-norm (degenerate) vectors cosine to NULL/NaN;
-                    # NaN breaks Python's sort ordering, so they are
-                    # excluded from the running top-k — same policy as
-                    # dropping them upstream
-                    continue
-                if v not in top:  # pairs are probe-unique (one bucket each)
-                    new += 1
-                    top[v] = s
+        new, ranked = _fold_topk(top, pdfs, k)
         if not new:
             yield pd.DataFrame(
                 [], columns=["query_id", "vec_id", "sim", "rank", "n_seen"]
             )
             return
         n_seen += new
-        ranked = sorted(top.items(), key=lambda vs: (-vs[1], vs[0]))[:k]
         state.update(
             ([v for v, _ in ranked], [s for _, s in ranked], n_seen)
         )
@@ -199,4 +226,105 @@ def streaming_lsh_topk(
         stateStructType=state_schema,
         outputMode=output_mode,
         timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 typed-state variant
+# ---------------------------------------------------------------------------
+
+
+def streaming_lsh_topk_tws(
+    corpus_stream: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    probe_hamming: int = 1,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """``streaming_lsh_topk`` on ``transformWithStateInPandas`` — the
+    typed-state API the symmetric join's and HLL's ``_tws`` variants use,
+    extended to the similarity family: per-query ``ValueState`` holding
+    the (vec_ids, sims, n_seen) top-k arrays, identical candidate
+    generation and fold (``_lsh_candidates`` / ``_fold_topk`` are shared
+    code, so the emitted rows are bit-identical to the portable twin by
+    construction).
+
+    Typed-state win: native ``ttlDurationMs`` — an opt-in
+    sliding-corpus ANN where a query whose top-k went unrefreshed past
+    the TTL restarts cold (default None keeps keep-forever semantics,
+    matching the batch operator).  Requires Spark >= 4.0 with protobuf
+    resolvable (compat.ensure_protobuf); portable hosts use
+    ``streaming_lsh_topk``.  Caveat shared with the other TWS TTLs:
+    processing-time mode needs real trigger progression — drive it with
+    wall-clock micro-batches, not ``processAllAvailable`` drains.
+    """
+    import pandas as pd
+
+    from kafka_streams_one_to_many_join_spark.streaming.join_tws import (
+        HAS_TWS,
+        StatefulProcessor,
+    )
+
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0 with protobuf "
+            "installed; use streaming.streaming_lsh_topk instead"
+        )
+
+    candidates = _lsh_candidates(
+        corpus_stream, queries, planes, id_col, vec_col, query_id_col,
+        probe_hamming, "streaming_lsh_topk_tws",
+    )
+    ttl = ttl_ms
+
+    class TopkProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "topk",
+                "vec_ids array<bigint>, sims array<double>, n_seen bigint",
+                ttlDurationMs=ttl,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                ids, sims, n_seen = self._state.get()
+                top = {int(v): float(s) for v, s in zip(ids, sims)}
+                n_seen = int(n_seen)
+            else:
+                top, n_seen = {}, 0
+            new, ranked = _fold_topk(top, rows, k)
+            if not new:
+                return
+            n_seen += new
+            self._state.update(
+                ([v for v, _ in ranked], [s for _, s in ranked], n_seen)
+            )
+            yield pd.DataFrame(
+                [
+                    {
+                        "query_id": key[0],
+                        "vec_id": v,
+                        "sim": s,
+                        "rank": r + 1,
+                        "n_seen": n_seen,
+                    }
+                    for r, (v, s) in enumerate(ranked)
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return candidates.groupBy(query_id_col).transformWithStateInPandas(
+        statefulProcessor=TopkProcessor(),
+        outputStructType=(
+            "query_id bigint, vec_id bigint, sim double, "
+            "rank bigint, n_seen bigint"
+        ),
+        outputMode="update",
+        timeMode="processingTime" if ttl_ms is not None else "none",
     )

@@ -2320,3 +2320,80 @@ def test_streaming_lsh_topk_matches_batch_and_restarts(spark, tmp_path, sf_dir):
         )
         q.awaitTermination()
     assert finalize(spark.read.parquet(f"{tmp_path}/out2").collect()) == expected
+
+
+def test_streaming_lsh_topk_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir):
+    """Typed-state (transformWithStateInPandas) streaming ANN == the
+    portable applyInPandasWithState twin == batch lsh_topk, on the same
+    3-batch split: candidate generation and the top-k fold are shared
+    code between the twins, so the final tables must be bit-identical —
+    extending the Spark-4 typed-state surface from the join and the
+    sketch family to similarity search."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        lsh_topk,
+        seeded_planes,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_lsh_topk,
+        streaming_lsh_topk_tws,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.join_tws import HAS_TWS
+
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas needs Spark>=4 + protobuf")
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    planes = seeded_planes(8, dim, 7)
+    expected = {
+        (r.query_id, r.vec_id, r.sim, r.rank)
+        for r in lsh_topk(emb, queries, planes, k=10, probe_hamming=1).collect()
+    }
+
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    schema = "vec_id long, embedding array<float>"
+    os.makedirs(f"{tmp_path}/vecs", exist_ok=True)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * third : (i + 1) * third], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/vecs")
+        time.sleep(1.05)
+
+    def finalize(collected):
+        latest: dict = {}
+        for r in collected:
+            if r.query_id not in latest or r.n_seen > latest[r.query_id][0]:
+                latest[r.query_id] = (r.n_seen, [])
+            if r.n_seen == latest[r.query_id][0]:
+                latest[r.query_id][1].append(
+                    (r.query_id, r.vec_id, r.sim, r.rank)
+                )
+        return {t for _, rs in latest.values() for t in rs}
+
+    finals = {}
+    for variant, make in (
+        ("tws", lambda st: streaming_lsh_topk_tws(
+            st, queries, planes, k=10, probe_hamming=1)),
+        ("aipws", lambda st: streaming_lsh_topk(
+            st, queries, planes, k=10, probe_hamming=1)),
+    ):
+        stream = read_stream(
+            spark, "parquet", f"{tmp_path}/vecs",
+            schema=spark.createDataFrame([], schema).schema,
+            maxFilesPerTrigger="1",
+        )
+        q = write_stream(
+            make(stream), "memory", query_name=f"ann_{variant}",
+            output_mode="update", checkpoint=f"{tmp_path}/cp_{variant}",
+        )
+        q.processAllAvailable()
+        q.stop()
+        finals[variant] = finalize(
+            spark.sql(f"select * from ann_{variant}").collect()
+        )
+    assert finals["tws"] == finals["aipws"] == expected
