@@ -625,3 +625,37 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
         if problems:
             offenders[name] = problems
     assert not offenders, offenders
+
+
+def test_streaming_ann_candidate_join_broadcasts(spark, sf_dir):
+    """The streaming ANN's stream-static bucket join must plan as a
+    broadcast hash join of the (tiny, static) query probe rows — a
+    sort-merge or nested-loop plan here would shuffle or re-scan the
+    corpus stream per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        seeded_planes,
+    )
+    from kafka_streams_one_to_many_join_spark.sources import read_stream
+    from kafka_streams_one_to_many_join_spark.streaming.similarity import (
+        _lsh_candidates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    stream = read_stream(
+        spark, "parquet", sf_dir + "/embeddings.parquet",
+        schema=emb.select("vec_id", "embedding").schema,
+    )
+    cand = _lsh_candidates(
+        stream, queries, seeded_planes(8, dim, 7),
+        "vec_id", "embedding", "query_id", 1, "test",
+    )
+    plan = plans.formatted_plan(cand)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
