@@ -287,3 +287,49 @@ def test_hashed_quality_score_matches_reference(spark, texts):
         )
         assert got[i] == (len(toks), ref), (i, t)
     assert len(got) == len(texts)
+
+
+@given(
+    arrivals=st.lists(st.integers(min_value=0, max_value=30), max_size=120),
+    cuts=st.lists(st.booleans(), max_size=120),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_streaming_topk_fold_split_invariance(arrivals, cuts, k):
+    """The streaming ANN's top-k fold: for ANY candidate arrival order
+    split ANY way into micro-batches (with the state truncated to k
+    between batches, exactly as the operator persists it), the final
+    ranking must equal the one-shot top-k over all candidates —
+    truncation never loses a future top-k member because a vector's
+    similarity is an immutable function of the vector (modeled here as a
+    deterministic sim per vec_id, which is what makes duplicate
+    arrivals — replays — harmless)."""
+    import math
+
+    import pandas as pd
+
+    from kafka_streams_one_to_many_join_spark.streaming.similarity import (
+        _fold_topk,
+    )
+
+    sim_of = lambda v: round(math.sin(v * 1.7), 6)  # noqa: E731
+    rounded = [(v, sim_of(v)) for v in arrivals]
+    expected = sorted(
+        {v: s for v, s in rounded}.items(), key=lambda vs: (-vs[1], vs[0])
+    )[:k]
+
+    batches, cur = [], []
+    for item, cut in zip(rounded, list(cuts) + [False] * len(rounded)):
+        cur.append(item)
+        if cut:
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+
+    top: dict = {}
+    ranked = []
+    for batch in batches:
+        pdf = pd.DataFrame(batch, columns=["vec_id", "sim"])
+        _, ranked = _fold_topk(top, [pdf], k)
+        top = dict(ranked)  # persist exactly what the operator stores
+    assert ranked == expected
