@@ -3294,12 +3294,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # timing change only — same plan, same rows; the cross-query
     # invariant test re-checks it against ann_topk every run).  They go
     # FIRST in the back block so r09 re-verifies them before anything
-    # else.  Two members of the due-50 also changed this round
+    # else.  Three members of the due-50 also changed this round
     # (order_gap_days, monthly_orders_growth — undated-order exclusion
     # after the relational degenerate sweep caught their NULL-date
-    # window divergence); they sit inside the checked window, so the
-    # driver re-verifies the changed code this round.  Keep the total AT
-    # 100: every future addition must be matched by a consolidation.
+    # window divergence; ann_topk_ivf — bit-identical plan optimization,
+    # dots materialized once + null-safe join key); they sit inside the
+    # checked window, so the driver re-verifies the changed code this
+    # round.  Keep the total AT 100: every future addition must be
+    # matched by a consolidation.
     return {
         # --- newest green row is r05 (the r07 overflow block — due now) ---
         "ann_topk_pandas": q_ann_topk_pandas,

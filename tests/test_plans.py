@@ -614,7 +614,8 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
     }
     offenders = {}
     for name, fn in entry_mod.queries().items():
-        plan = plans.formatted_plan(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        plan = plans.formatted_plan(df)
         problems = []
         if "CartesianProduct" in plan:
             problems.append("cartesian")
@@ -622,6 +623,24 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
             problems.append("row-python-udf")
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             problems.append("unlisted-bnlj")
+        # Heavy interpreted expressions re-inlined into a Filter — the
+        # ann_topk_ivf regression class: deriving a join/group key from a
+        # CodegenFallback expression lets InferFiltersFromConstraints push
+        # an isnotnull(<whole expression>) below the projection, paying
+        # the dominant per-row cost again.  One md5/aggregate in a filter
+        # is a legitimate hash-addressed scan predicate (sampling); two+
+        # means a materialized column got re-inlined.
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in opt.split("\n"):
+            if "Filter" in line:
+                heavy = (
+                    line.count("aggregate(")
+                    + line.count("regexp_extract_all")
+                    + line.count("md5(")
+                )
+                if heavy >= 2:
+                    problems.append(f"heavy-expr-in-filter:{heavy}")
+                    break
         if problems:
             offenders[name] = problems
     assert not offenders, offenders
