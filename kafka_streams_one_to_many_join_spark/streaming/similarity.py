@@ -144,6 +144,7 @@ def streaming_lsh_topk(
     query_id_col: str = "query_id",
     probe_hamming: int = 1,
     output_mode: str = "update",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Running approximate top-k per query over a corpus-vector stream.
 
@@ -158,6 +159,13 @@ def streaming_lsh_topk(
     ``output_mode="append"`` emits the same snapshot rows append-only
     (file-sink- and restart-test-compatible; latest row per query = max
     n_seen, exactly the sketch twins' contract).
+
+    ``ttl_ms`` opts into processing-time state expiry exactly like the
+    other keyed-state twins (join, MinHash buckets, segment dedup): a
+    query whose top-k went unrefreshed past the horizon restarts cold —
+    sliding-corpus ANN, the portable counterpart of the TWS variant's
+    native ttlDurationMs.  Default None keeps keep-forever semantics,
+    matching the batch operator.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -191,6 +199,12 @@ def streaming_lsh_topk(
     )
 
     def fn(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["query_id", "vec_id", "sim", "rank", "n_seen"]
+            )
+            return
         if state.exists:
             ids, sims, n_seen = state.get
             top = {int(v): float(s) for v, s in zip(ids, sims)}
@@ -199,6 +213,8 @@ def streaming_lsh_topk(
             top, n_seen = {}, 0
         new, ranked = _fold_topk(top, pdfs, k)
         if not new:
+            if ttl_ms is not None and state.exists:
+                state.setTimeoutDuration(ttl_ms)  # re-arm: invocation clears it
             yield pd.DataFrame(
                 [], columns=["query_id", "vec_id", "sim", "rank", "n_seen"]
             )
@@ -207,6 +223,8 @@ def streaming_lsh_topk(
         state.update(
             ([v for v, _ in ranked], [s for _, s in ranked], n_seen)
         )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             [
                 {
@@ -225,7 +243,7 @@ def streaming_lsh_topk(
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode=output_mode,
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout",
     )
 
 

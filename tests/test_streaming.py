@@ -2397,3 +2397,67 @@ def test_streaming_lsh_topk_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir)
             spark.sql(f"select * from ann_{variant}").collect()
         )
     assert finals["tws"] == finals["aipws"] == expected
+
+
+def test_ann_topk_state_ttl_expires(spark, tmp_path):
+    """Opt-in TTL on the streaming ANN top-k state: a query whose top-k
+    went unrefreshed past the horizon restarts cold (sliding-corpus
+    semantics — the next candidate builds a fresh top-k instead of
+    merging with the expired one); the keep-forever control on the same
+    batches accumulates both candidates."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        seeded_planes,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_lsh_topk,
+    )
+
+    dim = 8
+    planes = seeded_planes(4, dim, 7)
+    base = [1.0, -0.5, 0.25, 2.0, -1.0, 0.5, 0.75, -0.25]
+    queries = spark.createDataFrame(
+        [(100, base)], "query_id long, embedding array<float>"
+    )
+    # same direction as the query -> same LSH bucket, cosine 1.0
+    b1 = [(1, base)]
+    b2 = [(2, [x * 2 for x in base])]
+    schema = "vec_id long, embedding array<float>"
+
+    def run(name, ttl_ms):
+        src = f"{tmp_path}/src_{name}"
+        os.makedirs(src, exist_ok=True)
+        stream = read_stream(
+            spark, "parquet", src,
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        topk = streaming_lsh_topk(
+            stream, queries, planes, k=10, probe_hamming=0, ttl_ms=ttl_ms
+        )
+        q = write_stream(
+            topk, "memory", query_name=name, output_mode="update",
+            checkpoint=f"{tmp_path}/cp_{name}",
+        )
+        seen: dict = {}
+        written = 0
+        try:
+            for batch in (b1, b2):
+                spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+                written += len(batch)
+                _await_input_rows(q, seen, written)
+                processed_at = time.time()
+                if ttl_ms is not None:
+                    _await_cleanup_batch(q, processed_at + ttl_ms / 1000 + 0.3)
+                else:
+                    time.sleep(1.5)
+            time.sleep(0.5)
+            return spark.sql(f"select * from {name}").collect()
+        finally:
+            q.stop()
+
+    control = run("annkeep", ttl_ms=None)
+    assert any(r.n_seen == 2 for r in control), control  # both folded
+    expired = run("annttl", ttl_ms=400)
+    assert all(r.n_seen == 1 for r in expired), expired  # never merged
+    assert any(r.vec_id == 2 for r in expired), expired  # rebuilt cold
