@@ -118,10 +118,16 @@ def brute_force_topk_pandas(
     small, shipped in the closure (broadcast by Spark's task serializer).
     Emits per-partition partial top-k then re-ranks globally per query:
     the reduce step sees ≤ partitions·k rows per query, not N.
+
+    NULL embeddings are dropped up front on both sides: ``np.stack``
+    cannot batch a missing vector, and a NULL row can never hold a
+    top-k slot on any corpus with ≥ k real candidates (its cosine is
+    NULL, ranked after every real similarity in both engines).
     """
     import numpy as np
     import pandas as pd
 
+    queries_pdf = queries_pdf[queries_pdf["embedding"].notna()]
     qids = queries_pdf["query_id"].to_numpy()
     qmat = np.stack(queries_pdf["embedding"].to_numpy()).astype("float64")
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -153,7 +159,9 @@ def brute_force_topk_pandas(
 
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
-    partials = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+    partials = ensure_parallelism(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(
         part, schema=f"query_id bigint, {id_col} bigint, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -347,6 +355,14 @@ def ivf_topk(
     # whole centroid-dot array TWICE per row — measured 1.45 s → 1.0 s
     # for the sf0.1 operator.  Numerically identical (same expression,
     # same values), so the oracle is untouched.
+    # NULL embeddings are dropped up front on BOTH sides (a cheap
+    # scan-level predicate): they produce a NULL cell, which the "="
+    # join and the SQL oracle drop implicitly — but the <=> join below
+    # would match a NULL corpus cell to a NULL query cell, silently
+    # pairing degenerate rows.  The explicit guard makes <=> strictly
+    # equivalent to "=" on every input.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     ds = _cell_dots_expr(vec_col, centroids)
     c = (
         ensure_parallelism(corpus)

@@ -260,13 +260,16 @@ def edge_emb_dir(tmp_path_factory, sf_dir):
     for t in TESTDATA_TABLES:
         shutil.copy(f"{sf_dir}/{t}.parquet", f"{tmp}/{t}.parquet")
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    extra = emb.head(2).copy()
-    extra["vec_id"] = [980001, 980002]
+    extra = emb.head(3).copy()
+    extra["vec_id"] = [980001, 980002, 980003]
     dim = len(emb.embedding.iloc[0])
     extra.at[extra.index[0], "embedding"] = np.zeros(
         dim, dtype=emb.embedding.iloc[0].dtype
     )
     extra.at[extra.index[1], "embedding"] = emb.embedding.iloc[0].copy()
+    # NULL embedding: NULL-cell/-bucket join keys (the <=> trap the IVF
+    # guard exists for) and NULL norms through every cosine path
+    extra.at[extra.index[2], "embedding"] = None
     pd.concat([emb, extra], ignore_index=True).to_parquet(
         f"{tmp}/embeddings.parquet"
     )
