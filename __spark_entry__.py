@@ -674,7 +674,14 @@ def q_quality_score_udf(spark: SparkSession, sf: str) -> DataFrame:
         return pd.Series(np.round(np.minimum(density * 5.0, 1.0), 6))
 
     docs = load_table(spark, sf, "documents")
-    toks = F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+    # coalesce: a NULL text tokenizes to NULL (ANSI size(NULL)); both
+    # engines must score it 0, not let the NULL ride into the formula —
+    # DuckDB's least() IGNORES NULL arguments (yielding 1.0) while
+    # numpy's minimum propagates NaN, a silent cross-engine divergence
+    # caught by the NULL-text degenerate doc
+    toks = F.expr(
+        "coalesce(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 0)"
+    )
     return docs.select(
         "doc_id",
         score(F.col("n_chars").cast("double"), toks.cast("double")).alias(
@@ -3294,14 +3301,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # timing change only — same plan, same rows; the cross-query
     # invariant test re-checks it against ann_topk every run).  They go
     # FIRST in the back block so r09 re-verifies them before anything
-    # else.  Three members of the due-50 also changed this round
-    # (order_gap_days, monthly_orders_growth — undated-order exclusion
+    # else.  Seven members of the due-50 also changed this round, all
+    # inside the checked window so the driver re-verifies them:
+    # order_gap_days + monthly_orders_growth (undated-order exclusion
     # after the relational degenerate sweep caught their NULL-date
-    # window divergence; ann_topk_ivf — bit-identical plan optimization,
-    # dots materialized once + null-safe join key); they sit inside the
-    # checked window, so the driver re-verifies the changed code this
-    # round.  Keep the total AT 100: every future addition must be
-    # matched by a consolidation.
+    # window divergence), ann_topk_ivf (bit-identical plan optimization:
+    # dots materialized once + null-safe join key + NULL-embedding
+    # guard), ann_topk_pandas (NULL-embedding guard), and sequence_pack
+    # + sequence_pack_text + quality_score_udf (NULL-text policy — a
+    # NULL text is a 0-token doc in both engines, caught by the
+    # NULL-text degenerate doc).  Keep the total AT 100: every future
+    # addition must be matched by a consolidation.
     return {
         # --- newest green row is r05 (the r07 overflow block — due now) ---
         "ann_topk_pandas": q_ann_topk_pandas,
@@ -3708,7 +3718,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score_udf": f"""
             SELECT doc_id,
-                   round(least(len({tok})::DOUBLE / greatest(n_chars::DOUBLE, 1.0)
+                   round(least(coalesce(len({tok}), 0)::DOUBLE
+                       / greatest(n_chars::DOUBLE, 1.0)
                        * 5.0, 1.0), 6) AS quality
             FROM documents
         """,
@@ -4374,7 +4385,7 @@ def oracle_sql() -> dict[str, str]:
     d["sequence_pack_text"] = f"""
         WITH t AS (
             SELECT doc_id, text,
-                   len({tok})::BIGINT AS n_tokens FROM documents
+                   coalesce(len({tok}), 0)::BIGINT AS n_tokens FROM documents
         ), c AS (
             SELECT doc_id, text,
                    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
@@ -4551,7 +4562,7 @@ def oracle_sql() -> dict[str, str]:
     """
     d["sequence_pack"] = f"""
         WITH t AS (
-            SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents
+            SELECT doc_id, coalesce(len({tok}), 0)::BIGINT AS n_tokens FROM documents
         ), c AS (
             SELECT doc_id, n_tokens,
                    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id

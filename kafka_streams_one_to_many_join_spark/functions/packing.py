@@ -57,7 +57,11 @@ def pack_sequences(
     """
     if budget <= 0 or bucket_size <= 0:
         raise ValueError("budget and bucket_size must be positive")
-    n_tok = F.size(tokens_expr(text_col)).cast("bigint")
+    # coalesce: a NULL text tokenizes to NULL (ANSI size(NULL)) and would
+    # poison this doc's start_offset (_cum - n_tokens -> NULL -> a NULL
+    # seq_id group), where the oracle's 1-PRECEDING window form gives it
+    # a real offset — both engines treat a NULL text as a 0-token doc
+    n_tok = F.coalesce(F.size(tokens_expr(text_col)), F.lit(0)).cast("bigint")
     base = docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),

@@ -205,6 +205,13 @@ def edge_corpus_dir(tmp_path_factory, sf_dir):
     kelvin = "\u212a\u212a \u212a"
     extra["text"] = ["", "...!!!  ??", "one two", kelvin, kelvin]
     extra["n_chars"] = [0, 10, 7, 4, 4]
+    # NULL text: NULL token arrays (explode -> no rows, size -> NULL
+    # under ANSI) through every tokenizing path
+    nulldoc = docs.head(1).copy()
+    nulldoc["doc_id"] = [990006]
+    nulldoc["text"] = [None]
+    nulldoc["n_chars"] = [0]
+    extra = pd.concat([extra, nulldoc], ignore_index=True)
     pd.concat([docs, extra], ignore_index=True).to_parquet(
         f"{tmp}/documents.parquet"
     )
