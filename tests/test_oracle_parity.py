@@ -339,6 +339,17 @@ def edge_events_dir(tmp_path_factory, sf_dir):
     extra["event_id"] = [9900001, 9900002, 9900003]
     extra["value"] = [None, extra["value"].iloc[1], None]
     extra["props"] = [None, "not valid json {", "{}"]
+    # NULL partition/grouping keys: a NULL user_id forms its own window
+    # partition and a NULL event_type its own group in BOTH engines
+    keyless = ev.head(2).copy()
+    keyless["event_id"] = [9920001, 9920002]
+    # nullable Int64 so the NULL does not coerce user_id to float64 for
+    # the whole concatenated table (parquet must stay integer-typed)
+    keyless["user_id"] = keyless["user_id"].astype("Int64")
+    keyless.iloc[0, keyless.columns.get_loc("user_id")] = pd.NA
+    keyless.iloc[1, keyless.columns.get_loc("event_type")] = None
+    extra = pd.concat([extra, keyless], ignore_index=True)
+    extra["user_id"] = extra["user_id"].astype("Int64")
     # undated events: NULL ts orders FIRST in Spark windows and LAST in
     # DuckDB — every temporal query must exclude them explicitly
     undated = ev.head(2).copy()
