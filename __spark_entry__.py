@@ -1939,7 +1939,13 @@ def q_brand_price_rank(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     part = load_table(spark, sf, "part")
-    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    # explicit NULLS LAST: Spark windows default NULLS FIRST on ASC and
+    # DuckDB NULLS LAST, so a NULL retail price would shift every row's
+    # cume_dist in its brand (caught by the part/supplier degenerate
+    # sweep) — pin the DuckDB/ANSI-default order on both sides
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc_nulls_last(), "p_partkey"
+    )
     ranked = part.select(
         "p_partkey",
         "p_brand",
@@ -3296,10 +3302,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # results and stay in the back block to preserve the zero-residue
     # window, pinned locally instead: simhash_near_dup (token-free
     # pre-filter now tests the LOWERCASED text — the U+212A parity fence
-    # in test_degenerate_doc_parity covers exactly this branch) and
+    # in test_degenerate_doc_parity covers exactly this branch),
     # ann_recall (localCheckpoint eager=False → True, a materialization-
     # timing change only — same plan, same rows; the cross-query
-    # invariant test re-checks it against ann_topk every run).  They go
+    # invariant test re-checks it against ann_topk every run),
+    # audio/image_features (permissive-channel plumbing, strict outputs
+    # re-verified bit-identical), and brand_price_rank (explicit NULLS
+    # LAST in the ranking window, pinned by the part/supplier degenerate
+    # sweep).  They go
     # FIRST in the back block so r09 re-verifies them before anything
     # else.  Seven members of the due-50 also changed this round, all
     # inside the checked window so the driver re-verifies them:
@@ -3371,11 +3381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
+        "brand_price_rank": q_brand_price_rank,
         "bpe_merge_step": q_bpe_merge_step,
         "quality_classifier": q_quality_classifier,
         "source_overlap": q_source_overlap,
         "gopher_quality": q_gopher_quality,
-        "brand_price_rank": q_brand_price_rank,
         "weighted_sample": q_weighted_sample,
         "doc_repetition": q_doc_repetition,
         "ann_topk_lsh": q_ann_topk_lsh,

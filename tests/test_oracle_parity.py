@@ -655,3 +655,82 @@ def test_degenerate_relational_parity(name, spark, edge_rel_duck, edge_rel_dir):
     )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# same differential, part/supplier — the last fixture tables without a
+# degenerate fence: NULL p_brand / p_type (NULL grouping keys and LIKE
+# operands), NULL p_retailprice (money aggregates), NULL s_nationkey
+# (NULL join key — dropped by the inner join in both engines), NULL
+# s_acctbal.  The injected keys are fresh, so no lineitem references
+# them: the cases exercise the dimension-side NULL paths without
+# changing any join fan-out.
+# ---------------------------------------------------------------------------
+
+PS_QUERIES = sorted(
+    n
+    for n in QUERIES
+    if n in ORACLES
+    and __import__("re").search(r"\b(part|supplier)\b", ORACLES[n].lower())
+)
+
+
+@pytest.fixture(scope="session")
+def edge_ps_dir(tmp_path_factory, sf_dir):
+    import shutil
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    tmp = str(tmp_path_factory.mktemp("edge_ps"))
+    for t in TESTDATA_TABLES:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{tmp}/{t}.parquet")
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    extra_p = part.head(3).copy()
+    extra_p["p_partkey"] = [9900001, 9900002, 9900003]
+    extra_p.iloc[0, extra_p.columns.get_loc("p_brand")] = None
+    extra_p.iloc[1, extra_p.columns.get_loc("p_type")] = None
+    extra_p["p_retailprice"] = extra_p["p_retailprice"].astype("float64")
+    extra_p.iloc[2, extra_p.columns.get_loc("p_retailprice")] = None
+    pd.concat([part, extra_p], ignore_index=True).to_parquet(
+        f"{tmp}/part.parquet"
+    )
+
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    extra_s = sup.head(2).copy()
+    extra_s["s_suppkey"] = [9900001, 9900002]
+    extra_s["s_nationkey"] = extra_s["s_nationkey"].astype("Int32")
+    extra_s.iloc[0, extra_s.columns.get_loc("s_nationkey")] = pd.NA
+    extra_s["s_acctbal"] = extra_s["s_acctbal"].astype("float64")
+    extra_s.iloc[1, extra_s.columns.get_loc("s_acctbal")] = None
+    out = pd.concat([sup, extra_s], ignore_index=True)
+    out["s_nationkey"] = out["s_nationkey"].astype("Int32")
+    out.to_parquet(f"{tmp}/supplier.parquet")
+    return tmp
+
+
+@pytest.fixture(scope="session")
+def edge_ps_duck(edge_ps_dir):
+    import duckdb
+
+    from kafka_streams_one_to_many_join_spark.model import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_ps_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PS_QUERIES)
+def test_degenerate_part_supplier_parity(name, spark, edge_ps_duck, edge_ps_dir):
+    spark_pdf = QUERIES[name](spark, edge_ps_dir).toPandas()
+    oracle_pdf = edge_ps_duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), name
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
