@@ -671,7 +671,9 @@ PS_QUERIES = sorted(
     n
     for n in QUERIES
     if n in ORACLES
-    and __import__("re").search(r"\b(part|supplier)\b", ORACLES[n].lower())
+    and __import__("re").search(
+        r"\b(part|supplier|nation|region)\b", ORACLES[n].lower()
+    )
 )
 
 
@@ -706,6 +708,33 @@ def edge_ps_dir(tmp_path_factory, sf_dir):
     out = pd.concat([sup, extra_s], ignore_index=True)
     out["s_nationkey"] = out["s_nationkey"].astype("Int32")
     out.to_parquet(f"{tmp}/supplier.parquet")
+
+    # dims too, completing per-table coverage: a NULL n_name (grouping
+    # key), a nation with a dangling n_regionkey, and a fresh region no
+    # nation references (drops out of every inner join identically)
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    # a REFERENCED nation with a NULL name: its customers/suppliers keep
+    # joining, so the NULL flows into the n_name grouping key of every
+    # per-nation aggregate in both engines
+    nat.loc[nat["n_nationkey"] == 0, "n_name"] = None
+    extra_n = nat.head(2).copy()
+    extra_n["n_nationkey"] = extra_n["n_nationkey"].astype("int32")
+    extra_n.iloc[0, extra_n.columns.get_loc("n_nationkey")] = 9901
+    extra_n.iloc[0, extra_n.columns.get_loc("n_name")] = None
+    extra_n.iloc[1, extra_n.columns.get_loc("n_nationkey")] = 9902
+    extra_n["n_regionkey"] = extra_n["n_regionkey"].astype("int32")
+    extra_n.iloc[1, extra_n.columns.get_loc("n_regionkey")] = 99  # dangling
+    out_n = pd.concat([nat, extra_n], ignore_index=True)
+    for c in ("n_nationkey", "n_regionkey"):
+        out_n[c] = out_n[c].astype(nat[c].dtype)
+    out_n.to_parquet(f"{tmp}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    extra_r = reg.head(1).copy()
+    extra_r.iloc[0, extra_r.columns.get_loc("r_regionkey")] = 98
+    extra_r.iloc[0, extra_r.columns.get_loc("r_name")] = None
+    out_r = pd.concat([reg, extra_r], ignore_index=True)
+    out_r["r_regionkey"] = out_r["r_regionkey"].astype(reg["r_regionkey"].dtype)
+    out_r.to_parquet(f"{tmp}/region.parquet")
     return tmp
 
 
