@@ -3214,17 +3214,17 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     top-10| / 10 via a left-semi join on (query_id, vec_id).  The joins
     are between k·|queries|-row frames — broadcast, nothing corpus-sized
     shuffles beyond what the three parent pipelines already do.  The
-    exact frame (k rows per query) is lazily checkpointed: it feeds both
+    exact frame (k rows per query) is checkpointed: it feeds both
     the semi-join and the n_exact denominator, and without the
     checkpoint the diamond re-executes the full brute-force scan — the
-    most expensive branch — once per consumer (measured 2.72 → 2.46 s
-    at sf0.1; modest locally because idle cores overlap the branches,
-    but at cluster scale the re-executed Q·N cosine pass is real cost).
-    The checkpoint is EAGER: lazy materialization races the two
-    consumers' first actions, so whichever action plans first may still
-    pay the double brute-force scan — exactly the 5.05× sample spread
-    BENCH_r07 recorded for this query.  Eager pins one brute-force pass
-    per execution, making repeat timings reflect the real plan.
+    most expensive branch — once per consumer; at cluster scale the
+    re-executed Q·N cosine pass is real cost.  The checkpoint is EAGER:
+    lazy materialization races the two consumers' first actions, so
+    whichever action plans first may still pay the double brute-force
+    scan — exactly the 5.05× sample spread BENCH_r07 recorded for this
+    query.  Eager pins one brute-force pass per execution (r08 bench:
+    3.89 s → 2.50 s median at sf0.1, spread gone; the IVF branch's plan
+    fix contributes too).
 
     Measured at sf0.01 (random-gaussian fixture — the worst case for
     sublinear ANN, see similarity.lsh_topk): lsh (multi-probe Hamming 2,
