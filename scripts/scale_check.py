@@ -73,6 +73,7 @@ SCALE_QUERIES = [
     ("source_overlap", "documents"),
     # round-8 additions (needs gen_scale's orders/customer twins)
     ("bloom_filter", "orders customer"),
+    ("ann_topk_ivf", "embeddings"),
 ]
 
 
