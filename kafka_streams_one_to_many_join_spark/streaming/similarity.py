@@ -262,6 +262,7 @@ def streaming_lsh_topk_tws(
     query_id_col: str = "query_id",
     probe_hamming: int = 1,
     ttl_ms: int | None = None,
+    output_mode: str = "update",
 ) -> DataFrame:
     """``streaming_lsh_topk`` on ``transformWithStateInPandas`` — the
     typed-state API the symmetric join's and HLL's ``_tws`` variants use,
@@ -343,6 +344,6 @@ def streaming_lsh_topk_tws(
             "query_id bigint, vec_id bigint, sim double, "
             "rank bigint, n_seen bigint"
         ),
-        outputMode="update",
+        outputMode=output_mode,
         timeMode="processingTime" if ttl_ms is not None else "none",
     )

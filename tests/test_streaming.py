@@ -2461,3 +2461,69 @@ def test_ann_topk_state_ttl_expires(spark, tmp_path):
     expired = run("annttl", ttl_ms=400)
     assert all(r.n_seen == 1 for r in expired), expired  # never merged
     assert any(r.vec_id == 2 for r in expired), expired  # rebuilt cold
+
+
+def test_streaming_lsh_topk_tws_checkpoint_restart(spark, tmp_path, sf_dir):
+    """First checkpoint-restart proof for the TYPED-STATE backend: the
+    TWS ANN twin's ValueState (RocksDB typed state, protobuf-encoded)
+    must recover across a planned restart — fresh query instance per
+    micro-batch on the shared checkpoint, append snapshots to a file
+    sink, final table equal to batch lsh_topk bit-for-bit.  The portable
+    twins' restart tests exercise applyInPandasWithState's state
+    encoding; this one pins transformWithStateInPandas' own recovery
+    path."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        lsh_topk,
+        seeded_planes,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+    from kafka_streams_one_to_many_join_spark.streaming import (
+        streaming_lsh_topk_tws,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.join_tws import HAS_TWS
+
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas needs Spark>=4 + protobuf")
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    planes = seeded_planes(8, dim, 7)
+    expected = {
+        (r.query_id, r.vec_id, r.sim, r.rank)
+        for r in lsh_topk(emb, queries, planes, k=10, probe_hamming=1).collect()
+    }
+
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    schema = "vec_id long, embedding array<float>"
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/vecs", exist_ok=True)
+    half = (len(rows) + 1) // 2
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/vecs")
+        stream = read_stream(
+            spark, "parquet", f"{tmp}/vecs",
+            schema=spark.createDataFrame([], schema).schema,
+        )
+        topk = streaming_lsh_topk_tws(
+            stream, queries, planes, k=10, probe_hamming=1,
+            output_mode="append",
+        )
+        q = write_stream(
+            topk, "parquet", path=f"{tmp}/out",
+            checkpoint=f"{tmp}/cp", trigger_available_now=True,
+            query_name="anntwsrst",
+        )
+        q.awaitTermination()
+    latest: dict = {}
+    for r in spark.read.parquet(f"{tmp}/out").collect():
+        if r.query_id not in latest or r.n_seen > latest[r.query_id][0]:
+            latest[r.query_id] = (r.n_seen, [])
+        if r.n_seen == latest[r.query_id][0]:
+            latest[r.query_id][1].append((r.query_id, r.vec_id, r.sim, r.rank))
+    got = {t for _, rs in latest.values() for t in rs}
+    assert got == expected
