@@ -1787,6 +1787,7 @@ def _ann_lsh_sql() -> str:
         SELECT query_id, vec_id, sim, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, vec_id) AS rank FROM s
+            WHERE sim IS NOT NULL  -- zero-norm policy: drop NULL cosines
         ) WHERE rank <= 10
     """
 
@@ -3289,94 +3290,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # immediately preceding round rotate to the back, where falling past
     # the cap loses nothing.  Rotate per round.
     #
-    # r08 state: the planned zero-residue rotation.  r07 checked the
-    # first 50 entries of the r07 order (the 39 new/changed + dedup_exact
-    # + the first 10 r05-green entries) — all green.  Due now: the 13
-    # r05-green entries that overflowed the r07 cap (ann_topk_pandas ..
-    # big_orders) FIRST, then the 37 r06-green entries = exactly the
-    # 50-row cap.  After this round every roster member's newest green
-    # row is r07 or r08 — the 2-round window closes with zero residue.
+    # r09 state: the rotation's steady state.  r08 checked the first 50
+    # entries of the r08 order (the 13 r05-green overflow + the 37
+    # r06-green) — all green, closing the 2-round zero-residue window.
+    # Due now: the 50 entries whose newest green row is r07 — exactly
+    # the r08 back block, promoted to the front in its planned order.
+    # After this round every roster member's newest green row is r08 or
+    # r09, and the window rolls forward with zero residue again.
     #
-    # Back block = the 50 entries green in r07, ordered as r09's due
-    # list.  Two of them changed THIS round with fixture-identical
-    # results and stay in the back block to preserve the zero-residue
-    # window, pinned locally instead: simhash_near_dup (token-free
-    # pre-filter now tests the LOWERCASED text — the U+212A parity fence
-    # in test_degenerate_doc_parity covers exactly this branch),
-    # ann_recall (localCheckpoint eager=False → True, a materialization-
-    # timing change only — same plan, same rows; the cross-query
-    # invariant test re-checks it against ann_topk every run),
-    # audio/image_features (permissive-channel plumbing, strict outputs
-    # re-verified bit-identical), and brand_price_rank (explicit NULLS
-    # LAST in the ranking window, pinned by the part/supplier degenerate
-    # sweep).  They go
-    # FIRST in the back block so r09 re-verifies them before anything
-    # else.  Seven members of the due-50 also changed this round, all
-    # inside the checked window so the driver re-verifies them:
-    # order_gap_days + monthly_orders_growth (undated-order exclusion
-    # after the relational degenerate sweep caught their NULL-date
-    # window divergence), ann_topk_ivf (bit-identical plan optimization:
-    # dots materialized once + null-safe join key + NULL-embedding
-    # guard), ann_topk_pandas (NULL-embedding guard), and sequence_pack
-    # + sequence_pack_text + quality_score_udf (NULL-text policy — a
-    # NULL text is a 0-token doc in both engines, caught by the
-    # NULL-text degenerate doc).  Keep the total AT 100: every future
-    # addition must be matched by a consolidation.
+    # One due-50 member changed THIS round, inside the checked window so
+    # the driver re-verifies it: ann_topk_lsh (batch lsh_topk now drops
+    # NULL-sim — zero-norm — candidates before ranking, matching the
+    # streaming twin's policy; the oracle got the same WHERE sim IS NOT
+    # NULL, and the sf fixtures contain no zero-norm vectors so the
+    # result rows are unchanged — the policy is pinned by the zero-norm
+    # row in the streaming equivalence fixture).  ann_recall composes
+    # the same lsh SQL on both sides, so it stays consistent by
+    # construction and is re-verified in this window too.  Back block =
+    # the 50 entries green in r08, ordered as r10's due list.  Keep the
+    # total AT 100: every future addition must be matched by a
+    # consolidation.
     return {
-        # --- newest green row is r05 (the r07 overflow block — due now) ---
-        "ann_topk_pandas": q_ann_topk_pandas,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "asset_metadata": q_asset_metadata,
-        "frame_sample": q_frame_sample,
-        "orders_with_customer": q_orders_with_customer,
-        "fanout_per_customer": q_fanout_per_customer,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customer_order_totals": q_customer_order_totals,
-        "big_orders": q_big_orders,
-        # --- newest green row is r06 (re-check now; 13 + 37 = the cap) ---
-        "sequence_pack": q_sequence_pack,
-        "shingle_novelty": q_shingle_novelty,
-        "vocab_growth": q_vocab_growth,
-        "shard_assignment": q_shard_assignment,
-        "cms_token_counts": q_cms_token_counts,
-        "token_count_modes": q_token_count_modes,
-        "mixture_weights": q_mixture_weights,
-        "sequence_pack_text": q_sequence_pack_text,
-        "late_shipment_priority": q_late_shipment_priority,
-        "order_gap_days": q_order_gap_days,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "stratified_sample": q_stratified_sample,
-        "contamination_check": q_contamination_check,
-        "source_percentiles": q_source_percentiles,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "bigram_pmi": q_bigram_pmi,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "posting_lists": q_posting_lists,
-        "grouping_sets_segments": q_grouping_sets_segments,
-        "daily_click_purchase": q_daily_click_purchase,
-        "hll_distinct": q_hll_distinct,
-        "click_purchase_funnel": q_click_purchase_funnel,
-        "kmeans_step": q_kmeans_step,
-        "zone_history": q_zone_history,
-        "quality_score_udf": q_quality_score_udf,
-        "winnowing": q_winnowing,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "ann_topk": q_ann_topk,
-        "latest_by_key": q_latest_by_key,
-        "one_to_many_snapshot": q_one_to_many_snapshot,
-        "join_trace": q_join_trace,
-        "car_moves": q_car_moves,
-        "arrive_leave": q_arrive_leave,
-        "zone_occupancy": q_zone_occupancy,
-        "incremental_snapshot": q_incremental_snapshot,
-        # --- green in r07 (past the cap loses nothing) = r09's due list;
-        # --- changed-this-round entries first (see the header comment)
+        # --- newest green row is r07 (due now) ---
         "simhash_near_dup": q_simhash_near_dup,
         "ann_recall": q_ann_recall,
         "audio_features": q_audio_features,
@@ -3427,6 +3362,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "zone_pollution_full": q_zone_pollution_full,
         "max_order_per_customer": q_max_order_per_customer,
+        # --- green in r08 (past the cap loses nothing) = r10's due list ---
+        "ann_topk_pandas": q_ann_topk_pandas,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "asset_metadata": q_asset_metadata,
+        "frame_sample": q_frame_sample,
+        "orders_with_customer": q_orders_with_customer,
+        "fanout_per_customer": q_fanout_per_customer,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customer_order_totals": q_customer_order_totals,
+        "big_orders": q_big_orders,
+        "sequence_pack": q_sequence_pack,
+        "shingle_novelty": q_shingle_novelty,
+        "vocab_growth": q_vocab_growth,
+        "shard_assignment": q_shard_assignment,
+        "cms_token_counts": q_cms_token_counts,
+        "token_count_modes": q_token_count_modes,
+        "mixture_weights": q_mixture_weights,
+        "sequence_pack_text": q_sequence_pack_text,
+        "late_shipment_priority": q_late_shipment_priority,
+        "order_gap_days": q_order_gap_days,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "stratified_sample": q_stratified_sample,
+        "contamination_check": q_contamination_check,
+        "source_percentiles": q_source_percentiles,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "bigram_pmi": q_bigram_pmi,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "posting_lists": q_posting_lists,
+        "grouping_sets_segments": q_grouping_sets_segments,
+        "daily_click_purchase": q_daily_click_purchase,
+        "hll_distinct": q_hll_distinct,
+        "click_purchase_funnel": q_click_purchase_funnel,
+        "kmeans_step": q_kmeans_step,
+        "zone_history": q_zone_history,
+        "quality_score_udf": q_quality_score_udf,
+        "winnowing": q_winnowing,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "ann_topk": q_ann_topk,
+        "latest_by_key": q_latest_by_key,
+        "one_to_many_snapshot": q_one_to_many_snapshot,
+        "join_trace": q_join_trace,
+        "car_moves": q_car_moves,
+        "arrive_leave": q_arrive_leave,
+        "zone_occupancy": q_zone_occupancy,
+        "incremental_snapshot": q_incremental_snapshot,
     }
 
 

@@ -253,6 +253,13 @@ def lsh_topk(
             id_col,
             F.round(cosine_from_norms("_qvec", vec_col, "_qn", "_n"), 6).alias("sim"),
         )
+        # zero-norm (degenerate) vectors cosine to NULL; they carry no
+        # similarity signal and the streaming twin (_fold_topk) excludes
+        # them from its running top-k, so drop them here too — otherwise
+        # on a corpus with < k real candidates for some query, NULL sims
+        # (NULLS LAST under sim DESC) would fill trailing ranks in batch
+        # but not in the stream, breaking the bit-for-bit twin contract.
+        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (

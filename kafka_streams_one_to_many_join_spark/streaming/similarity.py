@@ -154,8 +154,12 @@ def streaming_lsh_topk(
 
     Output (update semantics): (query_id, vec_id, sim, rank, n_seen) —
     the full refreshed top-k of every query touched by the batch;
-    ``n_seen`` is the monotone count of candidates folded so far, so a
-    sink can keep the newest emission per query without batch ids.
+    ``n_seen`` is a monotone per-query emission ordinal (it only grows),
+    so a sink can keep the newest emission per query without batch ids.
+    It is NOT an exact distinct-candidate count across replays: state
+    truncates to k, so a candidate evicted from the top-k re-counts as
+    new if it re-arrives (e.g. replay after a restart) — only the
+    ordering guarantee, newest emission == max n_seen, is contractual.
     ``output_mode="append"`` emits the same snapshot rows append-only
     (file-sink- and restart-test-compatible; latest row per query = max
     n_seen, exactly the sketch twins' contract).
@@ -280,6 +284,18 @@ def streaming_lsh_topk_tws(
     ``streaming_lsh_topk``.  Caveat shared with the other TWS TTLs:
     processing-time mode needs real trigger progression — drive it with
     wall-clock micro-batches, not ``processAllAvailable`` drains.
+
+    TTL divergence between the twins (inherent to the two state APIs):
+    the portable twin's ``setTimeoutDuration`` is cleared on EVERY
+    invocation for a key and must be re-armed even when the batch
+    contributed nothing new (the ``not new`` branch — skipping the
+    re-arm there would make the state immortal), so a duplicate-only
+    batch extends the portable twin's state lifetime; this variant's
+    native ``ttlDurationMs`` clock resets only on ``state.update``, so
+    the same batch does NOT extend it.  With ttl_ms=None (the default,
+    and the batch-equivalence contract) the twins are bit-identical;
+    under TTL, expiry timing may differ by up to one duplicate-only
+    batch interval.
     """
     import pandas as pd
 

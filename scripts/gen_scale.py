@@ -152,7 +152,9 @@ def gen_orders(n: int, rng: np.random.Generator, n_cust: int) -> pa.Table:
         {
             "o_orderkey": pa.array(np.arange(1, n + 1, dtype=np.int64)),
             "o_custkey": pa.array(
-                rng.integers(1, max(2, n_cust * 2 // 3), n).astype(np.int64)
+                # inclusive upper bound: the lower-2/3 key range is
+                # [1, 2n/3] (rng.integers' high is exclusive)
+                rng.integers(1, max(2, n_cust * 2 // 3) + 1, n).astype(np.int64)
             ),
             "o_orderstatus": pa.array(
                 np.array(["O", "F", "P"])[rng.integers(0, 3, n)], pa.string()

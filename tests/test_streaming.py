@@ -2255,12 +2255,24 @@ def test_streaming_lsh_topk_matches_batch_and_restarts(spark, tmp_path, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = len(emb.select("embedding").first()[0])
+    # a zero-norm (degenerate) corpus vector: its cosine is NULL against
+    # every query, and BOTH twins must exclude it from the top-k (batch
+    # lsh_topk filters NULL sims; _fold_topk skips NaN) — the shared
+    # zero-norm policy, exercised end-to-end
+    emb = emb.unionByName(
+        spark.createDataFrame(
+            [(999_999, [0.0] * dim)], "vec_id long, embedding array<float>"
+        )
+    )
     planes = seeded_planes(8, dim, 7)
     expected = {
         (r.query_id, r.vec_id, r.sim, r.rank)
         for r in lsh_topk(emb, queries, planes, k=10, probe_hamming=1).collect()
     }
     assert expected, "fixture must produce LSH candidates"
+    assert not any(vec_id == 999_999 for _, vec_id, _, _ in expected), (
+        "zero-norm vector must never hold a top-k slot"
+    )
     with pytest.raises(ValueError):
         streaming_lsh_topk(emb, queries, planes)  # batch corpus rejected
 
