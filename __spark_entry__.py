@@ -811,11 +811,16 @@ _N_PLANES, _EMB_DIM, _PLANES_SEED = 8, 64, 7
 
 def q_ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact re-rank,
-    multi-probe at Hamming <= 2 (37 of 256 buckets per query ≈ 14% of
-    the corpus scanned — measured recall@10 0.26 on the random-gaussian
-    fixture vs 0.06 at Hamming 1 and 0.0 single-probe; see ann_recall
-    for the in-engine eval and the similarity.lsh_topk docstring for why
-    unstructured corpora are LSH's worst case)."""
+    multi-probe at Hamming <= 2 (37 of 256 buckets per query ≈ 15% of
+    the corpus scanned — measured recall@10 ~0.42 for ~15% scan on the
+    random-gaussian twins, a mid-curve point of the full recall/scan
+    dial pinned in SCALE.md round 9: ph 0/1/2/3 → 0.03/0.16/0.42/0.70
+    for 0.5/4/15/37% scanned, monotone and scale-stable 2k → 20k
+    vectors; see ann_recall for the in-engine eval and the
+    similarity.lsh_topk docstring for why unstructured corpora are
+    LSH's worst case).  Zero-norm/NULL vectors are dropped on both
+    sides (scan-level exists() prefilter — the streaming twin's NaN
+    policy, shared bit-for-bit)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1750,18 +1755,14 @@ def _ann_lsh_sql() -> str:
     bucket = _duck_bucket_sql(
         "embedding", seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED)
     )
-    # multi-probe masks: Hamming <= 2 of the query's own bucket (mirrors
-    # q_ann_topk_lsh's probe_hamming=2)
-    masks = ", ".join(
-        str(m)
-        for m in [0]
-        + [1 << i for i in range(_N_PLANES)]
-        + [
-            (1 << i) | (1 << j)
-            for i in range(_N_PLANES)
-            for j in range(i + 1, _N_PLANES)
-        ]
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        probe_masks,
     )
+
+    # multi-probe masks: Hamming <= 2 of the query's own bucket (mirrors
+    # q_ann_topk_lsh's probe_hamming=2) — same helper as the engine, so
+    # the probe sets cannot drift
+    masks = ", ".join(str(m) for m in probe_masks(_N_PLANES, 2))
     return f"""
         WITH bkt AS (
             SELECT vec_id, embedding, {_DUCK_NORM} AS nn, {bucket} AS bucket
@@ -2359,7 +2360,9 @@ def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+def q_cms_token_counts(
+    spark: SparkSession, sf: str, hash_mode: str = "md5"
+) -> DataFrame:
     """Count-min sketch over the token stream (4 md5-addressed counter
     rows × 256 buckets — the portable hash recipe of hll_distinct /
     deterministic_sample), reporting the sketch's point-query upper bound
@@ -2372,7 +2375,14 @@ def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     contract as hll_distinct's exact_distinct — at 100 TB you would drop
     it and keep only the sketch.  CMS guarantees cms_est >= exact_n;
     equality whenever no heavier token collides in all 4 rows.  Streaming
-    twin: streaming_cms_counts (elementwise-add merge, same recipe)."""
+    twin: streaming_cms_counts (elementwise-add merge, same recipe).
+    ``hash_mode="xxhash64"`` (non-roster opt-in, functions.hashing) swaps
+    the 4 md5s/token for the engine-native hash — the "at 100 TB swap md5
+    for an engine-matched xxhash" note of SCALE.md made executable; the
+    scale harness measures its delta (SCALE.md round 9)."""
+    from kafka_streams_one_to_many_join_spark.functions.hashing import (
+        prefix_hash32,
+    )
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf, "documents"))
@@ -2386,10 +2396,7 @@ def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
         return F.struct(
             F.lit(j).alias("j"),
             (
-                F.expr(
-                    f"cast(conv(substring(md5(concat('{j}:', tok)), 1, 8), 16, 10) as bigint)"
-                )
-                % 256
+                F.expr(prefix_hash32(f"concat('{j}:', tok)", hash_mode)) % 256
             ).alias("bucket"),
         )
 
@@ -3016,7 +3023,9 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
+def q_bloom_filter(
+    spark: SparkSession, sf: str, hash_mode: str = "md5"
+) -> DataFrame:
     """Bloom-filter join pruning, end-to-end verified: build a 1024-bit /
     4-hash filter over the custkeys that appear in orders
     (functions/bloom.py — sketch-sized bit_or aggregate), probe every
@@ -3039,8 +3048,10 @@ def q_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
     # materializing the keys costs more than re-scanning them).
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer").select("c_custkey")
-    bloom = bloom_build(orders, "o_custkey", m=1024, k=4)
-    probed = bloom_probe(cust, "c_custkey", bloom, m=1024, k=4)
+    bloom = bloom_build(orders, "o_custkey", m=1024, k=4, hash_mode=hash_mode)
+    probed = bloom_probe(
+        cust, "c_custkey", bloom, m=1024, k=4, hash_mode=hash_mode
+    )
     truth = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
     scored = probed.join(
         truth.withColumn("is_present", F.lit(True)), "c_custkey", "left"
@@ -3231,7 +3242,10 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     sublinear ANN, see similarity.lsh_topk): lsh (multi-probe Hamming 2,
     ~14% of corpus scanned) 0.26, ivf (nprobe 3/16, ~19% scanned) 0.44 —
     recall tracks scanned fraction on unstructured data, which is
-    exactly what this eval exists to expose."""
+    exactly what this eval exists to expose.  Round 9 extends these two
+    points into the full dial: scripts/ann_tradeoff.py sweeps LSH
+    Hamming 0-3 and IVF nprobe 1-8 with per-setting scanned fractions;
+    the monotone, scale-stable curves live in SCALE.md."""
     exact = (
         q_ann_topk(spark, sf)
         .select("query_id", "vec_id")

@@ -38,42 +38,53 @@ __all__ = ["bloom_build", "bloom_probe", "bloom_positions"]
 _WORD_BITS = 32  # usable bits per word; BIGINT-safe on every engine
 
 
-def _h_sql(i: int, key: str, m: int) -> str:
-    """Portable hash i of the key: 32-bit md5 prefix mod m (SQL text)."""
-    return (
-        f"cast(conv(substring(md5(concat('{i}:', cast({key} as string))), 1, 8),"
-        f" 16, 10) as bigint) % {m}"
+def _h_sql(i: int, key: str, m: int, hash_mode: str = "md5") -> str:
+    """Hash i of the key mod m (SQL text): 32-bit md5 prefix by default
+    (portable), or engine-native xxhash64 (functions.hashing opt-in)."""
+    from kafka_streams_one_to_many_join_spark.functions.hashing import (
+        prefix_hash32,
     )
 
+    seeded_key = f"concat('{i}:', cast({key} as string))"
+    return f"{prefix_hash32(seeded_key, hash_mode)} % {m}"
 
-def bloom_positions(key: str, m: int, k: int) -> Column:
+
+def bloom_positions(
+    key: str, m: int, k: int, hash_mode: str = "md5"
+) -> Column:
     """Array of k structs (word, mask) for the key — shared by build/probe."""
     pos = ", ".join(
         f"named_struct("
-        f"'word', cast(floor(({_h_sql(i, key, m)}) / {_WORD_BITS}) as bigint), "
+        f"'word', cast(floor(({_h_sql(i, key, m, hash_mode)}) / {_WORD_BITS}) as bigint), "
         f"'mask', shiftleft(cast(1 as bigint), "
-        f"cast(({_h_sql(i, key, m)}) % {_WORD_BITS} as int)))"
+        f"cast(({_h_sql(i, key, m, hash_mode)}) % {_WORD_BITS} as int)))"
         for i in range(k)
     )
     return F.expr(f"array({pos})")
 
 
-def bloom_build(df: DataFrame, key: str, m: int = 1024, k: int = 4) -> DataFrame:
+def bloom_build(
+    df: DataFrame, key: str, m: int = 1024, k: int = 4,
+    hash_mode: str = "md5",
+) -> DataFrame:
     """Aggregate ``df[key]`` into an m-bit Bloom filter.
 
     Returns a DataFrame (word BIGINT, bits BIGINT) with at most m/32 rows —
     only words with at least one set bit appear.  ``bit_or`` is idempotent,
     so duplicate keys need no pre-distinct (no extra shuffle).
+    Build and probe must use the same ``hash_mode`` (md5 default;
+    "xxhash64" is the engine-native fast path, see functions.hashing).
     """
     return (
-        df.select(F.explode(bloom_positions(key, m, k)).alias("p"))
+        df.select(F.explode(bloom_positions(key, m, k, hash_mode)).alias("p"))
         .groupBy(F.col("p.word").alias("word"))
         .agg(F.bit_or(F.col("p.mask")).alias("bits"))
     )
 
 
 def bloom_probe(
-    df: DataFrame, key: str, bloom: DataFrame, m: int = 1024, k: int = 4
+    df: DataFrame, key: str, bloom: DataFrame, m: int = 1024, k: int = 4,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Annotate ``df`` with ``maybe_present``: True iff all k bits are set.
 
@@ -88,7 +99,7 @@ def bloom_probe(
     )
     return (
         df.crossJoin(F.broadcast(compact))
-        .withColumn("_pos", bloom_positions(key, m, k))
+        .withColumn("_pos", bloom_positions(key, m, k, hash_mode))
         .withColumn(
             "maybe_present",
             F.expr(

@@ -227,6 +227,17 @@ _SHINGLE_H = (
 )
 
 
+def _shingle_h(hash_mode: str = "md5") -> str:
+    """The shingle content hash under the chosen addressing mode (see
+    functions.hashing): md5 (default, oracle-portable) or xxhash64
+    (engine-native opt-in — same [0, P) domain, no digest/hex work)."""
+    from kafka_streams_one_to_many_join_spark.functions.hashing import (
+        prefix_hash32,
+    )
+
+    return f"{prefix_hash32('shingle', hash_mode)} % {MINHASH_P}"
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -234,6 +245,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     seed: int = 11,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>): sig[j] = min over the doc's word-n-gram
     shingles of (a_j·h + b_j) mod P, h = 31-bit md5 prefix of the shingle —
@@ -243,11 +255,13 @@ def minhash_signatures(
     engine, so the oracle can run the same construction literal-for-literal.
     Physically: explode → codegen'd hash aggregate with map-side partial
     min — no per-row lambda interpretation, one shuffle of (doc_id, h).
+    ``hash_mode="xxhash64"`` opts into the engine-native shingle hash
+    (functions.hashing) — faster, not oracle-portable.
     """
     a, b = minhash_coeffs(num_hashes, seed)
     sh = _with_shingles(docs, text_col, id_col, shingle_n).select(
         "doc_id", F.explode("_sh").alias("shingle")
-    ).select("doc_id", F.expr(_SHINGLE_H).alias("h"))
+    ).select("doc_id", F.expr(_shingle_h(hash_mode)).alias("h"))
     mins = [
         F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
         for j in range(num_hashes)
@@ -267,6 +281,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     seed: int = 11,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -290,7 +305,7 @@ def minhash_lsh_pairs(
     a, b = minhash_coeffs(num_hashes, seed)
     sh = _with_shingles(docs, text_col, id_col, shingle_n).select(
         "doc_id", F.explode("_sh").alias("shingle")
-    ).select("doc_id", F.expr(_SHINGLE_H).alias("h"))
+    ).select("doc_id", F.expr(_shingle_h(hash_mode)).alias("h"))
     mins = [
         F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
         for j in range(num_hashes)

@@ -173,6 +173,21 @@ def brute_force_topk_pandas(
     )
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks for multi-probe: every bit pattern of Hamming weight
+    <= probe_hamming over ``n_planes`` bits, weight-ascending (0 first —
+    the query's own bucket).  Bucket sets therefore NEST as
+    probe_hamming grows, which is what makes recall monotone in the
+    probe distance (test_lsh_recall_monotone_in_probe_hamming)."""
+    from itertools import combinations
+
+    masks: list[int] = []
+    for w in range(probe_hamming + 1):
+        for bits in combinations(range(n_planes), w):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def hyperplane_lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit b = sign(<vec, plane_b>)."""
     bits = []
@@ -203,36 +218,47 @@ def lsh_topk(
     the standard recall lever that costs nothing corpus-side (each corpus
     vector still lives in exactly ONE bucket, and each (query, corpus)
     pair can match at most one probe, so no dedup pass is needed).
-    Measured on the in-engine recall@10 eval (``ann_recall``, 8 planes,
-    random-gaussian fixture): probe_hamming 0 → recall 0.0 (~0.4% of the
-    corpus as candidates), 1 → 0.06 (~3.5%), 2 → 0.26 (~14%).  A random
-    gaussian corpus is LSH's worst case — true neighbors are nearly
-    orthogonal, so recall tracks the scanned fraction almost linearly;
-    on clustered real-embedding corpora the same probe ladder climbs far
-    faster.  probe_hamming=0 recovers the single-probe variant.
+    The measured recall/scanned-fraction curve (scripts/ann_tradeoff.py,
+    SCALE.md round 9; 8 planes, random-gaussian twins at 2k AND 20k
+    vectors — scale-stable): ph 0 → recall ~0.03 (0.5% of the corpus as
+    candidates), 1 → ~0.16 (4%), 2 → ~0.42 (15%), 3 → ~0.66-0.71 (37%),
+    monotone by construction (probe_masks sets nest).  A random gaussian
+    corpus is LSH's worst case — true neighbors are nearly orthogonal,
+    so recall tracks the scanned fraction (about 1.8x the random-scan
+    diagonal); on clustered real-embedding corpora the same probe ladder
+    climbs far faster.  probe_hamming=0 recovers the single-probe
+    variant.
 
     At scale the bucket equi-join replaces the all-pairs nested loop; the
     planes are caller-provided (seeded numpy) so results are deterministic.
     """
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
-    masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << i for i in range(len(planes))]
-    if probe_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(len(planes))
-            for j in range(i + 1, len(planes))
-        ]
-    c = ensure_parallelism(corpus).select(
+    masks = probe_masks(len(planes), probe_hamming)
+    # zero-norm (and NULL-embedding) vectors cosine to NULL on every
+    # pairing; they carry no similarity signal and the streaming twin
+    # (_fold_topk) excludes them from its running top-k, so drop them on
+    # BOTH sides here too — otherwise on a corpus with < k real
+    # candidates for some query, NULL sims (NULLS LAST under sim DESC)
+    # would fill trailing ranks in batch but not in the stream, breaking
+    # the bit-for-bit twin contract.  The predicate is a scan-level
+    # `exists(vec, v -> v != 0)` (short-circuits on the first nonzero
+    # element; NULL array → NULL → dropped), NOT `sim IS NOT NULL` after
+    # the projection: that post-filter would alias-substitute the whole
+    # cosine aggregate into a pushed-down Filter and re-evaluate it per
+    # candidate — the CodegenFallback no-CSE defect class the r08 IVF
+    # plan fix eliminated (test_roster_wide_plan_hygiene fences it).
+    # Oracle equivalent: WHERE sim IS NOT NULL before ranking (sim is
+    # NULL iff an endpoint's norm is 0/NULL iff all elements are 0).
+    nonzero = f"exists({vec_col}, v -> v != cast(0.0 as double))"
+    c = ensure_parallelism(corpus.filter(F.expr(nonzero))).select(
         F.col(id_col),
         F.col(vec_col),
         F.expr(norm_expr(vec_col)).alias("_n"),
         hyperplane_lsh_bucket(vec_col, planes).alias("_bucket"),
     )
     mask_list = ", ".join(str(m) for m in masks)
-    q = queries.select(
+    q = queries.filter(F.expr(nonzero)).select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
         F.expr(norm_expr(vec_col)).alias("_qn"),
@@ -253,13 +279,6 @@ def lsh_topk(
             id_col,
             F.round(cosine_from_norms("_qvec", vec_col, "_qn", "_n"), 6).alias("sim"),
         )
-        # zero-norm (degenerate) vectors cosine to NULL; they carry no
-        # similarity signal and the streaming twin (_fold_topk) excludes
-        # them from its running top-k, so drop them here too — otherwise
-        # on a corpus with < k real candidates for some query, NULL sims
-        # (NULLS LAST under sim DESC) would fill trailing ranks in batch
-        # but not in the stream, breaking the bit-for-bit twin contract.
-        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (

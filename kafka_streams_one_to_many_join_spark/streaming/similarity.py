@@ -49,6 +49,7 @@ from kafka_streams_one_to_many_join_spark.functions.similarity import (
     cosine_from_norms,
     hyperplane_lsh_bucket,
     norm_expr,
+    probe_masks,
 )
 
 
@@ -70,16 +71,9 @@ def _lsh_candidates(
             f"{caller} expects a streaming corpus; use "
             "functions.similarity.lsh_topk for batch inputs"
         )
-    masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << i for i in range(len(planes))]
-    if probe_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(len(planes))
-            for j in range(i + 1, len(planes))
-        ]
-    mask_list = ", ".join(str(m) for m in masks)
+    mask_list = ", ".join(
+        str(m) for m in probe_masks(len(planes), probe_hamming)
+    )
     probe_rows = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),

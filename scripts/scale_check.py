@@ -74,7 +74,36 @@ SCALE_QUERIES = [
     # round-8 additions (needs gen_scale's orders/customer twins)
     ("bloom_filter", "orders customer"),
     ("ann_topk_ivf", "embeddings"),
+    # round-9 additions: engine-matched xxhash64 variants of the md5-hot
+    # sketch paths (functions.hashing) — same pipelines, the portable
+    # digest swapped for Spark's native hash; the md5 rows above stay the
+    # oracle-parity default, these rows measure what the swap buys
+    ("cms_token_counts_xxh", "documents"),
+    ("minhash_lsh_xxh", "documents"),
+    ("bloom_filter_xxh", "orders customer"),
 ]
+
+
+def _variants() -> dict:
+    """Non-roster measurement-only variants (kept out of queries() so the
+    driver roster stays at 100 oracle-paired entries)."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    return {
+        "cms_token_counts_xxh": lambda spark, d: entry_mod.q_cms_token_counts(
+            spark, d, hash_mode="xxhash64"
+        ),
+        "minhash_lsh_xxh": lambda spark, d: minhash_lsh_pairs(
+            load_table(spark, d, "documents"), num_hashes=16, bands=8,
+            threshold=0.7, shingle_n=3, hash_mode="xxhash64",
+        ),
+        "bloom_filter_xxh": lambda spark, d: entry_mod.q_bloom_filter(
+            spark, d, hash_mode="xxhash64"
+        ),
+    }
 
 
 def main() -> None:
@@ -89,7 +118,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_session("scale", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    queries = {**entry_mod.queries(), **_variants()}
 
     results: dict[str, dict[str, float]] = {}
     for d in dirs:

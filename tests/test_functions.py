@@ -771,6 +771,80 @@ def test_bloom_filter_no_false_negatives_and_low_fp(spark):
     assert fp < 60, f"implausible false-positive count {fp} at ~14% fill"
 
 
+def test_hash_mode_xxhash64_contracts(spark):
+    """The opt-in engine-native hash mode (functions.hashing) preserves
+    every probabilistic contract the md5 default guarantees — Bloom zero
+    false negatives, CMS point-query upper bound, MinHash finding exact
+    duplicates at jaccard 1.0 — while producing a different (equally
+    uniform) bucket assignment.  The default mode stays md5 everywhere
+    (oracle parity), pinned by the unchanged parity suite."""
+    import pytest as _pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kafka_streams_one_to_many_join_spark.functions.hashing import (
+        prefix_hash32,
+    )
+
+    with _pytest.raises(ValueError):
+        prefix_hash32("x", "sha9000")
+
+    # hash values land in the 32-bit domain and differ from md5's
+    vals = spark.sql(
+        f"SELECT {prefix_hash32('x', 'xxhash64')} AS xx, "
+        f"{prefix_hash32('x', 'md5')} AS m5 "
+        "FROM (SELECT cast(id as string) AS x FROM range(100))"
+    ).collect()
+    assert all(0 <= r.xx < 2**32 and 0 <= r.m5 < 2**32 for r in vals)
+    assert any(r.xx != r.m5 for r in vals)
+
+    # Bloom: zero false negatives under the fast hash too
+    members = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bloom = bloom_build(members, "k", m=2048, k=3, hash_mode="xxhash64")
+    probe = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    res = {
+        r.k: r.maybe_present
+        for r in bloom_probe(
+            probe, "k", bloom, m=2048, k=3, hash_mode="xxhash64"
+        ).collect()
+    }
+    assert all(res[i] for i in range(200)), "false negative under xxhash64!"
+    assert sum(1 for i in range(200, 400) if res[i]) < 60
+
+    # MinHash: an exact duplicate pair is found at jaccard 1.0 in BOTH
+    # modes (unbiasedness is hash-family-independent)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("md5", "xxhash64"):
+        pairs = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh_pairs(
+                docs, threshold=0.5, hash_mode=mode
+            ).collect()
+        }
+        assert pairs.get((1, 2)) == 1.0, (mode, pairs)
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # CMS: upper-bound contract holds under the fast hash
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.q_cms_token_counts(
+        spark, "/root/testdata/sf0.001", hash_mode="xxhash64"
+    ).collect()
+    assert rows and all(r.cms_est >= r.exact_n for r in rows)
+
+
 def test_bloom_masks_stay_in_32_bit_words(spark):
     """The layout never shifts into the sign bit: every stored word is a
     non-negative BIGINT < 2^32, so the identical arithmetic is portable
@@ -835,14 +909,14 @@ def test_lsh_recall_monotone_in_probe_hamming(spark):
         for r in brute_force_topk(emb, queries, k=10).collect()
     }
     recalls = []
-    for ph in (0, 1, 2):
+    for ph in (0, 1, 2, 3):
         approx = {
             (r.query_id, r.vec_id)
             for r in lsh_topk(emb, queries, planes, k=10, probe_hamming=ph).collect()
         }
         recalls.append(len(approx & exact) / len(exact))
     assert recalls == sorted(recalls), recalls
-    assert recalls[2] > recalls[0], recalls  # the upgrade actually helps
+    assert recalls[-1] > recalls[0], recalls  # the upgrade actually helps
 
 
 def test_bpe_pair_counts_hand_computed(spark):
