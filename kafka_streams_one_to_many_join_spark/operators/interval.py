@@ -15,7 +15,16 @@ changing dimensions, validity windows).
 
 Replication factor per interval = interval length / bucket width (+1);
 pick ``bucket`` near the typical interval length so most intervals copy
-into O(1) buckets.
+into O(1) buckets.  A FIXED width only stays near the typical length
+while the data's density does: in a global-ordinal domain (like the
+trace's seq), interval LENGTH grows linearly with corpus size at
+constant per-key event density, so a constant picked at bench scale
+replicates every interval onto O(N) buckets a decade up — the
+super-linear bend the sf1→sf10 measurement caught (SCALE.md round 9).
+For that case pass ``bucket`` as a 1-row DataFrame with a ``_bw``
+BIGINT column (computed IN-PLAN from the caller's knowledge of the
+density — no driver action, it broadcasts like ``end_open_max``); the
+width then scales with the data and the replication factor stays O(1).
 """
 
 from __future__ import annotations
@@ -31,7 +40,7 @@ def bucketed_interval_join(
     point_ord: str,
     start: str,
     end: str,
-    bucket: int = 1024,
+    bucket: int | DataFrame = 1024,
     end_exclusive: bool = True,
     end_open_max: Column | None = None,
 ) -> DataFrame:
@@ -44,31 +53,44 @@ def bucketed_interval_join(
     internal bucket columns); the point must lie strictly after
     ``start`` and before ``end`` (exclusive by default, mirroring
     interval semantics [start, end)).
+
+    ``bucket``: fixed width (int), or a 1-row DataFrame carrying the
+    width as a ``_bw`` BIGINT column — the data-adaptive mode (see the
+    module docstring); it is broadcast onto both sides, so the width is
+    a pure in-plan scalar and results are identical for ANY positive
+    width (the width only moves work, never semantics).
     """
     if end_open_max is None:
         bound = points.agg(F.max(point_ord).alias("_omax"))
     else:
         bound = points.sparkSession.range(1).select(end_open_max.alias("_omax"))
+    dynamic = not isinstance(bucket, int)
+    bexpr = "_bw" if dynamic else str(bucket)
     upper = f"coalesce({end} - 1, _omax)" if end_exclusive else f"coalesce({end}, _omax)"
+    iv = intervals.crossJoin(F.broadcast(bound))
+    if dynamic:
+        iv = iv.crossJoin(F.broadcast(bucket))
     iv = (
-        intervals.crossJoin(F.broadcast(bound))
         # intervals starting at/after the last point can never match, and
         # would make the bucket sequence descend
-        .filter(F.col(start) <= F.col("_omax"))
+        iv.filter(F.col(start) <= F.col("_omax"))
         .withColumn(
             "_bkt",
             F.explode(
                 F.expr(
-                    f"sequence(cast({start} div {bucket} as bigint), "
-                    f"cast(least({upper}, _omax) div {bucket} as bigint))"
+                    f"sequence(cast({start} div {bexpr} as bigint), "
+                    f"cast(least({upper}, _omax) div {bexpr} as bigint))"
                 )
             ),
         )
-        .drop("_omax")
+        .drop("_omax", *(["_bw"] if dynamic else []))
     )
-    pts = points.withColumn(
-        "_bkt", F.expr(f"cast({point_ord} div {bucket} as bigint)")
-    )
+    pts = points
+    if dynamic:
+        pts = pts.crossJoin(F.broadcast(bucket))
+    pts = pts.withColumn(
+        "_bkt", F.expr(f"cast({point_ord} div {bexpr} as bigint)")
+    ).drop(*(["_bw"] if dynamic else []))
     end_pred = (
         F.col(end).isNull()
         | (F.col(point_ord) < F.col(end) if end_exclusive else F.col(point_ord) <= F.col(end))

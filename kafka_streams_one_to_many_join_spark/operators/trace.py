@@ -67,6 +67,24 @@ def one_to_many_join_trace(car_ev: DataFrame, zone_ev: DataFrame) -> DataFrame:
     # (measured 390M evaluations for 11.8M matches at sf0.1).  The
     # bucketed interval join makes pairs evaluated ≈ matches (see
     # operators/interval.py; 18.1s → 2.8s at sf0.1).
+    #
+    # The bucket width is ADAPTIVE, not fixed: a residency interval's
+    # expected length is the seq-span between consecutive events of one
+    # car ≈ max(seq) x |cars| / |car events| — it grows linearly with
+    # corpus size at constant per-car event density, so a constant width
+    # tuned at bench scale (1024) replicates every interval onto O(N)
+    # buckets a decade up (the sf1→sf10 run measured join_trace bending
+    # super-linear for exactly this reason; SCALE.md round 9).  The
+    # width is a 1-row in-plan broadcast (one cheap 3-aggregate pass
+    # over car_ev's narrow columns — no driver action), floored at 1024
+    # so small inputs keep the bench-tuned behavior; any positive width
+    # yields identical results (pinned by the interval-join test).
+    width = car_ev.agg(
+        F.expr(
+            "greatest(1024, cast(cast(max(seq) as double) "
+            "* approx_count_distinct(car_id) / count(1) as bigint))"
+        ).alias("_bw")
+    )
     w = Window.partitionBy("car_id").orderBy("seq")
     moves = car_ev.select(
         "car_id",
@@ -86,6 +104,7 @@ def one_to_many_join_trace(car_ev: DataFrame, zone_ev: DataFrame) -> DataFrame:
         point_ord="seq",
         start="_start_seq",
         end="_end_seq",
+        bucket=width,
     ).select(
         F.col("i.car_id").alias("car_id"),
         F.col("p.zone_id").alias("zone_id"),

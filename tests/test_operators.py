@@ -306,3 +306,18 @@ def test_bucketed_interval_join_matches_naive(spark):
         if p[1] == i[1] and p[2] > i[2] and (i[3] is None or p[2] < i[3])
     )
     assert got == naive and len(got) > 100
+
+    # dynamic-width mode: the width comes from a 1-row in-plan broadcast
+    # (_bw) instead of a literal — results must be identical for any
+    # positive width (the width only moves work, never semantics)
+    from pyspark.sql import functions as F
+
+    for bw in (7, 131, 5000):
+        width = spark.range(1).select(F.lit(bw).cast("bigint").alias("_bw"))
+        got_dyn = sorted(
+            (r.pid, r.iid)
+            for r in bucketed_interval_join(
+                pt, iv, on="k", point_ord="o", start="s", end="e", bucket=width
+            ).collect()
+        )
+        assert got_dyn == naive, f"dynamic width {bw} diverged"
