@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Sustained streaming throughput and state-growth measurement.
+
+The restart proofs (tests/test_streaming.py) establish that every stateful
+twin is batch-equivalent and kill-and-resume exact; this script adds the
+missing quantitative row — rows/s, per-batch latency, and state-store size
+under a sustained multi-batch replay of the sf0.1 fixtures.  Results are
+committed to STREAM_BENCH.md.
+
+Pipelines measured (each: N-file replay with maxFilesPerTrigger=1 into a
+noop sink, per-batch metrics from StreamingQueryProgress):
+
+- ``move_detect``    — the 50k sf0.1 car events through
+  ``car_move_detection`` (stage 1 of the reference topology; per-car
+  ValueState, state rows == |cars|).
+- ``symmetric_join`` — stage 1's output tagged and unioned with the zone
+  events (the reference's `through` topic contents) through
+  ``symmetric_one_to_many_join`` (per-zone state; state rows == |zones|).
+- ``minhash_pairs``  — the 5k sf0.1 documents through
+  ``streaming_minhash_lsh_pairs`` (bucket state: grows with DISTINCT
+  (band, signature) buckets seen — sub-linear in docs on a dedup-heavy
+  corpus, bounded by the LSH small-bucket guarantee).
+- ``ann_topk``       — the 2k sf0.1 embeddings through
+  ``streaming_lsh_topk`` (per-query top-k state: O(k x |queries|), must
+  stay FLAT as the corpus stream grows — the O(k) claim of
+  streaming/similarity.py, here a measured line instead of a docstring).
+
+The zone/car ids for the join come from the same events-fixture mapping the
+batch `join_trace` oracle uses, with event_type mapped to a dense int id
+(the streaming schemas type zone_id as INT; the mapping is order-preserving
+on the 5 fixture types, so the topology behavior is unchanged).
+
+Usage: python scripts/stream_bench.py [sf_dir] [n_batches]
+       (defaults: /root/testdata/sf0.1, 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_streams_one_to_many_join_spark.model import load_table
+from kafka_streams_one_to_many_join_spark.session import get_session
+from kafka_streams_one_to_many_join_spark.sources.readers import read_stream
+from kafka_streams_one_to_many_join_spark.streaming.join import (
+    car_move_detection,
+    symmetric_one_to_many_join,
+    tag_car_moves,
+    tag_zone_events,
+)
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _write_batches(df, path: str, n: int) -> None:
+    """Write df as n parquet files with strictly increasing mtimes so the
+    file source replays them in write order, one per micro-batch."""
+    rows = df.collect()
+    schema = df.schema
+    spark = df.sparkSession
+    os.makedirs(path, exist_ok=True)
+    per = (len(rows) + n - 1) // n
+    for i in range(n):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(1.05)
+
+
+def _progress_rows(q) -> list[dict]:
+    out = []
+    for p in q.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        if d.get("numInputRows", 0) == 0:
+            continue
+        so = (d.get("stateOperators") or [{}])[0]
+        ms = d["durationMs"].get("triggerExecution", 0)
+        out.append(
+            {
+                "batch": d["batchId"],
+                "rows": d["numInputRows"],
+                "ms": ms,
+                "rows_per_s": round(d["numInputRows"] / max(ms, 1) * 1000, 1),
+                "state_rows": so.get("numRowsTotal"),
+                "state_bytes": so.get("memoryUsedBytes"),
+            }
+        )
+    return out
+
+
+def _run(df_builder, src, schema, tmp: str, name: str, mode: str) -> list[dict]:
+    stream = read_stream(
+        spark, "parquet", src, schema=schema, maxFilesPerTrigger="1"
+    )
+    q = (
+        df_builder(stream)
+        .writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", f"{tmp}/cp_{name}")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    rows = _progress_rows(q)
+    q.stop()
+    return rows
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_session("stream_bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    results: dict[str, list[dict]] = {}
+
+    zone_of = F.array_position(
+        F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col("event_type")
+    ).cast("int")
+    events = load_table(spark, sf, "events")
+    cars = events.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").cast("int").alias("car_id"),
+        zone_of.alias("to_zone_id"),
+        F.col("value").alias("fuel_level"),
+    )
+    zones = events.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("seq"),
+        zone_of.alias("zone_id"),
+        F.col("value").alias("pollution_level"),
+    )
+
+    # --- stage 1: move detection ---
+    _write_batches(cars, f"{tmp}/cars", n_batches)
+    results["move_detect"] = _run(
+        car_move_detection, f"{tmp}/cars", cars.schema, tmp,
+        "move_detect", "append",
+    )
+    print("move_detect done", file=sys.stderr)
+
+    # --- stage 2: symmetric join on the through-topic contents ---
+    moves_stream = read_stream(
+        spark, "parquet", f"{tmp}/cars", schema=cars.schema
+    )
+    q1 = (
+        car_move_detection(moves_stream)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/through")
+        .option("checkpointLocation", f"{tmp}/cp_through")
+        .outputMode("append")
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    tagged = (
+        tag_car_moves(spark.read.parquet(f"{tmp}/through"))
+        .unionByName(tag_zone_events(zones))
+        .orderBy("seq", "emit_rank")
+    )
+    _write_batches(tagged, f"{tmp}/tagged", n_batches)
+    results["symmetric_join"] = _run(
+        symmetric_one_to_many_join, f"{tmp}/tagged", tagged.schema, tmp,
+        "symmetric_join", "append",
+    )
+    print("symmetric_join done", file=sys.stderr)
+
+    # --- minhash bucket state ---
+    from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+        streaming_minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    _write_batches(docs, f"{tmp}/docs", n_batches)
+    results["minhash_pairs"] = _run(
+        lambda st: streaming_minhash_lsh_pairs(st, threshold=0.7),
+        f"{tmp}/docs", docs.schema, tmp, "minhash_pairs", "append",
+    )
+    print("minhash_pairs done", file=sys.stderr)
+
+    # --- ANN running top-k: state must stay flat ---
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        seeded_planes,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.similarity import (
+        streaming_lsh_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = seeded_planes(8, 64, 7)
+    _write_batches(emb, f"{tmp}/emb", n_batches)
+    results["ann_topk"] = _run(
+        lambda st: streaming_lsh_topk(st, queries, planes, k=10, probe_hamming=1),
+        f"{tmp}/emb", emb.schema, tmp, "ann_topk", "update",
+    )
+    print("ann_topk done", file=sys.stderr)
+
+    summary = {
+        name: {
+            "total_rows": sum(r["rows"] for r in rows),
+            "total_ms": sum(r["ms"] for r in rows),
+            "rows_per_s": round(
+                sum(r["rows"] for r in rows)
+                / max(sum(r["ms"] for r in rows), 1)
+                * 1000,
+                1,
+            ),
+            "final_state_rows": rows[-1]["state_rows"] if rows else None,
+            "batches": rows,
+        }
+        for name, rows in results.items()
+    }
+    print(json.dumps({"sf": sf, "n_batches": n_batches, "pipelines": summary}))
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()

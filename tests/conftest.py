@@ -16,6 +16,14 @@ from kafka_streams_one_to_many_join_spark.session import get_session
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka: opt-in broker integration — runs only with "
+        "SPARK_GRAFT_KAFKA_BOOTSTRAP set (see tests/test_kafka_integration.py)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_session("tests", shuffle_partitions=8)
