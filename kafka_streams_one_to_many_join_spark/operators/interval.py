@@ -13,18 +13,19 @@ This is the engine behind the trace operator's zone-side fan-out
 scale answer for point-in-interval workloads (IP→range lookups, slowly
 changing dimensions, validity windows).
 
-Replication factor per interval = interval length / bucket width (+1);
-pick ``bucket`` near the typical interval length so most intervals copy
-into O(1) buckets.  A FIXED width only stays near the typical length
-while the data's density does: in a global-ordinal domain (like the
-trace's seq), interval LENGTH grows linearly with corpus size at
-constant per-key event density, so a constant picked at bench scale
-replicates every interval onto O(N) buckets a decade up — the
-super-linear bend the sf1→sf10 measurement caught (SCALE.md round 9).
-For that case pass ``bucket`` as a 1-row DataFrame with a ``_bw``
-BIGINT column (computed IN-PLAN from the caller's knowledge of the
-density — no driver action, it broadcasts like ``end_open_max``); the
-width then scales with the data and the replication factor stays O(1).
+Width choice: two width-dependent overheads bracket the unavoidable
+match output — interval replication (|intervals| x len/W) falls with W,
+excess pair evaluations (every point probes every interval overlapping
+its bucket: ≈ |points| x |intervals| x W / span beyond the true
+matches) rise with W.  For SPARSE intervals (len ≈ spacing) any W near
+the typical length works; for DENSE intervals (many concurrent per key,
+e.g. the trace's residency intervals) the optimum is the sqrt law
+W* = sqrt(len x span / |points|), and a constant tuned at one scale
+drifts off it as the data grows (sqrt(len) — measured in SCALE.md round
+9).  For data-dependent widths pass ``bucket`` as a 1-row DataFrame
+with a ``_bw`` BIGINT column (computed IN-PLAN from the caller's
+knowledge of the density — no driver action, it broadcasts like
+``end_open_max``); results are identical for any positive width.
 """
 
 from __future__ import annotations

@@ -68,22 +68,41 @@ def one_to_many_join_trace(car_ev: DataFrame, zone_ev: DataFrame) -> DataFrame:
     # bucketed interval join makes pairs evaluated ≈ matches (see
     # operators/interval.py; 18.1s → 2.8s at sf0.1).
     #
-    # The bucket width is ADAPTIVE, not fixed: a residency interval's
-    # expected length is the seq-span between consecutive events of one
-    # car ≈ max(seq) x |cars| / |car events| — it grows linearly with
-    # corpus size at constant per-car event density, so a constant width
-    # tuned at bench scale (1024) replicates every interval onto O(N)
-    # buckets a decade up (the sf1→sf10 run measured join_trace bending
-    # super-linear for exactly this reason; SCALE.md round 9).  The
-    # width is a 1-row in-plan broadcast (one cheap 3-aggregate pass
-    # over car_ev's narrow columns — no driver action), floored at 1024
-    # so small inputs keep the bench-tuned behavior; any positive width
-    # yields identical results (pinned by the interval-join test).
-    width = car_ev.agg(
-        F.expr(
-            "greatest(1024, cast(cast(max(seq) as double) "
-            "* approx_count_distinct(car_id) / count(1) as bigint))"
-        ).alias("_bw")
+    # The bucket width is ADAPTIVE, not fixed.  Two width-dependent costs
+    # bracket the unavoidable match output: interval REPLICATION
+    # (|intervals| x len/W rows) shrinks with W, while EXCESS PAIR
+    # EVALUATIONS (each point probes every interval overlapping its
+    # bucket, ≈ |points| x |intervals| x W / span beyond the true
+    # matches) grow with W — residency intervals are DENSE here (every
+    # car always has exactly one open interval), so both terms are real.
+    # Minimizing their sum gives the sqrt law
+    #     W* = sqrt(len x span / |points|),    len = span x |cars| / |car events|
+    # which is ~77 at sf0.1 and ~775 at sf10 — the fixed 1024 was near
+    # the sweet spot at bench scale by luck and drifts off it as
+    # sqrt(len) a decade up (SCALE.md round 9; the dominant sf10 cost is
+    # the ~100x semantic output growth — fanout ∝ car population — and
+    # the adaptive width keeps the overhead terms a few % of it instead
+    # of a multiple).  The width is a 1-row in-plan broadcast (cheap
+    # narrow-column aggregates, no driver action), floored at 64; any
+    # positive width yields identical results (pinned by the
+    # interval-join test).
+    width = (
+        car_ev.agg(
+            F.expr("cast(max(seq) as double)").alias("_span"),
+            F.expr("cast(approx_count_distinct(car_id) as double)").alias("_cars"),
+            F.expr("cast(count(1) as double)").alias("_cev"),
+        )
+        .crossJoin(
+            F.broadcast(
+                zone_ev.agg(F.expr("cast(count(1) as double)").alias("_npts"))
+            )
+        )
+        .select(
+            F.expr(
+                "greatest(64, cast(sqrt(_span * _span * _cars "
+                "/ nullif(_cev * _npts, 0.0)) as bigint))"
+            ).alias("_bw")
+        )
     )
     w = Window.partitionBy("car_id").orderBy("seq")
     moves = car_ev.select(
