@@ -59,16 +59,24 @@ def bucketed_interval_join(
     width as a ``_bw`` BIGINT column — the data-adaptive mode (see the
     module docstring); it is broadcast onto both sides, so the width is
     a pure in-plan scalar and results are identical for ANY positive
-    width (the width only moves work, never semantics).
+    width (the width only moves work, never semantics).  A dynamic
+    bucket frame may ALSO carry an ``_omax`` BIGINT column (the open-
+    interval bound); callers that already aggregate the points side for
+    the width should ride ``max(point_ord)`` along in the same pass —
+    it saves one scan of ``points`` and one 1-row attach here.
     """
-    if end_open_max is None:
+    dynamic = not isinstance(bucket, int)
+    if dynamic and "_omax" in bucket.columns:
+        bound = None  # bound rides on the bucket frame (one shared attach)
+    elif end_open_max is None:
         bound = points.agg(F.max(point_ord).alias("_omax"))
     else:
         bound = points.sparkSession.range(1).select(end_open_max.alias("_omax"))
-    dynamic = not isinstance(bucket, int)
     bexpr = "_bw" if dynamic else str(bucket)
     upper = f"coalesce({end} - 1, _omax)" if end_exclusive else f"coalesce({end}, _omax)"
-    iv = intervals.crossJoin(F.broadcast(bound))
+    iv = intervals
+    if bound is not None:
+        iv = iv.crossJoin(F.broadcast(bound))
     if dynamic:
         iv = iv.crossJoin(F.broadcast(bucket))
     iv = (
@@ -91,7 +99,7 @@ def bucketed_interval_join(
         pts = pts.crossJoin(F.broadcast(bucket))
     pts = pts.withColumn(
         "_bkt", F.expr(f"cast({point_ord} div {bexpr} as bigint)")
-    ).drop(*(["_bw"] if dynamic else []))
+    ).drop(*(["_bw", "_omax"] if dynamic else []))
     end_pred = (
         F.col(end).isNull()
         | (F.col(point_ord) < F.col(end) if end_exclusive else F.col(point_ord) <= F.col(end))

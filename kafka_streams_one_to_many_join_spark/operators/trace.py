@@ -86,6 +86,9 @@ def one_to_many_join_trace(car_ev: DataFrame, zone_ev: DataFrame) -> DataFrame:
     # narrow-column aggregates, no driver action), floored at 64; any
     # positive width yields identical results (pinned by the
     # interval-join test).
+    # One narrow-column agg per side; the zone-side pass ALSO carries
+    # max(seq) as the interval join's open-interval bound (_omax), so
+    # the join skips its own points agg — one scalar frame, two scans.
     width = (
         car_ev.agg(
             F.expr("cast(max(seq) as double)").alias("_span"),
@@ -94,14 +97,18 @@ def one_to_many_join_trace(car_ev: DataFrame, zone_ev: DataFrame) -> DataFrame:
         )
         .crossJoin(
             F.broadcast(
-                zone_ev.agg(F.expr("cast(count(1) as double)").alias("_npts"))
+                zone_ev.agg(
+                    F.expr("cast(count(1) as double)").alias("_npts"),
+                    F.expr("max(seq)").alias("_omax"),
+                )
             )
         )
         .select(
             F.expr(
                 "greatest(64, cast(sqrt(_span * _span * _cars "
                 "/ nullif(_cev * _npts, 0.0)) as bigint))"
-            ).alias("_bw")
+            ).alias("_bw"),
+            "_omax",
         )
     )
     w = Window.partitionBy("car_id").orderBy("seq")

@@ -321,3 +321,18 @@ def test_bucketed_interval_join_matches_naive(spark):
             ).collect()
         )
         assert got_dyn == naive, f"dynamic width {bw} diverged"
+
+    # merged-scalar mode: the bucket frame also carries _omax (the
+    # open-interval bound, here computed in the same in-plan agg the
+    # caller would use) — results identical, one fewer points scan
+    width_omax = pt.agg(
+        F.lit(131).cast("bigint").alias("_bw"),
+        F.max("o").alias("_omax"),
+    )
+    got_merged = sorted(
+        (r.pid, r.iid)
+        for r in bucketed_interval_join(
+            pt, iv, on="k", point_ord="o", start="s", end="e", bucket=width_omax
+        ).collect()
+    )
+    assert got_merged == naive, "merged _bw/_omax frame diverged"
