@@ -26,6 +26,12 @@ drifts off it as the data grows (sqrt(len) — measured in SCALE.md round
 with a ``_bw`` BIGINT column (computed IN-PLAN from the caller's
 knowledge of the density — no driver action, it broadcasts like
 ``end_open_max``); results are identical for any positive width.
+
+Join strategy: at scale both sides grow with the data, so the bucket
+equi-join plans as a sort-merge join — a MEASURED choice, not a
+default: forcing a shuffled-hash build was ~30% slower on the sf1
+trace workload (high-fan-out probes traverse long per-(key,bucket)
+chains, while the merge path streams matches from the co-sorted runs).
 """
 
 from __future__ import annotations
