@@ -332,19 +332,27 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    # n_common/n_total are computed INSIDE the pair lambda, so the O(|hset|)
+    # array_intersect runs exactly once per candidate pair.  Projecting the
+    # sets out and intersecting downstream looks equivalent but is not:
+    # Catalyst collapses the projection and re-inlines the intersect into
+    # the pushed-down jaccard filter — 3 evaluations per surviving pair
+    # (the ann_topk_ivf regression class; the hygiene fence now counts
+    # array_intersect too).
     pair_expr = (
         "flatten(transform(members, (x, i) -> "
         "transform(slice(members, i + 2, size(members) - i - 1), y -> "
-        "struct(x.doc_id as doc_a, x.hset as hset_a, "
-        "y.doc_id as doc_b, y.hset as hset_b))))"
+        "struct(x.doc_id as doc_a, y.doc_id as doc_b, "
+        "cast(size(array_intersect(x.hset, y.hset)) as bigint) as n_common, "
+        "size(x.hset) + size(y.hset) as n_total))))"
     )
     verified = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
             F.col("p.doc_a").alias("doc_a"),
             F.col("p.doc_b").alias("doc_b"),
-            F.size(F.array_intersect("p.hset_a", "p.hset_b")).cast("bigint").alias("n_common"),
-            (F.size("p.hset_a") + F.size("p.hset_b")).alias("n_total"),
+            F.col("p.n_common").alias("n_common"),
+            F.col("p.n_total").alias("n_total"),
         )
         .withColumn(
             "jaccard",

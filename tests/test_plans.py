@@ -637,6 +637,7 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
                     line.count("aggregate(")
                     + line.count("regexp_extract_all")
                     + line.count("md5(")
+                    + line.count("array_intersect(")
                 )
                 if heavy >= 2:
                     problems.append(f"heavy-expr-in-filter:{heavy}")
