@@ -330,10 +330,29 @@ def _cell_dots_expr(vec_col: str, centroids: list[list[float]]) -> str:
 
 def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     """Nearest-centroid cell id (1-based).  Centroids are unit-norm, so
-    argmax dot == argmax cosine; ties resolve to the lowest cell id
-    (array_position returns the first occurrence of the max)."""
+    argmax dot == argmax cosine; ties resolve to the lowest cell id.
+
+    Single-reference argmax fold rather than the textbook
+    ``array_position(ds, array_max(ds))``: higher-order functions are
+    CodegenFallback (no common-subexpression elimination), so the
+    two-reference form evaluates the whole nlist x dim dot array TWICE
+    per row — the same defect class as ivf_topk's materialized ``_dots``
+    fix, closed here at the source so every caller (kmeans_step, the
+    tradeoff sweep) gets the one-evaluation plan without two-projection
+    plumbing.  The fold preserves the exact corner semantics of the old
+    form: first occurrence wins ties (strict ``>``), NULL dots are
+    skipped (comparison yields NULL -> acc kept; the ``acc.i = 0`` arm
+    requires a non-null d), NaN ranks greatest, and an all-NULL / NULL
+    array yields NULL (``nullif`` on the 0 sentinel)."""
+    n = len(centroids)
     ds = _cell_dots_expr(vec_col, centroids)
-    return F.expr(f"array_position({ds}, array_max({ds}))").cast("int")
+    return F.expr(
+        f"nullif(aggregate(zip_with({ds}, sequence(1, {n}), "
+        "(d, i) -> struct(d as d, i as i)), "
+        "struct(cast(null as double) as d, 0 as i), "
+        "(acc, x) -> if(x.d > acc.d or (acc.i = 0 and x.d is not null), x, acc)"
+        ").i, 0)"
+    ).cast("int")
 
 
 def ivf_probe_cells(

@@ -647,6 +647,19 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_kmeans_assignment_evaluates_dots_once(spark, sf_dir):
+    """ivf_cell's argmax fold must evaluate the nlist-dot array exactly
+    once per row.  The textbook array_position(ds, array_max(ds)) form
+    inlines the whole CodegenFallback dot array twice (no CSE for
+    higher-order functions) — the defect class behind the r08
+    ann_topk_ivf fix.  Expected count: one aggregate(zip_with per
+    centroid dot plus one for the fold itself."""
+    df = entry_mod.queries()["kmeans_step"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n_dot_evals = opt.count("aggregate(zip_with")
+    assert n_dot_evals == entry_mod._IVF_NLIST + 1, n_dot_evals
+
+
 def test_streaming_ann_candidate_join_broadcasts(spark, sf_dir):
     """The streaming ANN's stream-static bucket join must plan as a
     broadcast hash join of the (tiny, static) query probe rows — a
