@@ -593,6 +593,36 @@ def test_gopher_entropy_rides_the_same_aggregate(spark, sf_dir):
     assert plans.count_shuffles(df) <= 2, plans.formatted_plan(df)
 
 
+_HEAVY_CALLS = ("array_intersect(", "regexp_extract_all(", "md5(", "aggregate(")
+
+
+def _has_duplicate_heavy_call(line: str) -> bool:
+    """True if the IDENTICAL heavy call substring (balanced to its closing
+    paren, >30 chars so trivial fragments don't count) occurs twice in one
+    plan line — the textual signature of a re-evaluated expression."""
+    from collections import Counter
+
+    calls = []
+    for fn in _HEAVY_CALLS:
+        start = 0
+        while True:
+            i = line.find(fn, start)
+            if i < 0:
+                break
+            depth = 0
+            j = i + len(fn) - 1
+            for j in range(i + len(fn) - 1, min(len(line), i + 400)):
+                if line[j] == "(":
+                    depth += 1
+                elif line[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            calls.append(line[i : j + 1])
+            start = i + len(fn)
+    return any(v >= 2 for c, v in Counter(x for x in calls if len(x) > 30).items())
+
+
 def test_roster_wide_plan_hygiene(spark, sf_dir):
     """Global scale invariants over EVERY declared query's physical plan:
     no cartesian product ever; no row-at-a-time Python UDF
@@ -648,6 +678,19 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
                 if heavy >= 2:
                     problems.append(f"heavy-expr-in-filter:{heavy}")
                     break
+        # The SAME heavy expression textually duplicated inside one
+        # Generate input — the bloom_positions regression class: codegen
+        # subexpression elimination covers Project duplicates (measured
+        # free) but does NOT reach a Generate input, so e.g. deriving
+        # word AND mask from an inlined md5 pays every digest twice.
+        # Distinct heavy calls per Generate are fine (k seed hashes);
+        # the *identical* call appearing twice is the defect.
+        for line in opt.split("\n"):
+            if "Generate " not in line:
+                continue
+            if _has_duplicate_heavy_call(line):
+                problems.append("dup-heavy-expr-in-generate")
+                break
         if problems:
             offenders[name] = problems
     assert not offenders, offenders
