@@ -81,6 +81,10 @@ SCALE_QUERIES = [
     ("cms_token_counts_xxh", "documents"),
     ("minhash_lsh_xxh", "documents"),
     ("bloom_filter_xxh", "orders customer"),
+    # late round 9: one Lloyd iteration — linear assignment projection
+    # (single-evaluation argmax fold over the centroid dots) + a
+    # cells x dim shuffle that is corpus-size-independent
+    ("kmeans_step", "embeddings"),
 ]
 
 
