@@ -697,11 +697,14 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
 
 
 def test_kmeans_assignment_evaluates_dots_once(spark, sf_dir):
-    """ivf_cell's argmax fold must evaluate the nlist-dot array exactly
-    once per row.  The textbook array_position(ds, array_max(ds)) form
-    inlines the whole CodegenFallback dot array twice (no CSE for
-    higher-order functions) — the defect class behind the r08
-    ann_topk_ivf fix.  Expected count: one aggregate(zip_with per
+    """ivf_cell's argmax fold must reference the nlist-dot array exactly
+    once.  Honest scope of the win: WITHIN one Project, codegen-level CSE
+    dedupes even identical CodegenFallback subtrees, so the textbook
+    array_position(ds, array_max(ds)) form was measured wall-NEUTRAL at
+    the sf10 twin — the single-reference form's value is that pushdown
+    can never re-inline the array into a Filter (the r08 ann_topk_ivf
+    class, where duplication crosses operators and IS paid) and the
+    plan stays auditable.  Expected count: one aggregate(zip_with per
     centroid dot plus one for the fold itself."""
     df = entry_mod.queries()["kmeans_step"](spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
