@@ -630,7 +630,17 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
     broadcast nested-loop joins only where a 1-row/bounded side makes
     them the designed plan (whitelisted).  One test, whole-roster
     coverage — a regression anywhere in the 100 queries fails here even
-    if the query's own plan test doesn't exist."""
+    if the query's own plan test doesn't exist.
+
+    Duplication-cost taxonomy behind the two heavy-expr fences (each
+    class measured in round 9): WITHIN one Project, codegen CSE dedupes
+    identical subtrees even for CodegenFallback — free.  In a Generate
+    input — paid (1.7x on the bloom build).  Re-inlined into a Filter by
+    pushdown — paid (the r08 ann_topk_ivf class).  In a Join condition
+    AND the post-join Project (the embedding_near_dup pair cosine) —
+    audited benign: the condition evaluation per candidate is the
+    operator's intrinsic cost and the Project re-computes only for
+    SURVIVING pairs, so no fence on that shape."""
     # queries whose DESIGN uses a bounded-side nested-loop broadcast:
     # ANN/near-dup pair generation (capped query side), 1-row scalar
     # attach (totals/slope/fill), and the recall eval built on them
