@@ -117,9 +117,68 @@ def _run(df_builder, src, schema, tmp: str, name: str, mode: str) -> list[dict]:
     return rows
 
 
+def _recovery_bench(builder, src, schema, tmp: str, n_batches: int) -> dict:
+    """Planned-restart recovery time for a stateful pipeline.
+
+    Control: one uninterrupted replay of all n batches, recording
+    per-batch wall time.  Experiment: a fresh checkpoint processes the
+    first half, the query stops (clean stop — the mid-batch kill case is
+    pinned for EXACTNESS by the restart proofs in tests/test_streaming;
+    this measures the TIME dimension of the planned-restart path), and a
+    new query resumes from the checkpoint against the waiting backlog.
+    Reported: restart-to-first-commit (state reload + replan) and
+    catch-up time for the second half vs the control's second-half time.
+    """
+    import glob as _glob
+
+    def _committed(q) -> int:
+        return sum(1 for r in _progress_rows(q))
+
+    # control: uninterrupted
+    control = _run(builder, src, schema, tmp, "rec_control", "append")
+    half = len(control) // 2
+    control_2nd_ms = sum(r["ms"] for r in control[half:])
+
+    # experiment: stop after `half` committed batches, resume
+    stream = read_stream(spark, "parquet", src, schema=schema, maxFilesPerTrigger="1")
+    cp = f"{tmp}/cp_rec_exp"
+    q = (
+        builder(stream).writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", cp).queryName("rec_exp").start()
+    )
+    while _committed(q) < half:
+        time.sleep(0.05)
+    q.stop()
+    t0 = time.time()
+    stream2 = read_stream(spark, "parquet", src, schema=schema, maxFilesPerTrigger="1")
+    q2 = (
+        builder(stream2).writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", cp).queryName("rec_exp2").start()
+    )
+    while _committed(q2) < 1:
+        time.sleep(0.02)
+    t_first = time.time() - t0
+    q2.processAllAvailable()
+    t_catchup = time.time() - t0
+    resumed = _progress_rows(q2)
+    q2.stop()
+    return {
+        "n_batches": len(control),
+        "restart_to_first_commit_s": round(t_first, 2),
+        "catchup_s": round(t_catchup, 2),
+        "control_second_half_s": round(control_2nd_ms / 1000, 2),
+        "recovery_overhead_s": round(t_catchup - control_2nd_ms / 1000, 2),
+        "resumed_batches": len(resumed),
+        "resumed_rows": sum(r["rows"] for r in resumed),
+        "final_state_rows": resumed[-1]["state_rows"] if resumed else None,
+    }
+
+
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    recovery = "--recovery" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.1"
+    n_batches = int(args[1]) if len(args) > 1 else 10
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_session("stream_bench", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,11 +203,12 @@ if __name__ == "__main__":
 
     # --- stage 1: move detection ---
     _write_batches(cars, f"{tmp}/cars", n_batches)
-    results["move_detect"] = _run(
-        car_move_detection, f"{tmp}/cars", cars.schema, tmp,
-        "move_detect", "append",
-    )
-    print("move_detect done", file=sys.stderr)
+    if not recovery:
+        results["move_detect"] = _run(
+            car_move_detection, f"{tmp}/cars", cars.schema, tmp,
+            "move_detect", "append",
+        )
+        print("move_detect done", file=sys.stderr)
 
     # --- stage 2: symmetric join on the through-topic contents ---
     moves_stream = read_stream(
@@ -170,6 +230,17 @@ if __name__ == "__main__":
         .orderBy("seq", "emit_rank")
     )
     _write_batches(tagged, f"{tmp}/tagged", n_batches)
+    if recovery:
+        out = _recovery_bench(
+            symmetric_one_to_many_join, f"{tmp}/tagged", tagged.schema,
+            tmp, n_batches,
+        )
+        print(json.dumps(
+            {"sf": sf, "mode": "recovery", "pipeline": "symmetric_join", **out}
+        ))
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+        sys.exit(0)
     results["symmetric_join"] = _run(
         symmetric_one_to_many_join, f"{tmp}/tagged", tagged.schema, tmp,
         "symmetric_join", "append",
