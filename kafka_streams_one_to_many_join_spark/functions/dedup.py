@@ -163,12 +163,20 @@ def ngram_jaccard_pairs(
     )
     # document frequency via a window over the ONE shuffle by hash —
     # the groupBy(h) below reuses the same hash partitioning, so
-    # candidate generation adds no exchange
-    df_w = Window.partitionBy("h")
+    # candidate generation adds no exchange.  When the cap is effectively
+    # unbounded (exact semantics — the roster query and the oracle pass
+    # 10^9) the filter can never drop a row, but Catalyst cannot prove
+    # that, so skip the window entirely: it would impose a per-partition
+    # sort over every shingle occurrence to feed a no-op predicate.
+    if max_shingle_freq < 2**31:
+        df_w = Window.partitionBy("h")
+        sh = (
+            sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+            .filter(F.col("df") <= max_shingle_freq)
+            .drop("df")
+        )
     buckets = (
-        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
-        .filter(F.col("df") <= max_shingle_freq)
-        .groupBy("h")
+        sh.groupBy("h")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("doc_id", "set_size"))

@@ -64,6 +64,36 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert exact.jaccard == 1.0
 
 
+def test_ngram_jaccard_shingle_freq_cap(spark):
+    """Both branches of the max_shingle_freq cap: an active cap drops
+    boilerplate shingles BEFORE candidate generation (pairs connected
+    only through them vanish), while the effectively-unbounded cap —
+    the roster/oracle setting, which now skips the df window entirely —
+    keeps every pair."""
+    boiler = "common words here every time"
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta")]
+    rows += [(i, f"{boiler} unique{i}a unique{i}b") for i in range(3, 8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # shared boilerplate: 3 pure 3-gram shingles in all 5 docs -> pairwise
+    # jaccard 3/7; the (1,2) exact dup has jaccard 1.0 on df=2 shingles
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, max_shingle_freq=10**9
+        ).collect()
+    }
+    assert (1, 2) in uncapped
+    assert {(a, b) for a in range(3, 8) for b in range(a + 1, 8)} <= uncapped
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, max_shingle_freq=4
+        ).collect()
+    }
+    assert capped == {(1, 2)}
+
+
 def test_minhash_lsh_finds_near_dup(spark):
     pairs = minhash_lsh_pairs(_docs(spark), threshold=0.5, shingle_n=3).collect()
     got = {(r.doc_a, r.doc_b) for r in pairs}
