@@ -117,7 +117,7 @@ def _run(df_builder, src, schema, tmp: str, name: str, mode: str) -> list[dict]:
     return rows
 
 
-def _recovery_bench(builder, src, schema, tmp: str, n_batches: int) -> dict:
+def _recovery_bench(builder, src, schema, tmp: str, n_batches: int, name: str = "rec") -> dict:
     """Planned-restart recovery time for a stateful pipeline.
 
     Control: one uninterrupted replay of all n batches, recording
@@ -126,25 +126,29 @@ def _recovery_bench(builder, src, schema, tmp: str, n_batches: int) -> dict:
     pinned for EXACTNESS by the restart proofs in tests/test_streaming;
     this measures the TIME dimension of the planned-restart path), and a
     new query resumes from the checkpoint against the waiting backlog.
-    Reported: restart-to-first-commit (state reload + replan) and
-    catch-up time for the second half vs the control's second-half time.
+
+    Accounting is per ROW, not per half: stop() lets the in-flight batch
+    commit and the restarted source may pack the backlog into different
+    batch boundaries, so the overhead compares catch-up wall time
+    against resumed_rows x the control's steady per-row cost (median of
+    ms/rows over control batches, batch 0 excluded as cold).
     """
-    import glob as _glob
 
     def _committed(q) -> int:
         return sum(1 for r in _progress_rows(q))
 
     # control: uninterrupted
-    control = _run(builder, src, schema, tmp, "rec_control", "append")
+    control = _run(builder, src, schema, tmp, f"{name}_control", "append")
     half = len(control) // 2
-    control_2nd_ms = sum(r["ms"] for r in control[half:])
+    steady = sorted(r["ms"] / max(r["rows"], 1) for r in control[1:])
+    control_row_ms = steady[len(steady) // 2] if steady else 0
 
     # experiment: stop after `half` committed batches, resume
     stream = read_stream(spark, "parquet", src, schema=schema, maxFilesPerTrigger="1")
-    cp = f"{tmp}/cp_rec_exp"
+    cp = f"{tmp}/cp_{name}_exp"
     q = (
         builder(stream).writeStream.format("noop").outputMode("append")
-        .option("checkpointLocation", cp).queryName("rec_exp").start()
+        .option("checkpointLocation", cp).queryName(f"{name}_exp").start()
     )
     while _committed(q) < half:
         time.sleep(0.05)
@@ -153,7 +157,7 @@ def _recovery_bench(builder, src, schema, tmp: str, n_batches: int) -> dict:
     stream2 = read_stream(spark, "parquet", src, schema=schema, maxFilesPerTrigger="1")
     q2 = (
         builder(stream2).writeStream.format("noop").outputMode("append")
-        .option("checkpointLocation", cp).queryName("rec_exp2").start()
+        .option("checkpointLocation", cp).queryName(f"{name}_exp2").start()
     )
     while _committed(q2) < 1:
         time.sleep(0.02)
@@ -162,14 +166,18 @@ def _recovery_bench(builder, src, schema, tmp: str, n_batches: int) -> dict:
     t_catchup = time.time() - t0
     resumed = _progress_rows(q2)
     q2.stop()
+    resumed_rows = sum(r["rows"] for r in resumed)
+    expected_s = resumed_rows * control_row_ms / 1000
     return {
         "n_batches": len(control),
         "restart_to_first_commit_s": round(t_first, 2),
         "catchup_s": round(t_catchup, 2),
-        "control_second_half_s": round(control_2nd_ms / 1000, 2),
-        "recovery_overhead_s": round(t_catchup - control_2nd_ms / 1000, 2),
+        "control_steady_row_ms": round(control_row_ms, 4),
+        "expected_uninterrupted_s": round(expected_s, 2),
+        "recovery_overhead_s": round(t_catchup - expected_s, 2),
         "resumed_batches": len(resumed),
         "resumed_rows": sum(r["rows"] for r in resumed),
+        "state_rows_at_resume": resumed[0]["state_rows"] if resumed else None,
         "final_state_rows": resumed[-1]["state_rows"] if resumed else None,
     }
 
@@ -231,13 +239,27 @@ if __name__ == "__main__":
     )
     _write_batches(tagged, f"{tmp}/tagged", n_batches)
     if recovery:
-        out = _recovery_bench(
-            symmetric_one_to_many_join, f"{tmp}/tagged", tagged.schema,
-            tmp, n_batches,
+        from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+            streaming_minhash_lsh_pairs,
         )
-        print(json.dumps(
-            {"sf": sf, "mode": "recovery", "pipeline": "symmetric_join", **out}
-        ))
+
+        out = {
+            "symmetric_join": _recovery_bench(
+                symmetric_one_to_many_join, f"{tmp}/tagged", tagged.schema,
+                tmp, n_batches, name="recj",
+            )
+        }
+        # second point: the twin whose state GROWS with the corpus — at
+        # the kill point the bucket store holds ~half the final ~37k
+        # rows, vs the join's |zones|=5, so the two runs bracket how
+        # restart cost tracks state size
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        _write_batches(docs, f"{tmp}/rdocs", n_batches)
+        out["minhash_pairs"] = _recovery_bench(
+            lambda st: streaming_minhash_lsh_pairs(st, threshold=0.7),
+            f"{tmp}/rdocs", docs.schema, tmp, n_batches, name="recm",
+        )
+        print(json.dumps({"sf": sf, "mode": "recovery", "pipelines": out}))
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
         sys.exit(0)
