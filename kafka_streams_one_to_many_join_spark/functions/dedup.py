@@ -128,6 +128,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (a < b, jaccard ≥ threshold).
 
@@ -138,8 +139,15 @@ def ngram_jaccard_pairs(
     shingle can only lose candidate pairs whose *every* common shingle is
     boilerplate — at the default cap that is a deliberate, logged trade;
     set it above the corpus size for exact semantics (tests/oracle do).
+    ``hash_mode="xxhash64"`` (functions.hashing) swaps the per-occurrence
+    md5 for the engine-native hash — the same deployment knob as
+    MinHash/CMS/Bloom; md5 stays the oracle-parity default.
     """
     from pyspark.sql import Window
+
+    from kafka_streams_one_to_many_join_spark.functions.hashing import (
+        prefix_hash32,
+    )
 
     # single pass over the text: tokenize/shingle ONCE, carry each doc's
     # set size through the explode so no sizes join (and no re-scan) is
@@ -157,9 +165,7 @@ def ngram_jaccard_pairs(
     ).select(
         "doc_id",
         "set_size",
-        F.expr(
-            "cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)"
-        ).alias("h"),
+        F.expr(prefix_hash32("shingle", hash_mode)).alias("h"),
     )
     # document frequency via a window over the ONE shuffle by hash —
     # the groupBy(h) below reuses the same hash partitioning, so

@@ -81,6 +81,7 @@ SCALE_QUERIES = [
     ("cms_token_counts_xxh", "documents"),
     ("minhash_lsh_xxh", "documents"),
     ("bloom_filter_xxh", "orders customer"),
+    ("ngram_jaccard_xxh", "documents"),
     # late round 9: one Lloyd iteration — linear assignment projection
     # (single-evaluation argmax fold over the centroid dots) + a
     # cells x dim shuffle that is corpus-size-independent
@@ -93,10 +94,15 @@ def _variants() -> dict:
     driver roster stays at 100 oracle-paired entries)."""
     from kafka_streams_one_to_many_join_spark.functions.dedup import (
         minhash_lsh_pairs,
+        ngram_jaccard_pairs,
     )
     from kafka_streams_one_to_many_join_spark.model import load_table
 
     return {
+        "ngram_jaccard_xxh": lambda spark, d: ngram_jaccard_pairs(
+            load_table(spark, d, "documents"), n=3, threshold=0.7,
+            max_shingle_freq=10**9, hash_mode="xxhash64",
+        ),
         "cms_token_counts_xxh": lambda spark, d: entry_mod.q_cms_token_counts(
             spark, d, hash_mode="xxhash64"
         ),

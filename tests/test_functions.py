@@ -874,6 +874,20 @@ def test_hash_mode_xxhash64_contracts(spark):
     ).collect()
     assert rows and all(r.cms_est >= r.exact_n for r in rows)
 
+    # n-gram Jaccard: recall-1.0 candidate generation is hash-family-
+    # independent up to 2^-32 collisions — the exact-dup pair scores 1.0
+    # and the disjoint doc pairs with nothing in BOTH modes
+    for mode in ("md5", "xxhash64"):
+        pairs = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=0.5, max_shingle_freq=10**9,
+                hash_mode=mode,
+            ).collect()
+        }
+        assert pairs.get((1, 2)) == 1.0, (mode, pairs)
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
 
 def test_bloom_masks_stay_in_32_bit_words(spark):
     """The layout never shifts into the sign bit: every stored word is a
