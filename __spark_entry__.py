@@ -3304,85 +3304,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # immediately preceding round rotate to the back, where falling past
     # the cap loses nothing.  Rotate per round.
     #
-    # r09 state: the rotation's steady state.  r08 checked the first 50
-    # entries of the r08 order (the 13 r05-green overflow + the 37
-    # r06-green) — all green, closing the 2-round zero-residue window.
-    # Due now: the 50 entries whose newest green row is r07 — exactly
-    # the r08 back block, promoted to the front in its planned order.
-    # After this round every roster member's newest green row is r08 or
-    # r09, and the window rolls forward with zero residue again.
+    # r10 state: the rotation's steady state, window 3.  r09 checked the
+    # first 50 entries of the r09 order (the r07-green block) — all
+    # green (CORRECTNESS_r09 50/50), so the r08∪r09 union again covers
+    # the whole 100-query roster with zero overlap and zero residue.
+    # Due now: the 50 entries whose newest green row is r08 — exactly
+    # the r09 back block, promoted to the front in its planned order.
+    # After this round every roster member's newest green row is r09 or
+    # r10, and the window rolls forward with zero residue again.
     #
-    # One due-50 member changed THIS round, inside the checked window so
-    # the driver re-verifies it: ann_topk_lsh (batch lsh_topk now drops
-    # NULL-sim — zero-norm — candidates before ranking, matching the
-    # streaming twin's policy; the oracle got the same WHERE sim IS NOT
-    # NULL, and the sf fixtures contain no zero-norm vectors so the
-    # result rows are unchanged — the policy is pinned by the zero-norm
-    # row in the streaming equivalence fixture).  ann_recall composes
-    # the same lsh SQL on both sides, so it stays consistent by
-    # construction and is re-verified in this window too.  Late round 9
-    # also changed four queries' PLANS with bit-identical results (each
-    # hash-verified against the oracle at sf0.01 before commit):
-    # minhash_lsh (pair intersect computed once inside the pair lambda),
-    # bloom_filter (seed hashes materialized once — in the due window,
-    # so the driver re-verifies it), and kmeans_step / ann_topk_ivf
-    # (ivf_cell argmax fold).  Back block =
-    # the 50 entries green in r08, ordered as r10's due list.  Keep the
-    # total AT 100: every future addition must be matched by a
-    # consolidation.
+    # Due-50 members changed THIS round (inside the checked window, so
+    # the driver re-verifies them): ann_topk / ann_topk_pandas /
+    # embedding_near_dup (the degenerate-element prefilter from the r09
+    # ADVICE low — arrays containing NULL/NaN elements are now rejected
+    # on both sides, matching the documented zero-norm/NaN policy; the
+    # sf fixtures contain no such vectors so result rows are unchanged)
+    # and ngram_jaccard (the shingle-frequency window-skip sentinel now
+    # actually skips for unbounded callers — plan change, identical
+    # rows, hash-verified at sf0.01 before commit).  Back block = the 50
+    # entries green in r09, ordered as r11's due list.  Keep the total
+    # AT 100: every future addition must be matched by a consolidation.
     return {
-        # --- newest green row is r07 (due now) ---
-        "simhash_near_dup": q_simhash_near_dup,
-        "ann_recall": q_ann_recall,
-        "audio_features": q_audio_features,
-        "image_features": q_image_features,
-        "brand_price_rank": q_brand_price_rank,
-        "bpe_merge_step": q_bpe_merge_step,
-        "quality_classifier": q_quality_classifier,
-        "source_overlap": q_source_overlap,
-        "gopher_quality": q_gopher_quality,
-        "weighted_sample": q_weighted_sample,
-        "doc_repetition": q_doc_repetition,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "events_hourly": q_events_hourly,
-        "sessionization": q_sessionization,
-        "rolling_avg_value": q_rolling_avg_value,
-        "session_paths": q_session_paths,
-        "segment_dedup": q_segment_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "bloom_filter": q_bloom_filter,
-        "pii_redaction": q_pii_redaction,
-        "embedding_normalize": q_embedding_normalize,
-        "split_leakage": q_split_leakage,
-        "returnflag_grouping": q_returnflag_grouping,
-        "customer_order_presence": q_customer_order_presence,
-        "top_token_zipf": q_top_token_zipf,
-        "promo_q19_revenue": q_promo_q19_revenue,
-        "segment_order_matrix": q_segment_order_matrix,
-        "doc_profile": q_doc_profile,
-        "customer_features": q_customer_features,
-        "corpus_stats": q_corpus_stats,
-        "props_surface": q_props_surface,
-        "click_purchase_segments": q_click_purchase_segments,
-        "sample_splits": q_sample_splits,
-        "monthly_orders_growth": q_monthly_orders_growth,
-        "union_filter": q_union_filter,
-        "token_chunks": q_token_chunks,
-        "packing_efficiency": q_packing_efficiency,
-        "curation_funnel": q_curation_funnel,
-        "quantile_sketch": q_quantile_sketch,
-        "dedup_exact": q_dedup_exact,
-        "volume_shipping": q_volume_shipping,
-        "customer_distribution": q_customer_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "wealthy_low_activity": q_wealthy_low_activity,
-        "linestatus_priority": q_linestatus_priority,
-        "pareto_customers": q_pareto_customers,
-        "asof_prior_purchase": q_asof_prior_purchase,
-        "event_type_stats": q_event_type_stats,
-        "zone_pollution_full": q_zone_pollution_full,
-        "max_order_per_customer": q_max_order_per_customer,
-        # --- green in r08 (past the cap loses nothing) = r10's due list ---
+        # --- newest green row is r08 (due now) ---
         "ann_topk_pandas": q_ann_topk_pandas,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3433,6 +3376,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
         "incremental_snapshot": q_incremental_snapshot,
+        # --- green in r09 (past the cap loses nothing) = r11's due list ---
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_recall": q_ann_recall,
+        "audio_features": q_audio_features,
+        "image_features": q_image_features,
+        "brand_price_rank": q_brand_price_rank,
+        "bpe_merge_step": q_bpe_merge_step,
+        "quality_classifier": q_quality_classifier,
+        "source_overlap": q_source_overlap,
+        "gopher_quality": q_gopher_quality,
+        "weighted_sample": q_weighted_sample,
+        "doc_repetition": q_doc_repetition,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "rolling_avg_value": q_rolling_avg_value,
+        "session_paths": q_session_paths,
+        "segment_dedup": q_segment_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_filter": q_bloom_filter,
+        "pii_redaction": q_pii_redaction,
+        "embedding_normalize": q_embedding_normalize,
+        "split_leakage": q_split_leakage,
+        "returnflag_grouping": q_returnflag_grouping,
+        "customer_order_presence": q_customer_order_presence,
+        "top_token_zipf": q_top_token_zipf,
+        "promo_q19_revenue": q_promo_q19_revenue,
+        "segment_order_matrix": q_segment_order_matrix,
+        "doc_profile": q_doc_profile,
+        "customer_features": q_customer_features,
+        "corpus_stats": q_corpus_stats,
+        "props_surface": q_props_surface,
+        "click_purchase_segments": q_click_purchase_segments,
+        "sample_splits": q_sample_splits,
+        "monthly_orders_growth": q_monthly_orders_growth,
+        "union_filter": q_union_filter,
+        "token_chunks": q_token_chunks,
+        "packing_efficiency": q_packing_efficiency,
+        "curation_funnel": q_curation_funnel,
+        "quantile_sketch": q_quantile_sketch,
+        "dedup_exact": q_dedup_exact,
+        "volume_shipping": q_volume_shipping,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "wealthy_low_activity": q_wealthy_low_activity,
+        "linestatus_priority": q_linestatus_priority,
+        "pareto_customers": q_pareto_customers,
+        "asof_prior_purchase": q_asof_prior_purchase,
+        "event_type_stats": q_event_type_stats,
+        "zone_pollution_full": q_zone_pollution_full,
+        "max_order_per_customer": q_max_order_per_customer,
     }
 
 
