@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_one_to_many_join_spark.functions.dedup import (
+    UNBOUNDED_SHINGLE_FREQ,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
     exact_duplicates,
@@ -728,7 +729,7 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact trigram-shingle Jaccard near-dup pairs (recall 1.0)."""
     return ngram_jaccard_pairs(
         load_table(spark, sf, "documents"), n=3, threshold=0.7,
-        max_shingle_freq=10**9,
+        max_shingle_freq=UNBOUNDED_SHINGLE_FREQ,
     )
 
 

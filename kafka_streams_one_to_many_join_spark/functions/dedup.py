@@ -121,6 +121,12 @@ def shingles(
     )
 
 
+# Sentinel cap meaning "no shingle-frequency filtering" — exact Jaccard
+# semantics.  Any cap ≥ this skips the document-frequency window (and its
+# per-partition sort) entirely; no real corpus-frequency cap is this large.
+UNBOUNDED_SHINGLE_FREQ = 10**9
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -138,7 +144,9 @@ def ngram_jaccard_pairs(
     guard against quadratic fan-out on boilerplate shingles.  Dropping a
     shingle can only lose candidate pairs whose *every* common shingle is
     boilerplate — at the default cap that is a deliberate, logged trade;
-    set it above the corpus size for exact semantics (tests/oracle do).
+    pass ``UNBOUNDED_SHINGLE_FREQ`` (any value ≥ it works) for exact
+    semantics (tests/oracle do), which also skips the document-frequency
+    window entirely.
     ``hash_mode="xxhash64"`` (functions.hashing) swaps the per-occurrence
     md5 for the engine-native hash — the same deployment knob as
     MinHash/CMS/Bloom; md5 stays the oracle-parity default.
@@ -169,12 +177,12 @@ def ngram_jaccard_pairs(
     )
     # document frequency via a window over the ONE shuffle by hash —
     # the groupBy(h) below reuses the same hash partitioning, so
-    # candidate generation adds no exchange.  When the cap is effectively
-    # unbounded (exact semantics — the roster query and the oracle pass
-    # 10^9) the filter can never drop a row, but Catalyst cannot prove
-    # that, so skip the window entirely: it would impose a per-partition
-    # sort over every shingle occurrence to feed a no-op predicate.
-    if max_shingle_freq < 2**31:
+    # candidate generation adds no exchange.  When the cap is unbounded
+    # (exact semantics — callers pass UNBOUNDED_SHINGLE_FREQ = 10^9) the
+    # filter can never drop a row, but Catalyst cannot prove that, so
+    # skip the window entirely: it would impose a per-partition sort
+    # over every shingle occurrence to feed a no-op predicate.
+    if max_shingle_freq < UNBOUNDED_SHINGLE_FREQ:
         df_w = Window.partitionBy("h")
         sh = (
             sh.withColumn("df", F.count(F.lit(1)).over(df_w))

@@ -93,6 +93,7 @@ def _variants() -> dict:
     """Non-roster measurement-only variants (kept out of queries() so the
     driver roster stays at 100 oracle-paired entries)."""
     from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        UNBOUNDED_SHINGLE_FREQ,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
@@ -101,7 +102,7 @@ def _variants() -> dict:
     return {
         "ngram_jaccard_xxh": lambda spark, d: ngram_jaccard_pairs(
             load_table(spark, d, "documents"), n=3, threshold=0.7,
-            max_shingle_freq=10**9, hash_mode="xxhash64",
+            max_shingle_freq=UNBOUNDED_SHINGLE_FREQ, hash_mode="xxhash64",
         ),
         "cms_token_counts_xxh": lambda spark, d: entry_mod.q_cms_token_counts(
             spark, d, hash_mode="xxhash64"

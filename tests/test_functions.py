@@ -7,6 +7,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from kafka_streams_one_to_many_join_spark.functions.dedup import (
+    UNBOUNDED_SHINGLE_FREQ,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
     exact_duplicates,
@@ -77,20 +78,18 @@ def test_ngram_jaccard_shingle_freq_cap(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     # shared boilerplate: 3 pure 3-gram shingles in all 5 docs -> pairwise
     # jaccard 3/7; the (1,2) exact dup has jaccard 1.0 on df=2 shingles
-    uncapped = {
-        (r.doc_a, r.doc_b)
-        for r in ngram_jaccard_pairs(
-            docs, n=3, threshold=0.3, max_shingle_freq=10**9
-        ).collect()
-    }
+    unbounded = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, max_shingle_freq=UNBOUNDED_SHINGLE_FREQ
+    )
+    # the unbounded branch must really skip the df window — no Window
+    # node (and its per-partition sort over shingle occurrences) in plan
+    assert "Window" not in unbounded._jdf.queryExecution().optimizedPlan().toString()
+    uncapped = {(r.doc_a, r.doc_b) for r in unbounded.collect()}
     assert (1, 2) in uncapped
     assert {(a, b) for a in range(3, 8) for b in range(a + 1, 8)} <= uncapped
-    capped = {
-        (r.doc_a, r.doc_b)
-        for r in ngram_jaccard_pairs(
-            docs, n=3, threshold=0.3, max_shingle_freq=4
-        ).collect()
-    }
+    capped_df = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_freq=4)
+    assert "Window" in capped_df._jdf.queryExecution().optimizedPlan().toString()
+    capped = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
     assert capped == {(1, 2)}
 
 
@@ -881,7 +880,7 @@ def test_hash_mode_xxhash64_contracts(spark):
         pairs = {
             (r.doc_a, r.doc_b): r.jaccard
             for r in ngram_jaccard_pairs(
-                docs, n=3, threshold=0.5, max_shingle_freq=10**9,
+                docs, n=3, threshold=0.5, max_shingle_freq=UNBOUNDED_SHINGLE_FREQ,
                 hash_mode=mode,
             ).collect()
         }
