@@ -1768,6 +1768,11 @@ def _ann_lsh_sql() -> str:
         WITH bkt AS (
             SELECT vec_id, embedding, {_DUCK_NORM} AS nn, {bucket} AS bucket
             FROM embeddings
+            -- degenerate-element policy (mirrors lsh_topk's prefilter):
+            -- drop vectors with any NULL/NaN element (NULL array drops
+            -- via the NULL len); zero-norm drops via sim IS NOT NULL
+            WHERE len(list_filter(embedding,
+                      e -> e IS NULL OR isnan(e::DOUBLE))) = 0
         ),
         q AS (
             SELECT vec_id AS query_id, embedding, qn, bucket

@@ -235,22 +235,26 @@ def lsh_topk(
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
     masks = probe_masks(len(planes), probe_hamming)
-    # zero-norm (and NULL-embedding) vectors cosine to NULL on every
-    # pairing; they carry no similarity signal and the streaming twin
-    # (_fold_topk) excludes them from its running top-k, so drop them on
-    # BOTH sides here too — otherwise on a corpus with < k real
-    # candidates for some query, NULL sims (NULLS LAST under sim DESC)
-    # would fill trailing ranks in batch but not in the stream, breaking
-    # the bit-for-bit twin contract.  The predicate is a scan-level
-    # `exists(vec, v -> v != 0)` (short-circuits on the first nonzero
-    # element; NULL array → NULL → dropped), NOT `sim IS NOT NULL` after
-    # the projection: that post-filter would alias-substitute the whole
-    # cosine aggregate into a pushed-down Filter and re-evaluate it per
-    # candidate — the CodegenFallback no-CSE defect class the r08 IVF
-    # plan fix eliminated (test_roster_wide_plan_hygiene fences it).
-    # Oracle equivalent: WHERE sim IS NOT NULL before ranking (sim is
-    # NULL iff an endpoint's norm is 0/NULL iff all elements are 0).
-    nonzero = f"exists({vec_col}, v -> v != cast(0.0 as double))"
+    # Degenerate vectors — zero-norm, NULL array, or any NULL/NaN
+    # element — cosine to NULL/NaN on every pairing; they carry no
+    # similarity signal and the streaming twin (_fold_topk) excludes
+    # them from its running top-k, so drop them on BOTH sides here too.
+    # Without the element guard a mixed vector (nonzero + NULL element)
+    # would survive an exists-only check but yield NULL sims filling
+    # trailing ranks (NULLS LAST), and a NaN element would yield NaN
+    # sims that Spark ranks FIRST under sim DESC while the stream skips
+    # them — both breaking the bit-for-bit twin contract.  The predicate
+    # is a scan-level lambda over the raw array, NOT `sim IS NOT NULL`
+    # after the projection: that post-filter would alias-substitute the
+    # whole cosine aggregate into a pushed-down Filter and re-evaluate
+    # it per candidate — the CodegenFallback no-CSE defect class the r08
+    # IVF plan fix eliminated (test_roster_wide_plan_hygiene fences it).
+    # Oracle equivalent: an element-level list_filter guard plus
+    # WHERE sim IS NOT NULL before ranking (see _ann_lsh_sql).
+    nonzero = (
+        f"forall({vec_col}, v -> v is not null and not isnan(v))"
+        f" and exists({vec_col}, v -> v != cast(0.0 as double))"
+    )
     c = ensure_parallelism(corpus.filter(F.expr(nonzero))).select(
         F.col(id_col),
         F.col(vec_col),

@@ -146,6 +146,33 @@ def test_lsh_topk_subset_of_exact(spark):
         assert abs(exact_sims[(r.query_id, r.vec_id)] - r.sim) < 1e-9
 
 
+def test_lsh_topk_degenerate_element_policy(spark):
+    """Vectors with NULL or NaN ELEMENTS (not just all-zero / NULL-array)
+    are excluded on both the corpus and query sides — the r09 ADVICE gap:
+    a mixed vector passed the exists-only check but produced NULL sims
+    (trailing ranks) or NaN sims (ranked FIRST under sim DESC), policies
+    the streaming _fold_topk does not share."""
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(8).astype("float32").tolist()) for i in range(10)]
+    mixed_null = [1.0] * 8
+    mixed_null[3] = None
+    rows += [
+        (90, mixed_null),                      # nonzero + NULL element
+        (91, [float("nan")] + [1.0] * 7),      # NaN element
+        (92, [0.0] * 8),                       # zero-norm
+        (93, None),                            # NULL array
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    planes = np.random.RandomState(3).randn(4, 8).tolist()
+    out = lsh_topk(emb, queries, planes, k=20).collect()
+    degenerate = {90, 91, 92, 93}
+    assert all(r.query_id not in degenerate for r in out)
+    assert all(r.vec_id not in degenerate for r in out)
+    # and no NULL/NaN sim survives to ranking
+    assert all(r.sim is not None and r.sim == r.sim for r in out)
+
+
 _PPM_1 = encode_ppm(2, 2, bytes(range(12)))  # pixels 0..11
 _PPM_2 = encode_ppm(3, 1, bytes([255] * 9))
 
