@@ -73,6 +73,12 @@ def bucketed_interval_join(
     """
     dynamic = not isinstance(bucket, int)
     if dynamic and "_omax" in bucket.columns:
+        if end_open_max is not None:
+            raise ValueError(
+                "end_open_max conflicts with a bucket frame that already "
+                "carries an _omax column — supply the bound through one "
+                "channel only"
+            )
         bound = None  # bound rides on the bucket frame (one shared attach)
     elif end_open_max is None:
         bound = points.agg(F.max(point_ord).alias("_omax"))

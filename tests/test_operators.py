@@ -336,3 +336,12 @@ def test_bucketed_interval_join_matches_naive(spark):
         ).collect()
     )
     assert got_merged == naive, "merged _bw/_omax frame diverged"
+
+    # conflicting bound channels must raise, not silently prefer _omax
+    import pytest
+
+    with pytest.raises(ValueError, match="_omax"):
+        bucketed_interval_join(
+            pt, iv, on="k", point_ord="o", start="s", end="e",
+            bucket=width_omax, end_open_max=F.lit(1000),
+        )
