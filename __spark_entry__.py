@@ -57,7 +57,7 @@ from kafka_streams_one_to_many_join_spark.functions.packing import (
     packing_efficiency,
     token_chunks,
 )
-from kafka_streams_one_to_many_join_spark.model import load_table
+from kafka_streams_one_to_many_join_spark.model import load_table, materialize
 from kafka_streams_one_to_many_join_spark.operators import (
     apply_upserts,
     arrive_leave_events,
@@ -1525,7 +1525,7 @@ def q_top_token_zipf(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(100)
-        .localCheckpoint(eager=False)  # 100 rows; count once, read twice
+        .transform(lambda d: materialize(d, eager=False))  # 100 rows; count once, read twice
     )
     ranked = counts.select(
         "token",
@@ -2486,7 +2486,7 @@ def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     bt = (
         toks.groupBy("bucket", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(lambda d: materialize(d, eager=False))
     )
     bucket_tokens = bt.groupBy("bucket").agg(
         F.sum("cnt").alias("bucket_tokens")
@@ -2935,7 +2935,7 @@ def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Scale: the document text itself NEVER shuffles — only (doc_id,
     32-bit segment hash) pairs do, and the text is scanned/tokenized
     exactly once: the compact (doc_id, seg_h) projection is lazily
-    localCheckpointed (the packing recipe — ~16 bytes/segment
+    materialized (localCheckpoint by default — the packing recipe — ~16 bytes/segment
     executor-local) so both consumers (the occurrence counts and the
     per-doc join-back) read the materialized pairs instead of
     re-deriving them.  Three hash aggregates: per-hash occurrence counts
@@ -2960,7 +2960,7 @@ def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "doc_id",
         F.explode(F.expr(segment_hash_expr("_toks"))).alias("seg_h"),
-    ).localCheckpoint(eager=False)
+    ).transform(lambda d: materialize(d, eager=False))
     occ = segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
     per_doc = (
         segs.join(occ, "seg_h")
@@ -2994,7 +2994,7 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     still millions of rows, so no broadcast assumption; Catalyst/AQE
     picks broadcast when it fits.
 
-    The (doc_id, token) pairs are lazily localCheckpointed so the text
+    The (doc_id, token) pairs are lazily materialized so the text
     is scanned and tokenized ONCE for the two consumers (vocab counts +
     the per-doc attach).  Measured against the alternatives at sf0.1 /
     the 10x twin: plain diamond 0.95 s / 1.37 s, input-spread 1.19 s /
@@ -3007,7 +3007,7 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("tok"),
-    ).localCheckpoint(eager=False)
+    ).transform(lambda d: materialize(d, eager=False))
     vocab = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
     scored = (
@@ -3255,7 +3255,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     exact = (
         q_ann_topk(spark, sf)
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     approx = (
         q_ann_topk_lsh(spark, sf)

@@ -663,23 +663,27 @@ def near_dup_clusters(
     near-dup edge).  Each round is one shuffle join on node id plus a
     groupBy(min); the one driver-side scalar per round is the convergence
     test (label sums decrease monotonically, so sum-unchanged ⇔ fixpoint
-    — no row-level collect).  ``localCheckpoint`` truncates the growing
-    lineage each round; on a cluster with an unreliable driver, switch to
-    a checkpoint directory.
+    — no row-level collect).  ``model.materialize`` truncates the growing
+    lineage each round: executor-local blocks by default, or reliable
+    checkpointing when ``spark.graft.checkpointDir`` /
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` is set (the cluster-scale escape hatch
+    — executor loss then no longer fails the job).
     """
+    from kafka_streams_one_to_many_join_spark.model import materialize
+
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -690,7 +694,7 @@ def near_dup_clusters(
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         s = labels.agg(F.sum("lbl")).collect()[0][0]
         if s == prev_sum:

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..model import materialize
 from .text import tokens_expr
 
 
@@ -71,10 +72,11 @@ def pack_sequences(
     # branch and the bucket-totals branch; without materialization Spark
     # plans the scan + tokenize twice (verified: no ReuseExchange even under
     # AQE, since the broadcast side runs as its own job first).  A lazy
-    # localCheckpoint stores ~16 bytes/doc executor-local on first use —
-    # tokenization happens exactly once at any scale, same recipe as the
-    # dup-graph iteration in dedup.py.
-    base = base.localCheckpoint(eager=False)
+    # materialize (localCheckpoint by default; reliable checkpoint when
+    # spark.graft.checkpointDir is set) stores ~16 bytes/doc on first
+    # use — tokenization happens exactly once at any scale, same recipe
+    # as the dup-graph iteration in dedup.py.
+    base = materialize(base, eager=False)
     w_in = Window.partitionBy("_bucket").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -204,7 +206,7 @@ def packing_efficiency(
     base = docs.select(
         F.col(id_col).alias("id"),
         F.size(tokens_expr(text_col)).cast("bigint").alias("n"),
-    ).localCheckpoint(eager=False)  # tokenize once for all three branches
+    ).transform(lambda d: materialize(d, eager=False))  # tokenize once for all three branches
 
     def frac(pad_expr: "F.Column", cap_expr: "F.Column") -> "F.Column":
         return F.round(pad_expr.cast("double") / cap_expr.cast("double"), 6)

@@ -21,6 +21,8 @@ records land in a corrupt-record column instead of killing the pipeline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -135,6 +137,37 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Pin a DataFrame's result and truncate its lineage — the repo-wide
+    wrapper for every batch ``localCheckpoint`` site (iterative label
+    propagation, multi-branch reuse of an expensive projection, exact
+    ANN baselines).
+
+    Default: ``localCheckpoint`` — executor-local blocks, fastest, but a
+    lost executor discards its blocks and FAILS the job.  Fine on
+    local[*] and on clusters where re-running the job beats paying the
+    replication.  For fault-tolerant runs, opt in to reliable
+    checkpointing by setting the session conf
+    ``spark.graft.checkpointDir`` (or env ``SPARK_GRAFT_CHECKPOINT_DIR``)
+    to a (distributed) filesystem path: blocks then go through
+    ``DataFrame.checkpoint`` into that directory and survive executor
+    loss.  The knob is read per call, so one session can mix modes.
+
+    ``reliable`` checkpointing is always eager (Spark materializes on
+    write); the ``eager`` flag only controls the local fast path.
+    """
+    spark = df.sparkSession
+    ckpt_dir = spark.conf.get("spark.graft.checkpointDir", None) or os.environ.get(
+        "SPARK_GRAFT_CHECKPOINT_DIR"
+    )
+    if ckpt_dir:
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

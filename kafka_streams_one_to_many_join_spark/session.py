@@ -100,8 +100,14 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # SPARK_GRAFT_MASTER overrides the default local[cpus] master without
+    # touching call sites — e.g. local-cluster[2,4,4096] for multi-JVM
+    # executor-boundary testing (see README "Multi-JVM execution").
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
     if master is not None:
         builder = builder.master(master)
+    elif env_master:
+        builder = builder.master(env_master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():

@@ -438,6 +438,47 @@ def test_near_dup_clusters_multi_hop(spark):
     assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 21: 20, 30: 20}
 
 
+def test_materialize_reliable_checkpoint_opt_in(spark, tmp_path):
+    """The spark.graft.checkpointDir knob switches every materialize
+    site (iterative CC, packing, ann_recall) from executor-local
+    localCheckpoint to reliable DataFrame.checkpoint: identical results,
+    and the checkpoint blocks actually land in the directory — the
+    cluster-scale escape hatch for executor loss (r09 VERDICT item 4)."""
+    import os
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (9, 11), (20, 21), (30, 21)],
+        "doc_a long, doc_b long",
+    )
+    expected = {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 21: 20, 30: 20}
+    ckpt = str(tmp_path / "reliable_ckpt")
+    spark.conf.set("spark.graft.checkpointDir", ckpt)
+    try:
+        got = {
+            r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.checkpointDir")
+    assert got == expected
+    # reliable blocks really were written (rdd-*/part files under the dir)
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+        if f.startswith("part-")
+    ]
+    assert written, "no checkpoint blocks written to spark.graft.checkpointDir"
+    # and the default path (knob unset) still localCheckpoints
+    got_local = {
+        r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()
+    }
+    assert got_local == expected
+
+
 def test_near_dup_clusters_empty(spark):
     from kafka_streams_one_to_many_join_spark.functions.dedup import (
         near_dup_clusters,
