@@ -140,11 +140,36 @@ def gen_customer(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def gen_orders(n: int, rng: np.random.Generator, n_cust: int) -> pa.Table:
+def zipf_keys(
+    n: int, n_keys: int, s: float, rng: np.random.Generator
+) -> np.ndarray:
+    """n draws from a zipfian(s) distribution over keys 1..n_keys.
+
+    Rank-based inverse-CDF sampling (P(rank r) ∝ r^-s), so the exponent
+    holds exactly over the FINITE key range — numpy's rng.zipf samples
+    unbounded support and clamping distorts the head.  Rank 1 maps to
+    key 1: the hottest key is known, which the skew bench exploits."""
+    ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+    p = ranks**-s
+    p /= p.sum()
+    return rng.choice(np.arange(1, n_keys + 1, dtype=np.int64), size=n, p=p)
+
+
+def gen_orders(
+    n: int,
+    rng: np.random.Generator,
+    n_cust: int,
+    zipf_s: float | None = None,
+) -> pa.Table:
     """Matches the testdata orders schema.  Like TPC-H, only ~2/3 of
     customers place orders (o_custkey drawn from the lower 2/3 of the key
     range) — the bloom_filter query needs genuine non-members to score
-    false positives against."""
+    false positives against.
+
+    ``zipf_s``: when set, o_custkey is drawn zipfian (exponent s) over
+    the same range instead of uniformly — the skew-stress twin
+    (scripts/skew_bench.py).  s≈1.1 puts a few percent of ALL orders on
+    the single hottest customer, the classic hot-FK shuffle-join bomb."""
     base_us = np.int64(757_382_400_000_000)  # 1994-01-01T00:00:00Z in µs
     span_us = np.int64(6 * 365 * 24 * 3600) * 1_000_000
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -154,7 +179,11 @@ def gen_orders(n: int, rng: np.random.Generator, n_cust: int) -> pa.Table:
             "o_custkey": pa.array(
                 # inclusive upper bound: the lower-2/3 key range is
                 # [1, 2n/3] (rng.integers' high is exclusive)
-                rng.integers(1, max(2, n_cust * 2 // 3) + 1, n).astype(np.int64)
+                zipf_keys(n, max(2, n_cust * 2 // 3), zipf_s, rng)
+                if zipf_s is not None
+                else rng.integers(1, max(2, n_cust * 2 // 3) + 1, n).astype(
+                    np.int64
+                )
             ),
             "o_orderstatus": pa.array(
                 np.array(["O", "F", "P"])[rng.integers(0, 3, n)], pa.string()
@@ -176,6 +205,13 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10, help="row-count multiple of sf0.1")
     ap.add_argument("--out", default="/tmp/scale_sf1")
     ap.add_argument("--seed", type=int, default=20260813)
+    ap.add_argument(
+        "--zipf-orders",
+        type=float,
+        default=None,
+        metavar="S",
+        help="draw o_custkey zipfian with exponent S (skew twin) instead of uniform",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
@@ -185,7 +221,7 @@ def main() -> None:
         ("embeddings", gen_embeddings),
         ("events", gen_events),
         ("customer", gen_customer),
-        ("orders", lambda n, rng: gen_orders(n, rng, n_cust)),
+        ("orders", lambda n, rng: gen_orders(n, rng, n_cust, args.zipf_orders)),
     ]:
         table = gen(BASE[name] * args.mult, rng)
         # multiple row groups → parallel scan partitions, like real 100 TB
