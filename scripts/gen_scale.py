@@ -212,10 +212,17 @@ def main() -> None:
         metavar="S",
         help="draw o_custkey zipfian with exponent S (skew twin) instead of uniform",
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset to generate (default: all) — e.g. "
+        "orders,customer for a big skew twin without the slow documents loop",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     n_cust = BASE["customer"] * args.mult
+    only = set(args.tables.split(",")) if args.tables else None
     for name, gen in [
         ("documents", gen_documents),
         ("embeddings", gen_embeddings),
@@ -223,6 +230,8 @@ def main() -> None:
         ("customer", gen_customer),
         ("orders", lambda n, rng: gen_orders(n, rng, n_cust, args.zipf_orders)),
     ]:
+        if only is not None and name not in only:
+            continue
         table = gen(BASE[name] * args.mult, rng)
         # multiple row groups → parallel scan partitions, like real 100 TB
         # inputs (the shipped testdata is single-row-group; model.py's

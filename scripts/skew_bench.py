@@ -119,17 +119,21 @@ def main() -> None:
             lambda: orders.join(customer, orders.o_custkey == customer.c_custkey),
             {"spark.sql.adaptive.enabled": "true"},
         ),
-        "salted": (
-            lambda: salted_one_to_many_join(
+    }
+    # salting's cost is dim-side replication (×buckets), its benefit is
+    # splitting the hot key ×buckets: sweep the ladder so the guidance
+    # ("smallest buckets that caps the straggler") is a measurement
+    for b in (4, 8, 16):
+        variants[f"salted_b{b}"] = (
+            lambda b=b: salted_one_to_many_join(
                 orders.withColumnRenamed("o_custkey", "custkey"),
                 customer.withColumnRenamed("c_custkey", "custkey"),
                 fk="custkey",
                 identity_cols=["o_orderkey"],
-                buckets=16,
+                buckets=b,
             ),
             {},
-        ),
-    }
+        )
 
     out = {
         "dir": args.dir,
