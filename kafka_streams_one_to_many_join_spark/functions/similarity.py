@@ -373,6 +373,54 @@ def ivf_probe_cells(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    init: list[list[float]],
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means training for the IVF coarse quantizer: iterate
+    the ``kmeans_step`` recipe (assign via ``ivf_cell`` argmax-dot,
+    recompute per-cell means through the shuffle-friendly posexplode
+    aggregation) and renormalize to unit norm each round, so the trained
+    centroids satisfy the same contract as ``seeded_centroids`` (unit
+    norm ⇒ argmax dot == argmax cosine; 6-decimal literals shared with
+    any SQL twin).
+
+    Scale shape: each round is one projection + one O(cells × dim)
+    shuffle; only cells × dim doubles ever reach the driver (16×64 here
+    — sketch-sized, the same bounded-scalar class as the CC convergence
+    sum).  Empty cells keep their previous centroid.  Everything
+    downstream of training (assignment, probe, re-rank) is unchanged —
+    training only moves the literals, which the recall measurement in
+    SCALE.md ("clustered-corpus ANN") shows is exactly what matters on
+    clustered data.
+    """
+    import numpy as np
+
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    cents = [list(c) for c in init]
+    for _ in range(iters):
+        rows = (
+            corpus.select(ivf_cell(vec_col, cents).alias("_cell"), vec_col)
+            .select("_cell", F.posexplode(vec_col).alias("_dim", "_x"))
+            .groupBy("_cell", "_dim")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        mat = np.array(cents, dtype=np.float64)
+        upd = np.full_like(mat, np.nan)
+        for r in rows:
+            upd[r._cell - 1, r._dim] = r._m
+        moved = ~np.isnan(upd).any(axis=1)
+        mat[moved] = upd[moved]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        cents = [[float(round(x, 6)) for x in row] for row in mat]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -20,6 +20,13 @@ in SCALE.md; the nesting that makes the curves monotone is unit-tested
 (probe_masks / ivf_probe_cells prefixes,
 test_lsh_recall_monotone_in_probe_hamming).
 
+Round 10 adds an ``ivf_trained`` curve per dir: the same nprobe ladder
+with centroids trained by 5 Lloyd rounds (``train_centroids``, the
+iterated kmeans_step) from the seeded init — on clustered corpora
+(gen_scale.py --clustered-emb M) training moves the curve sharply up at
+equal scan; on isotropic gaussians it barely matters (measured, SCALE.md
+"Clustered-corpus ANN").
+
 Usage:
   python scripts/ann_tradeoff.py [data_dir ...]
   # default: /root/testdata/sf0.1
@@ -47,6 +54,7 @@ from kafka_streams_one_to_many_join_spark.functions.similarity import (
     probe_masks,
     seeded_centroids,
     seeded_planes,
+    train_centroids,
 )
 from kafka_streams_one_to_many_join_spark.model import load_table
 from kafka_streams_one_to_many_join_spark.session import get_session
@@ -56,6 +64,7 @@ IVF_NLIST, IVF_SEED = 16, 23
 K = 10
 LSH_SWEEP = (0, 1, 2, 3)
 IVF_SWEEP = (1, 2, 3, 4, 6, 8)
+TRAIN_ITERS = 5  # Lloyd rounds for the trained-quantizer curve
 
 
 def _recall(approx_rows, exact: dict[int, set[int]]) -> float:
@@ -124,25 +133,43 @@ def sweep(spark, d: str) -> dict:
         .collect()
     }
 
-    corpus_cell = emb.select(
-        "vec_id", ivf_cell("embedding", cents).alias("_cell")
-    )
-    qprobe = queries.select(
-        "query_id",
-        F.posexplode(
-            ivf_probe_cells("embedding", cents, max(IVF_SWEEP))
-        ).alias("probe_rank", "_cell"),
-    )
-    ivf_cand_by_rank = {
-        int(r.probe_rank): int(r.n)
-        for r in corpus_cell.join(qprobe, "_cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("probe_rank")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    def ivf_cand_counts(cs):
+        corpus_cell = emb.select(
+            "vec_id", ivf_cell("embedding", cs).alias("_cell")
+        )
+        qprobe = queries.select(
+            "query_id",
+            F.posexplode(
+                ivf_probe_cells("embedding", cs, max(IVF_SWEEP))
+            ).alias("probe_rank", "_cell"),
+        )
+        return {
+            int(r.probe_rank): int(r.n)
+            for r in corpus_cell.join(qprobe, "_cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("probe_rank")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
-    out = {"dir": d, "n_corpus": n, "n_queries": n_q, "lsh": [], "ivf": []}
+    ivf_cand_by_rank = ivf_cand_counts(cents)
+
+    # trained coarse quantizer: same nlist, same probe machinery — only
+    # the centroid literals move (5 Lloyd iterations of kmeans_step)
+    t0 = time.perf_counter()
+    cents_tr = train_centroids(emb, cents, iters=TRAIN_ITERS)
+    train_sec = round(time.perf_counter() - t0, 3)
+    ivf_tr_cand_by_rank = ivf_cand_counts(cents_tr)
+
+    out = {
+        "dir": d,
+        "n_corpus": n,
+        "n_queries": n_q,
+        "ivf_train_sec": train_sec,
+        "lsh": [],
+        "ivf": [],
+        "ivf_trained": [],
+    }
     for ph in LSH_SWEEP:
         df = lsh_topk(emb, queries, planes, k=K, probe_hamming=ph)
         rec = _recall(df.collect(), exact)
@@ -156,19 +183,23 @@ def sweep(spark, d: str) -> dict:
             }
         )
         print(f"  lsh ph={ph}: {out['lsh'][-1]}", file=sys.stderr)
-    for nprobe in IVF_SWEEP:
-        df = ivf_topk(emb, queries, cents, nprobe=nprobe, k=K)
-        rec = _recall(df.collect(), exact)
-        cand = sum(v for r, v in ivf_cand_by_rank.items() if r < nprobe)
-        out["ivf"].append(
-            {
-                "nprobe": nprobe,
-                "recall": round(rec, 4),
-                "scanned": round(cand / denom, 4),
-                "sec": _timed(df),
-            }
-        )
-        print(f"  ivf nprobe={nprobe}: {out['ivf'][-1]}", file=sys.stderr)
+    for tag, cs, cand_by_rank in (
+        ("ivf", cents, ivf_cand_by_rank),
+        ("ivf_trained", cents_tr, ivf_tr_cand_by_rank),
+    ):
+        for nprobe in IVF_SWEEP:
+            df = ivf_topk(emb, queries, cs, nprobe=nprobe, k=K)
+            rec = _recall(df.collect(), exact)
+            cand = sum(v for r, v in cand_by_rank.items() if r < nprobe)
+            out[tag].append(
+                {
+                    "nprobe": nprobe,
+                    "recall": round(rec, 4),
+                    "scanned": round(cand / denom, 4),
+                    "sec": _timed(df),
+                }
+            )
+            print(f"  {tag} nprobe={nprobe}: {out[tag][-1]}", file=sys.stderr)
     return out
 
 

@@ -86,8 +86,31 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def gen_embeddings(n: int, rng: np.random.Generator, dim: int = 64) -> pa.Table:
-    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+def gen_embeddings(
+    n: int,
+    rng: np.random.Generator,
+    dim: int = 64,
+    clusters: int | None = None,
+) -> pa.Table:
+    if clusters:
+        # mixture of gaussians: real embedding corpora are clustered, not
+        # isotropic — the regime where LSH/IVF probe ladders climb fast
+        # and where a TRAINED coarse quantizer beats a random one
+        # (scripts/ann_tradeoff.py --train-ivf; SCALE.md round 10).
+        # Within-cluster std 0.35 vs unit-norm centers: neighbors are
+        # overwhelmingly intra-cluster but clusters still overlap.
+        centers = rng.standard_normal((clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        sizes = rng.multinomial(n, rng.dirichlet(np.full(clusters, 2.0)))
+        parts = [
+            centers[c] + rng.standard_normal((sz, dim)) * 0.35
+            for c, sz in enumerate(sizes)
+            if sz
+        ]
+        vecs = np.concatenate(parts).astype(np.float32)
+        rng.shuffle(vecs, axis=0)
+    else:
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
     # ~1% near-duplicates: tiny perturbation of an earlier vector
     n_dup = n // 100
     src = rng.integers(0, n // 2, n_dup)
@@ -218,6 +241,14 @@ def main() -> None:
         help="comma-separated subset to generate (default: all) — e.g. "
         "orders,customer for a big skew twin without the slow documents loop",
     )
+    ap.add_argument(
+        "--clustered-emb",
+        type=int,
+        default=None,
+        metavar="M",
+        help="draw embeddings from a mixture of M gaussians (clustered-corpus "
+        "ANN twin) instead of isotropic N(0,1)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
@@ -225,7 +256,10 @@ def main() -> None:
     only = set(args.tables.split(",")) if args.tables else None
     for name, gen in [
         ("documents", gen_documents),
-        ("embeddings", gen_embeddings),
+        (
+            "embeddings",
+            lambda n, rng: gen_embeddings(n, rng, clusters=args.clustered_emb),
+        ),
         ("events", gen_events),
         ("customer", gen_customer),
         ("orders", lambda n, rng: gen_orders(n, rng, n_cust, args.zipf_orders)),

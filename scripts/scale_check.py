@@ -111,6 +111,9 @@ def _variants() -> dict:
             load_table(spark, d, "documents"), num_hashes=16, bands=8,
             threshold=0.7, shingle_n=3, hash_mode="xxhash64",
         ),
+        "doc_profile_arrow_vote": lambda spark, d: entry_mod.q_doc_profile(
+            spark, d, vote_mode="pandas"
+        ),
         "bloom_filter_xxh": lambda spark, d: entry_mod.q_bloom_filter(
             spark, d, hash_mode="xxhash64"
         ),

@@ -100,6 +100,29 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert all(a != 3 and b != 3 for a, b in got)
 
 
+def test_simhash_vote_modes_bit_identical(spark):
+    """The Arrow-vectorized majority vote must equal the expression vote
+    bit-for-bit, including the degenerate classes (empty text → 0, NULL
+    text → 0, all-repeated token)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, ""),
+            (3, None),
+            (4, "a a a b"),
+            (5, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.simhash for r in simhash_buckets(docs).collect()}
+    b = {
+        r.doc_id: r.simhash
+        for r in simhash_buckets(docs, vote_mode="pandas").collect()
+    }
+    assert a == b
+    assert a[2] == 0 and a[3] == 0
+
+
 def test_simhash_similar_docs_close(spark):
     out = {r.doc_id: r.simhash for r in simhash_buckets(_docs(spark)).collect()}
     assert out[1] == out[4]  # identical text → identical simhash
@@ -144,6 +167,62 @@ def test_lsh_topk_subset_of_exact(spark):
     for r in approx:
         assert (r.query_id, r.vec_id) in exact_sims
         assert abs(exact_sims[(r.query_id, r.vec_id)] - r.sim) < 1e-9
+
+
+def test_train_centroids_recovers_planted_clusters(spark):
+    """5 Lloyd rounds from random unit-norm seeds must (a) return
+    unit-norm 6-decimal centroids honoring the seeded_centroids
+    contract, (b) reduce spherical quantization error vs the random
+    init, and (c) on a planted 4-gaussian mixture quantized with 8
+    cells, produce PURE cells (each non-trivial cell ≥90% one planted
+    cluster — a planted cluster may legitimately split across cells,
+    but a cell MIXING planted clusters means the quantizer failed to
+    separate them).  Purity is what makes a trained quantizer beat a
+    random one at equal nprobe: probing retrieves same-cluster
+    neighbors, not a random slice."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        ivf_cell,
+        seeded_centroids,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 8)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(4):
+        for i in range(60):
+            v = centers[c] + rng.randn(8) * 0.15
+            rows.append((c * 60 + i, v.astype("float32").tolist(), c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, planted int"
+    )
+    init = seeded_centroids(8, 8, seed=23)
+    trained = train_centroids(emb, init, iters=5)
+    mat = np.array(trained)
+    assert mat.shape == (8, 8)
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-4)
+
+    vecs = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def mean_best_cos(cs):
+        sims = vecs @ np.array(cs).T
+        return float(sims.max(axis=1).mean())
+
+    assert mean_best_cos(trained) > mean_best_cos(init) + 0.05
+
+    assigned = emb.select(
+        "planted", ivf_cell("embedding", trained).alias("cell")
+    ).collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in assigned:
+        by_cell.setdefault(r.cell, []).append(r.planted)
+    for cell, members in by_cell.items():
+        if len(members) < 5:
+            continue  # near-empty cells carry no probe traffic
+        top = max(members.count(x) for x in set(members))
+        assert top / len(members) >= 0.9, f"cell {cell} mixes planted clusters"
 
 
 def test_lsh_topk_degenerate_element_policy(spark):
