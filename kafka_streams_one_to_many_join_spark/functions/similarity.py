@@ -225,9 +225,13 @@ def lsh_topk(
     monotone by construction (probe_masks sets nest).  A random gaussian
     corpus is LSH's worst case — true neighbors are nearly orthogonal,
     so recall tracks the scanned fraction (about 1.8x the random-scan
-    diagonal); on clustered real-embedding corpora the same probe ladder
-    climbs far faster.  probe_hamming=0 recovers the single-probe
-    variant.
+    diagonal).  On the round-10 mixture-of-gaussians twin the ladder
+    climbs only MILDLY faster (ph=3: 0.72 vs 0.66 recall at equal scan,
+    SCALE.md "Clustered-corpus ANN") — hyperplane buckets don't adapt
+    to the corpus; for corpus-adaptive partitioning use the IVF path
+    with a TRAINED quantizer, which is where clustering pays
+    (+0.15 recall at equal scan, same table).  probe_hamming=0 recovers
+    the single-probe variant.
 
     At scale the bucket equi-join replaces the all-pairs nested loop; the
     planes are caller-provided (seeded numpy) so results are deterministic.
@@ -311,9 +315,13 @@ def seeded_centroids(nlist: int, dim: int, seed: int = 23) -> list[list[float]]:
     byte-identical literals.
 
     Random centroids make this IVF-*flat with a random coarse quantizer* —
-    the honest unlearned baseline.  At 100 TB the centroids would come
-    from a k-means sample pass; everything downstream (assignment, probe,
-    re-rank) is unchanged — training only moves the literals.
+    the honest unlearned baseline.  At 100 TB the centroids come from a
+    k-means pass (``train_centroids``, the iterated kmeans_step);
+    everything downstream (assignment, probe, re-rank) is unchanged —
+    training only moves the literals, and the round-10 measurement shows
+    what the move buys: ~+0.15 absolute recall at every equal-scan point
+    on a clustered corpus (nprobe-3 trained beats nprobe-4 random while
+    scanning 24% less; SCALE.md "Clustered-corpus ANN").
     """
     import numpy as np
 
