@@ -3334,16 +3334,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10, and the window rolls forward with zero residue again.
     #
     # Due-50 members changed THIS round (inside the checked window, so
-    # the driver re-verifies them): ann_topk / ann_topk_pandas /
-    # embedding_near_dup (the degenerate-element prefilter from the r09
-    # ADVICE low — arrays containing NULL/NaN elements are now rejected
-    # on both sides, matching the documented zero-norm/NaN policy; the
-    # sf fixtures contain no such vectors so result rows are unchanged)
-    # and ngram_jaccard (the shingle-frequency window-skip sentinel now
-    # actually skips for unbounded callers — plan change, identical
-    # rows, hash-verified at sf0.01 before commit).  Back block = the 50
-    # entries green in r09, ordered as r11's due list.  Keep the total
-    # AT 100: every future addition must be matched by a consolidation.
+    # the driver re-verifies them): ngram_jaccard (the shingle-frequency
+    # window-skip sentinel now actually skips for unbounded callers —
+    # plan change, identical rows, hash-verified at sf0.01 before
+    # commit).  Two BACK-block members also changed: ann_topk_lsh /
+    # ann_recall (the degenerate-element prefilter from the r09 ADVICE
+    # low — arrays containing NULL/NaN elements are now rejected on both
+    # sides of lsh_topk, matching the streaming _fold_topk policy; the
+    # oracle got the mirrored list_filter guard, the sf fixtures contain
+    # no such vectors so result rows are unchanged, and both were
+    # re-hash-verified at sf0.01 plus the degenerate differential sweep
+    # before commit — they fall to r11's window as usual).  Back block =
+    # the 50 entries green in r09, ordered as r11's due list.  Keep the
+    # total AT 100: every future addition must be matched by a
+    # consolidation.
     return {
         # --- newest green row is r08 (due now) ---
         "ann_topk_pandas": q_ann_topk_pandas,
