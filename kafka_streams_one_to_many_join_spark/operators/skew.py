@@ -25,14 +25,17 @@ Salt is ``pmod(xxhash64(<row identity>), buckets)`` — deterministic, no
 rand(): replays and retries produce identical partitioning (a failed task
 re-executed with rand() salt would double-count rows).
 
-MEASURED guidance (SCALE.md "Skewed-key stress", round 10; zipf-1.1 twin,
-hottest key = 12.4% of 15 M fact rows): AQE skew-split beat the unsalted
-victim 1.8× and every salted variant — prefer it for plain FK joins.
-Salting's dim-side replication is a real tax: buckets=8 won 1.14×,
-buckets=16 LOST 1.3× (replicated dim exceeded the fact side).  Pick the
-smallest ``buckets`` that caps the straggler (hot-key share × buckets ≲
-balanced share), and reach for salting only where AQE cannot see the
-skew — holistic agg state, no-AQE engines, same-key stateful ops.
+MEASURED guidance (SCALE.md "Skewed-key stress", round 10; zipf-1.1
+twins, hottest key ~13% of 15 M fact rows, two dim:fact ratios): AQE
+skew-split beat the unsalted victim 1.5–1.8× and every salted variant
+at BOTH ratios — prefer it for plain FK joins.  Salting's dim-side
+replication is a real tax (at 1:10 dim:fact, buckets=16 LOST outright),
+and even where replication is nearly free (1:100) salting recovers only
+~half of AQE's win, because it still re-shuffles every fact row while
+AQE splits just the hot partitions.  Pick the smallest ``buckets`` that
+caps the straggler (hot-key share × buckets ≲ balanced share), and
+reach for salting only where AQE cannot see the skew — holistic agg
+state, no-AQE engines, same-key stateful ops.
 """
 
 from __future__ import annotations

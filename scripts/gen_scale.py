@@ -249,10 +249,18 @@ def main() -> None:
         help="draw embeddings from a mixture of M gaussians (clustered-corpus "
         "ANN twin) instead of isotropic N(0,1)",
     )
+    ap.add_argument(
+        "--cust-mult",
+        type=int,
+        default=None,
+        help="row-count multiple for customer only (default: --mult) — a "
+        "smaller dim vs fact ratio, the salted-join middle regime",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
-    n_cust = BASE["customer"] * args.mult
+    cust_mult = args.cust_mult if args.cust_mult is not None else args.mult
+    n_cust = BASE["customer"] * cust_mult
     only = set(args.tables.split(",")) if args.tables else None
     for name, gen in [
         ("documents", gen_documents),
@@ -266,7 +274,8 @@ def main() -> None:
     ]:
         if only is not None and name not in only:
             continue
-        table = gen(BASE[name] * args.mult, rng)
+        mult = cust_mult if name == "customer" else args.mult
+        table = gen(BASE[name] * mult, rng)
         # multiple row groups → parallel scan partitions, like real 100 TB
         # inputs (the shipped testdata is single-row-group; model.py's
         # ensure_parallelism exists to compensate for exactly that)
