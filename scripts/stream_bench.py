@@ -78,11 +78,11 @@ def _write_batches(df, path: str, n: int) -> None:
         time.sleep(1.05)
 
 
-def _progress_rows(q) -> list[dict]:
+def _progress_rows(q, include_empty: bool = False) -> list[dict]:
     out = []
     for p in q.recentProgress:
         d = json.loads(p.json) if hasattr(p, "json") else p
-        if d.get("numInputRows", 0) == 0:
+        if d.get("numInputRows", 0) == 0 and not include_empty:
             continue
         so = (d.get("stateOperators") or [{}])[0]
         ms = d["durationMs"].get("triggerExecution", 0)
@@ -113,6 +113,54 @@ def _run(df_builder, src, schema, tmp: str, name: str, mode: str) -> list[dict]:
     )
     q.processAllAvailable()
     rows = _progress_rows(q)
+    q.stop()
+    return rows
+
+
+def _run_bounded(
+    df_builder, src, schema, tmp: str, name: str, expected_rows: int, settle_s: float
+) -> list[dict]:
+    """Like _run, but for pipelines with ProcessingTimeTimeout, where
+    processAllAvailable NEVER returns: once a query registers
+    processing-time timers, FlatMapGroupsWithState reports
+    shouldRunAnotherBatch unconditionally and the engine keeps scheduling
+    no-data batches (~1/s here) forever to advance processing time and
+    fire expiry — the same reason tests/test_streaming._ttl_scenario
+    awaits progress instead.  Await the backlog by cumulative input-row
+    count, then keep the query alive until the state store drains to 0
+    (every timer fired) or settle_s elapses, then stop.  Returns progress
+    rows INCLUDING the no-data cleanup batches — for a TTL line those
+    carry the signal (state_rows falling with zero input)."""
+    stream = read_stream(
+        spark, "parquet", src, schema=schema, maxFilesPerTrigger="1"
+    )
+    q = (
+        df_builder(stream)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/cp_{name}")
+        .queryName(name)
+        .start()
+    )
+    deadline = None
+    while True:
+        time.sleep(0.3)
+        rows = _progress_rows(q, include_empty=True)
+        seen = sum(r["rows"] for r in rows)
+        if deadline is None and seen >= expected_rows:
+            deadline = time.time() + settle_s
+        if deadline is not None:
+            last_state = next(
+                (
+                    r["state_rows"]
+                    for r in reversed(rows)
+                    if r["state_rows"] is not None
+                ),
+                None,
+            )
+            if last_state == 0 or time.time() > deadline:
+                break
+    rows = _progress_rows(q, include_empty=True)
     q.stop()
     return rows
 
@@ -184,6 +232,7 @@ def _recovery_bench(builder, src, schema, tmp: str, n_batches: int, name: str = 
 
 if __name__ == "__main__":
     recovery = "--recovery" in sys.argv
+    ttl_mode = "--ttl" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = args[0] if args else "/root/testdata/sf0.1"
     n_batches = int(args[1]) if len(args) > 1 else 10
@@ -192,6 +241,41 @@ if __name__ == "__main__":
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="stream_bench_")
     results: dict[str, list[dict]] = {}
+
+    if ttl_mode:
+        # --ttl: the ONE state store that grows with the corpus (the
+        # MinHash band-bucket store) under its documented bound — the
+        # processing-time TTL.  Same replay with and without ttl_ms;
+        # the un-TTL'd line grows linearly in distinct buckets, the
+        # TTL'd line must bend once buckets older than the TTL expire
+        # (sliding-corpus semantics: pairs against expired docs are
+        # forgone — the documented trade for bounded state).
+        from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+            streaming_minhash_lsh_pairs,
+        )
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        _write_batches(docs, f"{tmp}/docs", n_batches)
+        out = {}
+        for name, ttl in (("minhash_pairs", None), ("minhash_pairs_ttl", 6000)):
+            builder = lambda st, ttl=ttl: streaming_minhash_lsh_pairs(
+                st, threshold=0.7, ttl_ms=ttl
+            )
+            if ttl is None:
+                out[name] = _run(
+                    builder, f"{tmp}/docs", docs.schema, tmp, name, "append"
+                )
+            else:
+                out[name] = _run_bounded(
+                    builder, f"{tmp}/docs", docs.schema, tmp, name,
+                    expected_rows=n_docs, settle_s=ttl / 1000 + 6,
+                )
+            print(f"{name} done", file=sys.stderr)
+        print(json.dumps({"sf": sf, "mode": "ttl", "pipelines": out}))
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+        sys.exit(0)
 
     zone_of = F.array_position(
         F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col("event_type")
