@@ -304,6 +304,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     seed: int = 11,
     hash_mode: str = "md5",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -312,6 +313,21 @@ def minhash_lsh_pairs(
     the signatures approximate, so verification removes every false
     positive (up to md5-prefix collisions, identical in the oracle).
     Output: (doc_a < doc_b, jaccard ≥ threshold), recall 1-(1-t^r)^b.
+
+    ``max_bucket_size`` is the hot-bucket guard — the MinHash twin of
+    ``ngram_jaccard_pairs``'s ``max_shingle_freq``: drop any (band,
+    band-signature) bucket with more members before the in-bucket pair
+    expansion.  Degenerate signature collisions (short docs over a
+    repetitive vocabulary all hashing to the same band signature) make
+    bucket sizes grow LINEARLY with the corpus, so the quadratic
+    in-bucket term turns the whole pipeline quadratic: measured at the
+    sf10→sf100 decade (SCALE.md round 10), candidate pairs grew 97×
+    on 10× docs (2.0M → 197.9M, max bucket 268 → 2,604) while TRUE
+    verified pairs grew 9.8× (10,484 → 103,091).  A true near-dup pair
+    above the Jaccard threshold agrees on many bands, so it is
+    overwhelmingly re-found in a small bucket when a hot one is
+    dropped — the measured recall cost of the cap is in SCALE.md.
+    Default ``None`` = unbounded (exact roster/oracle semantics).
 
     Physical shape — a straight-line dataflow with NO self-join and NO
     branch that re-reads the corpus (a DataFrame diamond re-executes its
@@ -354,6 +370,12 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    # hot-bucket guard BEFORE the quadratic pair expansion: a size
+    # predicate on the already-built bucket row — no extra shuffle, the
+    # aggregate above is unchanged (bucket memory stays linear in corpus;
+    # only the pair explode is capped)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
     # n_common/n_total are computed INSIDE the pair lambda, so the O(|hset|)
     # array_intersect runs exactly once per candidate pair.  Projecting the
     # sets out and intersecting downstream looks equivalent but is not:

@@ -111,6 +111,13 @@ def _variants() -> dict:
             load_table(spark, d, "documents"), num_hashes=16, bands=8,
             threshold=0.7, shingle_n=3, hash_mode="xxhash64",
         ),
+        # round 10: the hot-bucket guard — the knob that kills the
+        # quadratic candidate term the sf10→sf100 decade exposed
+        # (candidates 97× on 10× docs; SCALE.md third decade)
+        "minhash_lsh_cap64": lambda spark, d: minhash_lsh_pairs(
+            load_table(spark, d, "documents"), num_hashes=16, bands=8,
+            threshold=0.7, shingle_n=3, max_bucket_size=64,
+        ),
         "doc_profile_arrow_vote": lambda spark, d: entry_mod.q_doc_profile(
             spark, d, vote_mode="pandas"
         ),

@@ -100,6 +100,46 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert all(a != 3 and b != 3 for a, b in got)
 
 
+def test_minhash_lsh_max_bucket_size(spark):
+    """The hot-bucket guard drops every bucket above the cap BEFORE the
+    quadratic pair expansion, adds no shuffle, and default-None keeps
+    exact semantics.  A 6-copy identical group fills every band's bucket
+    with 6 members; cap=5 drops them all (identical docs collide on ALL
+    bands, so no smaller bucket rescues the group), while an unrelated
+    near-dup pair in 2-member buckets survives."""
+    hot = [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+    pair = [
+        (10, "pack my box with five dozen liquor jugs today"),
+        (11, "pack my box with five dozen liquor jugs tonight"),
+    ]
+    lone = [(20, "completely different words entirely here now")]
+    docs = spark.createDataFrame(hot + pair + lone, "doc_id long, text string")
+
+    unbounded = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3).collect()
+    }
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= unbounded
+    assert (10, 11) in unbounded
+
+    capped_df = minhash_lsh_pairs(
+        docs, threshold=0.5, shingle_n=3, max_bucket_size=5
+    )
+    capped = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
+    assert capped == unbounded - {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    assert (10, 11) in capped
+
+    # the cap is a post-aggregate size predicate — same exchange count
+    # (compare FRESH plans: a collected DF prints AQE's final plan, whose
+    # ShuffleQueryStage wrappers re-print each Exchange)
+    n_exchanges = lambda df: df._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange"
+    )
+    assert n_exchanges(
+        minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3, max_bucket_size=5)
+    ) == n_exchanges(minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3))
+
+
 def test_simhash_vote_modes_bit_identical(spark):
     """The Arrow-vectorized majority vote must equal the expression vote
     bit-for-bit, including the degenerate classes (empty text → 0, NULL
