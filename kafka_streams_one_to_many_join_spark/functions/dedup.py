@@ -147,6 +147,17 @@ def ngram_jaccard_pairs(
     pass ``UNBOUNDED_SHINGLE_FREQ`` (any value ≥ it works) for exact
     semantics (tests/oracle do), which also skips the document-frequency
     window entirely.
+
+    Regime limit (measured, SCALE.md round-10 third decade): recall-1.0
+    exact Jaccard is inherently quadratic on a SATURATED shingle space —
+    when most doc pairs share at least one shingle (repetitive
+    vocabulary; Σ C(df,2) reached 3.4e9 at 500k docs on the scale twin),
+    the candidate term is ~n² TRUE candidates and the frequency cap
+    would have to drop essentially every shingle to help.  That corpus
+    class belongs to ``minhash_lsh_pairs`` (probabilistic, threshold-
+    targeted, bucket-capped); this operator is the exact baseline for
+    sparse-shingle corpora, where hot shingles are boilerplate and the
+    cap is a real guard.
     ``hash_mode="xxhash64"`` (functions.hashing) swaps the per-occurrence
     md5 for the engine-native hash — the same deployment knob as
     MinHash/CMS/Bloom; md5 stays the oracle-parity default.
@@ -525,6 +536,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking + exact Hamming verify.
 
@@ -548,6 +560,34 @@ def simhash_near_dup_pairs(
     is a cheap ``rlike`` scan predicate — NOT a ``size(tokens) > 0``
     filter, which Catalyst would push below the parallelism spread and
     re-evaluate the whole tokenize+hash transform per row at the scan.
+
+    ``max_bucket_size`` (default ``None`` = unbounded exact semantics,
+    the roster/oracle path) drops any (band, band-value) bucket above
+    the cap before the in-bucket enumeration — a WORK BOUND, and
+    unlike the minhash_lsh_pairs twin it is NOT recall-cheap in
+    general.  Two different regimes (measured, SCALE.md round-10 third
+    decade):
+
+    - On the repetitive-vocabulary scale twin the Hamming-≤3 relation
+      is DENSE — 1.97M true pairs among 50k docs — so the quadratic
+      candidate term (8.5e9 at 500k docs, 845e9 at 5M; hottest 15-bit
+      band value ~10% of the corpus at every tier) is mostly TRUE
+      OUTPUT, and an Ω(output) computation cannot be made sub-quadratic
+      by any blocking.  The cap there is a SAMPLE of the relation:
+      recall 0.016 at cap 256 / 0.15 at cap 1024, and the kept-pair
+      count DECAYS with corpus growth (39,124 at sf10 → 37,845 at
+      sf100) as more buckets blow the cap.  The principled dense-corpus
+      controls are a stricter ``max_hamming`` (fewer bands → wider band
+      bits → exponentially smaller buckets AND fewer true pairs — the
+      threshold IS the output-size dial) or cluster/canonical semantics
+      downstream that never materialize the full pair relation.
+    - On a sparse relation (diverse vocabulary, near-dup pairs rare —
+      the real-web regime) hot buckets are bit-skew artifacts holding
+      almost no true pairs, and the cap behaves like the MinHash one.
+      Note the fixed band space still saturates eventually: even with
+      perfectly uniform bits, 15-bit bands give n/32768-sized buckets,
+      so at n ≫ 10^6 prefer a stricter ``max_hamming`` over relying on
+      the cap.
 
     Output: (doc_a < doc_b, hamming BIGINT ≤ max_hamming).
     """
@@ -587,6 +627,10 @@ def simhash_near_dup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
         .filter(F.size("members") > 1)
     )
+    # hot-bucket guard BEFORE the quadratic enumeration (see docstring;
+    # size predicate on the built bucket row — no extra shuffle)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
     # In-lambda Hamming verification BEFORE any pair materializes:
     # element_at indexing instead of slice() (slice COPIES the tail
     # sub-array per member — O(n²) struct copies in a clustery bucket),

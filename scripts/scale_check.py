@@ -96,8 +96,14 @@ def _variants() -> dict:
         UNBOUNDED_SHINGLE_FREQ,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
     )
     from kafka_streams_one_to_many_join_spark.model import load_table
+
+    def _simhash_cap(spark, d):
+        return simhash_near_dup_pairs(
+            load_table(spark, d, "documents"), max_bucket_size=256
+        )
 
     return {
         "ngram_jaccard_xxh": lambda spark, d: ngram_jaccard_pairs(
@@ -118,6 +124,7 @@ def _variants() -> dict:
             load_table(spark, d, "documents"), num_hashes=16, bands=8,
             threshold=0.7, shingle_n=3, max_bucket_size=64,
         ),
+        "simhash_near_dup_cap256": lambda spark, d: _simhash_cap(spark, d),
         "doc_profile_arrow_vote": lambda spark, d: entry_mod.q_doc_profile(
             spark, d, vote_mode="pandas"
         ),

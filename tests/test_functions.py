@@ -474,6 +474,35 @@ def test_simhash_near_dup_pairs(spark):
     assert all(h <= 3 for h in out.values())
 
 
+def test_simhash_max_bucket_size(spark):
+    """The simhash hot-bucket guard: a 6-copy identical group (one
+    simhash -> all four band buckets hold all 6) is dropped entirely at
+    cap=5, an unrelated exact-dup pair in 2-member buckets survives, and
+    default None keeps the unbounded set."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    hot = [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+    pair = [
+        (10, "pack my box with five dozen liquor jugs"),
+        (11, "pack my box with five dozen liquor jugs"),
+    ]
+    docs = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    unbounded = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs(docs).collect()
+    }
+    hot_pairs = {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    assert hot_pairs <= unbounded and (10, 11) in unbounded
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs(docs, max_bucket_size=5).collect()
+    }
+    assert capped == unbounded - hot_pairs
+    assert (10, 11) in capped
+
+
 def test_simhash_banding_exact_recall_any_threshold(spark):
     """Banding derives from max_hamming (h+1 bands): for every supported
     threshold, the banded pipeline must find EXACTLY the pairs brute-force
