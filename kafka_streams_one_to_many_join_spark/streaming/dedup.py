@@ -61,6 +61,7 @@ def streaming_minhash_lsh_pairs(
     shingle_n: int = 3,
     seed: int = 11,
     ttl_ms: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cross-batch fuzzy near-dup candidate maintenance: the streaming
     twin of ``functions.dedup.minhash_lsh_pairs`` (recipe reused
@@ -94,6 +95,21 @@ def streaming_minhash_lsh_pairs(
     sliding-corpus semantics: pairs against docs older than the TTL
     horizon are deliberately missed; default None keeps the batch-exact
     keep-forever semantics.
+
+    ``max_bucket_size`` bounds the bucket state in SIZE the way
+    ``ttl_ms`` bounds it in age — the streaming face of the batch
+    operator's hot-bucket guard (SCALE.md round-10 third decade: hot
+    band-signatures grow linearly with the corpus, and this store is
+    the repo's one corpus-growing state).  Semantics are
+    ADMISSION-bounded, not retroactive: the first ``max_bucket_size``
+    docs a bucket ever sees are remembered; later arrivals to a full
+    bucket neither pair nor enter state.  That deliberately diverges
+    from the batch cap (which drops the WHOLE oversized bucket) for the
+    same reason the reference's car-delete never retracts emitted join
+    results (``DemoApp.scala:224-230``): an append stream cannot take
+    back pairs already emitted before the bucket crossed the cap.
+    Capped-stream emissions are always a SUBSET of the unbounded batch
+    pair set (test-pinned); default None = batch-exact.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -178,6 +194,10 @@ def streaming_minhash_lsh_pairs(
             for doc_id, hs in zip(pdf["doc_id"], pdf["_hs"]):
                 doc_id = int(doc_id)
                 if doc_id in known:  # idempotent under replay
+                    continue
+                if max_bucket_size is not None and len(known) >= max_bucket_size:
+                    # bucket at capacity: no pairing, no admission (see
+                    # docstring — the no-retraction admission bound)
                     continue
                 hset = set(int(h) for h in hs)
                 for other_id, other_set in known.items():

@@ -1239,6 +1239,66 @@ def test_streaming_minhash_lsh_matches_batch(spark, tmp_path, sf_dir):
     assert got == expected
 
 
+def test_streaming_minhash_bucket_cap(spark, tmp_path):
+    """The admission-bounded streaming bucket cap: a hot bucket stops
+    pairing AND admitting once it holds max_bucket_size docs, later
+    batches' arrivals to it are ignored, small buckets are untouched,
+    and every emission is a subset of the unbounded batch pair set.
+    The cap lands exactly on a batch boundary so admission order inside
+    a batch cannot make the expectation nondeterministic."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+        streaming_minhash_lsh_pairs,
+    )
+
+    hot_text = "the quick brown fox jumps over the lazy dog"
+    batches = [
+        [(0, hot_text), (1, hot_text), (2, hot_text),
+         (100, "pack my box with five dozen liquor jugs today")],
+        [(3, hot_text), (4, hot_text),
+         (101, "pack my box with five dozen liquor jugs tonight")],
+        [(5, hot_text), (6, hot_text)],
+    ]
+    schema = "doc_id long, text string"
+    all_rows = [r for b in batches for r in b]
+    unbounded = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(all_rows, schema), threshold=0.5, shingle_n=3
+        ).collect()
+    }
+
+    os.makedirs(f"{tmp_path}/capdocs", exist_ok=True)
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp_path}/capdocs")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/capdocs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    pairs = streaming_minhash_lsh_pairs(
+        stream, threshold=0.5, shingle_n=3, max_bucket_size=3
+    )
+    q = write_stream(
+        pairs, "memory", query_name="mhlsh_cap", output_mode="append",
+        checkpoint=f"{tmp_path}/cp_mhlsh_cap",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql("select * from mhlsh_cap").collect()
+    }
+    # batch 1 fills the hot bucket to the cap; docs 3..6 never pair
+    assert got == {(0, 1), (0, 2), (1, 2), (100, 101)}
+    assert got <= unbounded
+
+
 def test_streaming_bloom_matches_batch_build(spark, tmp_path, sf_dir):
     """Incremental 3-batch streaming Bloom == the batch bloom_build
     word-for-word (bit_or is commutative+idempotent, so micro-batch
