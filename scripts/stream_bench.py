@@ -258,9 +258,18 @@ if __name__ == "__main__":
         n_docs = docs.count()
         _write_batches(docs, f"{tmp}/docs", n_batches)
         out = {}
-        for name, ttl in (("minhash_pairs", None), ("minhash_pairs_ttl", 6000)):
-            builder = lambda st, ttl=ttl: streaming_minhash_lsh_pairs(
-                st, threshold=0.7, ttl_ms=ttl
+        # three bounds on the one corpus-growing store: none (the
+        # documented linear growth), TTL (age bound — state drains),
+        # and max_bucket_size (size bound — per-bucket member lists
+        # stop growing; bucket COUNT still grows, so the signal is
+        # state_bytes bending, not state_rows)
+        for name, ttl, cap in (
+            ("minhash_pairs", None, None),
+            ("minhash_pairs_ttl", 6000, None),
+            ("minhash_pairs_cap16", None, 16),
+        ):
+            builder = lambda st, ttl=ttl, cap=cap: streaming_minhash_lsh_pairs(
+                st, threshold=0.7, ttl_ms=ttl, max_bucket_size=cap
             )
             if ttl is None:
                 out[name] = _run(
