@@ -8,6 +8,12 @@ test container), and the rate source standing in for the reference's
 FakeData generator (FakeData.scala:38-48).
 """
 
+from kafka_streams_one_to_many_join_spark.sources.bucketed import (
+    BUCKETED_READ_CONFS,
+    bucket_spec,
+    bucketed_join_check,
+    write_bucketed,
+)
 from kafka_streams_one_to_many_join_spark.sources.readers import (
     read_batch,
     read_stream,
@@ -20,6 +26,10 @@ from kafka_streams_one_to_many_join_spark.sources.writers import (
 )
 
 __all__ = [
+    "BUCKETED_READ_CONFS",
+    "bucket_spec",
+    "bucketed_join_check",
+    "write_bucketed",
     "read_batch",
     "read_stream",
     "synthetic_car_zone_events",

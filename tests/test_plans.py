@@ -188,6 +188,80 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_bucketed_sort_elision_pruning_and_check(spark, sf_dir, tmp_path):
+    """The other two bucketing wins beyond shuffle elimination (see
+    sources/bucketed.py — both are gated on read-side confs the default
+    planner hides):
+
+    - sort ELISION: single-file sorted buckets + the legacy
+      outputOrdering conf turn the SMJ into a pure zip-merge (zero
+      Exchange AND zero Sort);
+    - bucket PRUNING: a point filter on the bucket key scans 1 of N
+      buckets — but only once autoBucketedScan's auto-disable is off
+      (with the default conf the planner marks the scan "Bucketed:
+      false" and the SelectedBucketsCount never appears);
+    - groupBy on the bucket key needs no Exchange;
+    - ``bucketed_join_check`` reads the catalog's own bucket spec and
+      accepts differently-named key columns (bucket ids hash values,
+      not names).
+    """
+    from kafka_streams_one_to_many_join_spark.sources.bucketed import (
+        BUCKETED_READ_CONFS,
+        bucket_spec,
+        bucketed_join_check,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    saved = {k: spark.conf.get(k, None) for k in BUCKETED_READ_CONFS}
+    try:
+        for k, v in BUCKETED_READ_CONFS.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, "orders_bk", 8, "o_custkey", path=str(tmp_path / "o"))
+        write_bucketed(cust, "cust_bk", 8, "c_custkey", path=str(tmp_path / "c"))
+        cust.write.mode("overwrite").option("path", str(tmp_path / "p")).saveAsTable(
+            "cust_plain"
+        )
+        assert bucket_spec(spark, "orders_bk") == (8, ["o_custkey"])
+        assert bucket_spec(spark, "cust_plain") is None
+        assert bucketed_join_check(
+            spark, "orders_bk", "cust_bk", "o_custkey", "c_custkey"
+        )
+        # wrong column / unbucketed side / name-only match all refuse
+        assert not bucketed_join_check(spark, "orders_bk", "cust_bk", "o_custkey")
+        assert not bucketed_join_check(
+            spark, "orders_bk", "cust_plain", "o_custkey", "c_custkey"
+        )
+
+        bo, bc = spark.table("orders_bk"), spark.table("cust_bk")
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = plans.formatted_plan(j)
+        assert plans.count_shuffles(j) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Sort (" not in plan, plan  # zip-merge: both Sorts elided
+
+        g = bo.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        assert plans.count_shuffles(g) == 0, plans.formatted_plan(g)
+
+        fplan = plans.formatted_plan(bo.filter(F.col("o_custkey") == 42))
+        assert "SelectedBucketsCount: 1 out of 8" in fplan, fplan
+
+        # value parity with the plain shuffle join
+        n_plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert j.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in ("orders_bk", "cust_bk", "cust_plain"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_salted_join_spreads_hot_key_under_aqe(spark, sf_dir):
     """Forced-skew fixture: 90% of the many side shares ONE fk value.  The
     salted join must (a) shuffle on (fk, _salt) — the exchange partitioning
