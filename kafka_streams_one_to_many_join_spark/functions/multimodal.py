@@ -65,12 +65,9 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
-    """REAL binary-PPM (P6) decoder, stdlib only: parses the ASCII header
-    and the raw RGB plane.
-
-    Returns (width, height, sum_r, sum_g, sum_b) — exact integer channel
-    sums so downstream comparisons are bit-reproducible across engines.
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Shared binary-PPM (P6) header + pixel-plane parser, stdlib only.
+    Returns (width, height, raw RGB bytes).
 
     Every malformed-input branch raises ``ValueError`` with a STABLE
     message (the permissive decode channel surfaces it as the
@@ -108,10 +105,111 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
     pixels = payload[pos : pos + width * height * 3]
     if len(pixels) != width * height * 3:
         raise ValueError("truncated PPM pixel plane")
+    return width, height, pixels
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL binary-PPM (P6) decoder, stdlib only (header + plane parsing
+    in ``_parse_ppm``, error contract documented there).
+
+    Returns (width, height, sum_r, sum_g, sum_b) — exact integer channel
+    sums so downstream comparisons are bit-reproducible across engines.
+    """
+    width, height, pixels = _parse_ppm(payload)
     sums = [0, 0, 0]
     for i, b in enumerate(pixels):
         sums[i % 3] += b
     return (width, height, sums[0], sums[1], sums[2])
+
+
+def resize_ppm(payload: bytes, factor: int) -> bytes:
+    """Nearest-neighbor downsample of a binary PPM by an integer factor:
+    keep every ``factor``-th pixel in both axes (top-left sampling), so
+    the output is a REAL deterministic resize of real bytes — exact,
+    engine-independent, and re-encoded through the same ``encode_ppm``
+    the fixtures use.  Output dims are ceil(dim/factor).  Raises the
+    ``_parse_ppm`` errors on malformed input and ValueError on
+    factor < 1."""
+    if factor < 1:
+        raise ValueError(f"resize factor must be >= 1, got {factor}")
+    width, height, pixels = _parse_ppm(payload)
+    if factor == 1:
+        return encode_ppm(width, height, pixels)
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    out = np.ascontiguousarray(arr[::factor, ::factor, :])
+    return encode_ppm(out.shape[1], out.shape[0], out.tobytes())
+
+
+def resize_images(
+    assets: DataFrame, factor: int = 2, on_error: str = "raise"
+) -> DataFrame:
+    """Distributed image resize: mapInPandas over Arrow batches of binary
+    payloads, real nearest-neighbor PPM downsampling inside (``resize_ppm``)
+    — the transform step of the multimodal checklist alongside decode
+    (``extract_image_features``) and frame-sample (``sample_frames_stub``).
+    A codec-library deployment (JPEG via PIL) swaps the per-payload
+    function; the Spark plumbing — schema, binary columns, Arrow batch
+    memory bounds, permissive error channel — is identical.
+
+    Output: (asset_id, width, height, payload, n_bytes) with the RESIZED
+    dimensions and re-encoded payload; decodable by ``decode_ppm``
+    downstream (round-trip test-pinned).  ``on_error`` follows the
+    ``extract_image_features`` contract: "raise" keeps crash-on-parse
+    semantics, "permit" emits NULL columns + a ``decode_error`` reason
+    and preserves the row count.
+    """
+    import pandas as pd
+
+    if on_error not in ("raise", "permit"):
+        raise ValueError(f"on_error must be 'raise' or 'permit', got {on_error!r}")
+    permissive = on_error == "permit"
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            resized: list[bytes | None] = []
+            errors: list[str | None] = []
+            for p in pdf["payload"]:
+                try:
+                    resized.append(resize_ppm(p, factor))
+                    errors.append(None)
+                except ValueError as e:
+                    if not permissive:
+                        raise
+                    resized.append(None)
+                    errors.append(str(e))
+            dims = [None if r is None else _parse_ppm(r)[:2] for r in resized]
+            out = {
+                "asset_id": pdf["asset_id"],
+                "width": pd.array(
+                    [None if d is None else d[0] for d in dims], dtype="Int32"
+                ),
+                "height": pd.array(
+                    [None if d is None else d[1] for d in dims], dtype="Int32"
+                ),
+                "payload": resized,
+                "n_bytes": pd.array(
+                    [None if r is None else len(r) for r in resized], dtype="Int64"
+                ),
+            }
+            if permissive:
+                out["decode_error"] = errors
+            yield pd.DataFrame(out)
+
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    return ensure_parallelism(
+        assets.filter(F.col("media_type") == "image")
+    ).mapInPandas(
+        resize_batches,
+        schema=(
+            "asset_id bigint, width int, height int, payload binary, n_bytes bigint"
+            + (", decode_error string" if permissive else "")
+        ),
+    )
 
 
 def extract_image_features(

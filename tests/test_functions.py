@@ -327,6 +327,58 @@ def test_extract_image_features_decodes_real_ppm(spark):
     assert (r2.sum_r, r2.sum_g, r2.sum_b) == (765, 765, 765)
 
 
+def test_resize_images_nearest_neighbor_roundtrip(spark):
+    """resize_ppm keeps every factor-th pixel (top-left sampling) and the
+    distributed transform re-encodes payloads that decode_ppm can read
+    back — a REAL resize of real bytes, dims = ceil(dim/factor)."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        decode_ppm,
+        resize_images,
+        resize_ppm,
+    )
+
+    # 2x2 pixels 0..11 at factor 2 -> the single top-left pixel (0,1,2)
+    assert resize_ppm(_PPM_1, 2) == encode_ppm(1, 1, bytes([0, 1, 2]))
+    # factor 1 is the identity (same header format, same plane)
+    assert resize_ppm(_PPM_1, 1) == _PPM_1
+    # 3x1 at factor 2 -> ceil(3/2)=2 columns: pixels 0 and 2
+    assert resize_ppm(_PPM_2, 2) == encode_ppm(2, 1, bytes([255] * 6))
+
+    out = {r.asset_id: r for r in resize_images(_assets(spark), factor=2).collect()}
+    assert set(out) == {1, 2}  # only media_type == image
+    assert (out[1].width, out[1].height) == (1, 1)
+    assert (out[2].width, out[2].height) == (2, 1)
+    # round-trip: the resized payload is a decodable PPM with matching dims
+    w, h, sr, sg, sb = decode_ppm(bytes(out[1].payload))
+    assert (w, h, sr, sg, sb) == (1, 1, 0, 1, 2)
+    assert out[1].n_bytes == len(bytes(out[1].payload))
+
+
+def test_resize_images_permissive_corrupt_channel(spark):
+    """on_error='permit' preserves the row count and carries the stable
+    parse reason for corrupt payloads, same contract as the decode path."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        resize_images,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_PPM_1), None),
+            (2, "image", bytearray(b"P6\n2 2\n255\n\x00\x01"), None),  # truncated
+        ],
+        "asset_id long, media_type string, payload binary, meta_json string",
+    )
+    out = {r.asset_id: r for r in resize_images(assets, 2, on_error="permit").collect()}
+    assert len(out) == 2
+    assert out[1].decode_error is None and out[1].payload is not None
+    assert out[2].decode_error == "truncated PPM pixel plane"
+    assert out[2].payload is None and out[2].width is None
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_images(assets, 2).collect()  # default: crash-on-parse
+
+
 def test_sample_frames_only_video(spark):
     out = sample_frames_stub(_assets(spark), every_nth=10).collect()
     assert len(out) >= 1
