@@ -22,6 +22,7 @@ from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     asset_metadata,
     extract_audio_features,
     extract_image_features,
+    resize_images,
     sample_frames_stub,
 )
 from kafka_streams_one_to_many_join_spark.functions.sampling import (
@@ -60,6 +61,7 @@ __all__ = [
     "exact_duplicates",
     "extract_audio_features",
     "extract_image_features",
+    "resize_images",
     "hashed_quality_score",
     "hyperplane_lsh_bucket",
     "ivf_topk",
