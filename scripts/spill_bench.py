@@ -24,16 +24,19 @@ This script turns that claim into numbers:
   never spills; the group count, not the per-group state, is what
   pressures the map.
 
-Each runs in its OWN JVM (driver memory is fixed at JVM start) via a
-subprocess: once with --mem 16g, once with --mem 1g.  Spill bytes are
+Each run is its OWN JVM (driver memory is fixed at JVM start) via a
+subprocess; the 16g/1g tiers are INTERLEAVED --pairs times per workload
+and the per-tier median reported, because this host's minute-scale
+noise bursts can make any single pair read backwards (a sequential
+first version measured the starved heap "faster").  Spill bytes are
 read from Spark's status REST API (the UI is enabled just for this
 script), summed over stages; result rows are asserted identical across
-memory tiers.
+every run of both tiers.
 
 Usage: python scripts/spill_bench.py --dir /tmp/scale_sf10_oc
 Prints one JSON line:
   {"join": {"16g": {...}, "1g": {...}}, "agg": {...}}
-each leaf carrying seconds + memory/disk spill bytes.
+each leaf carrying median/all seconds + memory/disk spill bytes.
 """
 
 from __future__ import annotations
@@ -57,8 +60,13 @@ def run_one(data_dir: str, mem: str, workload: str, cpus: int) -> dict:
     from kafka_streams_one_to_many_join_spark.session import get_session
 
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = mem
+    # master is explicit: get_session derives local[N] from
+    # shuffle_partitions when master is omitted, which would silently
+    # shrink the executor to 2 cores here — we want cpus cores CONTENDING
+    # for the starved heap, with 2 fat shuffle partitions
     spark = get_session(
         f"spill-{workload}-{mem}",
+        master=f"local[{cpus}]",
         shuffle_partitions=2,  # few fat partitions: the pressure case
         extra_conf={
             "spark.ui.enabled": "true",
@@ -129,55 +137,68 @@ def main() -> None:
     ap.add_argument("--dir", default="/tmp/scale_sf10_oc")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--child", nargs=2, metavar=("MEM", "WORKLOAD"), default=None)
+    ap.add_argument("--pairs", type=int, default=3, help="interleaved 16g/1g pairs per workload")
     args = ap.parse_args()
 
     if args.child:
         run_one(args.dir, args.child[0], args.child[1], args.cpus)
         return
 
+    def child(mem: str, workload: str) -> dict:
+        p = subprocess.run(
+            [
+                sys.executable,
+                __file__,
+                "--dir",
+                args.dir,
+                "--cpus",
+                str(args.cpus),
+                "--child",
+                mem,
+                workload,
+            ],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(args.cpus)},
+        )
+        line = next(
+            (ln for ln in p.stdout.splitlines() if ln.startswith("SPILL_RESULT ")),
+            None,
+        )
+        if line is None:
+            raise RuntimeError(
+                f"{workload}@{mem} failed rc={p.returncode}: "
+                + (p.stderr or p.stdout)[-500:]
+            )
+        return json.loads(line[len("SPILL_RESULT ") :])
+
+    # Interleave the heap tiers (16g,1g pairs x --pairs) and report the
+    # per-tier MEDIAN: this host's minute-scale noise bursts (SCALE.md)
+    # can make any single pair read backwards — a first, sequential
+    # version of this script measured the starved heap FASTER than the
+    # comfortable one because the 16g children drew the slow windows.
+    # The spill bytes and the identical-results assertion are
+    # load-independent either way.
+    import statistics
+
     out: dict = {}
     for workload in ("join", "agg"):
-        out[workload] = {}
-        for mem in ("16g", "1g"):
-            p = subprocess.run(
-                [
-                    sys.executable,
-                    __file__,
-                    "--dir",
-                    args.dir,
-                    "--cpus",
-                    str(args.cpus),
-                    "--child",
-                    mem,
-                    workload,
-                ],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(args.cpus)},
-            )
-            line = next(
-                (
-                    ln
-                    for ln in p.stdout.splitlines()
-                    if ln.startswith("SPILL_RESULT ")
-                ),
-                None,
-            )
-            if line is None:
-                out[workload][mem] = {
-                    "error": (p.stderr or p.stdout)[-500:],
-                    "rc": p.returncode,
-                }
-            else:
-                out[workload][mem] = json.loads(line[len("SPILL_RESULT ") :])
-        tiers = out[workload]
-        if "result" in tiers.get("16g", {}) and "result" in tiers.get("1g", {}):
-            assert tiers["16g"]["result"] == tiers["1g"]["result"], (
-                f"{workload}: starved run changed the result"
-            )
-            for t in tiers.values():
-                del t["result"]
-            tiers["identical_results"] = True
+        runs: dict[str, list[dict]] = {"16g": [], "1g": []}
+        for _ in range(args.pairs):
+            for mem in ("16g", "1g"):
+                runs[mem].append(child(mem, workload))
+        results = {json.dumps(r["result"]) for rs in runs.values() for r in rs}
+        assert len(results) == 1, f"{workload}: results differ across heaps/runs"
+        out[workload] = {
+            mem: {
+                "sec_median": round(statistics.median(r["sec"] for r in rs), 3),
+                "sec_all": [r["sec"] for r in rs],
+                "memory_spilled_mb": max(r["memory_spilled_mb"] for r in rs),
+                "disk_spilled_mb": max(r["disk_spilled_mb"] for r in rs),
+            }
+            for mem, rs in runs.items()
+        }
+        out[workload]["identical_results"] = True
     print(json.dumps(out))
 
 
