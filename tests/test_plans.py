@@ -234,6 +234,25 @@ def test_bucketed_sort_elision_pruning_and_check(spark, sf_dir, tmp_path):
         assert not bucketed_join_check(
             spark, "orders_bk", "cust_plain", "o_custkey", "c_custkey"
         )
+        # mismatched counts refuse by default, pass only when divisible
+        # AND the coalesce conf is on (Spark then reads the bigger side's
+        # buckets pairwise-merged instead of shuffling)
+        write_bucketed(cust, "cust_bk4", 4, "c_custkey", path=str(tmp_path / "c4"))
+        assert not bucketed_join_check(
+            spark, "orders_bk", "cust_bk4", "o_custkey", "c_custkey"
+        )
+        spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+        try:
+            assert bucketed_join_check(
+                spark, "orders_bk", "cust_bk4", "o_custkey", "c_custkey"
+            )
+            j84 = spark.table("orders_bk").join(
+                spark.table("cust_bk4"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            assert plans.count_shuffles(j84) == 0, plans.formatted_plan(j84)
+        finally:
+            spark.conf.unset("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
 
         bo, bc = spark.table("orders_bk"), spark.table("cust_bk")
         j = bo.join(bc, bo.o_custkey == bc.c_custkey)
@@ -258,7 +277,7 @@ def test_bucketed_sort_elision_pruning_and_check(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-        for t in ("orders_bk", "cust_bk", "cust_plain"):
+        for t in ("orders_bk", "cust_bk", "cust_bk4", "cust_plain"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
