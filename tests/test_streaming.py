@@ -2599,3 +2599,56 @@ def test_streaming_lsh_topk_tws_checkpoint_restart(spark, tmp_path, sf_dir):
             latest[r.query_id][1].append((r.query_id, r.vec_id, r.sim, r.rank))
     got = {t for _, rs in latest.values() for t in rs}
     assert got == expected
+
+
+def test_streaming_multimodal_ingest_resizes_binary_files(spark, tmp_path):
+    """The multimodal family's streaming face: raw asset FILES land in a
+    watched directory (binaryFile readStream — the ingestion path the
+    batch twin test_binary_file_feeds_multimodal_pipeline exercises),
+    flow through the same Arrow-batched resize transform (stateless
+    mapInPandas — ensure_parallelism is a documented no-op on streaming
+    DFs), and emit append rows whose payloads are REAL decodable PPMs
+    at the resized dimensions."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    assets_dir = tmp_path / "assets"
+    assets_dir.mkdir()
+    (assets_dir / "a.ppm").write_bytes(encode_ppm(4, 2, bytes(range(24))))
+    (assets_dir / "b.ppm").write_bytes(encode_ppm(2, 2, bytes([9] * 12)))
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.ppm")
+        .load(str(assets_dir))
+    )
+    assets = raw.select(
+        F.xxhash64(F.element_at(F.split("path", "/"), -1)).alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("content").alias("payload"),
+    )
+    resized = resize_images(assets, factor=2)
+    q = (
+        resized.writeStream.format("memory")
+        .queryName("mm_resized")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from mm_resized").collect()
+    assert len(rows) == 2
+    by_dims = {(r.width, r.height): bytes(r.payload) for r in rows}
+    # 4x2 @2 -> 2x1 keeping pixels (0,0) and (0,2); 2x2 @2 -> 1x1
+    assert set(by_dims) == {(2, 1), (1, 1)}
+    w, h, sr, sg, sb = decode_ppm(by_dims[(1, 1)])
+    assert (w, h, sr, sg, sb) == (1, 1, 9, 9, 9)
+    w, h, sr, sg, sb = decode_ppm(by_dims[(2, 1)])
+    assert (w, h) == (2, 1) and (sr, sg, sb) == (0 + 6, 1 + 7, 2 + 8)
