@@ -58,9 +58,18 @@ def read_stream(
     """Streaming reader.  File formats need an explicit schema (no streaming
     inference); 'rate' emits (timestamp, value BIGINT) rows — the generator
     substrate for synthetic_car_zone_events.
+
+    binaryFile's schema is FIXED by the format, but streaming still
+    demands one explicitly (the batch reader infers it) — supplied here
+    so the raw-asset ingestion path streams with the same call shape as
+    batch.
     """
     reader = spark.readStream.format(fmt)
-    if schema is not None and fmt in _BATCH_FORMATS:
+    if fmt == "binaryFile":
+        reader = reader.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+    elif schema is not None and fmt in _BATCH_FORMATS:
         reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, str(v))

@@ -2608,7 +2608,9 @@ def test_streaming_multimodal_ingest_resizes_binary_files(spark, tmp_path):
     flow through the same Arrow-batched resize transform (stateless
     mapInPandas — ensure_parallelism is a documented no-op on streaming
     DFs), and emit append rows whose payloads are REAL decodable PPMs
-    at the resized dimensions."""
+    at the resized dimensions.  read_stream supplies binaryFile's fixed
+    schema itself (streaming demands one explicitly where batch
+    infers it)."""
     from kafka_streams_one_to_many_join_spark.functions.multimodal import (
         decode_ppm,
         encode_ppm,
@@ -2620,13 +2622,8 @@ def test_streaming_multimodal_ingest_resizes_binary_files(spark, tmp_path):
     (assets_dir / "a.ppm").write_bytes(encode_ppm(4, 2, bytes(range(24))))
     (assets_dir / "b.ppm").write_bytes(encode_ppm(2, 2, bytes([9] * 12)))
 
-    raw = (
-        spark.readStream.format("binaryFile")
-        .schema(
-            "path string, modificationTime timestamp, length long, content binary"
-        )
-        .option("pathGlobFilter", "*.ppm")
-        .load(str(assets_dir))
+    raw = read_stream(
+        spark, "binaryFile", str(assets_dir), pathGlobFilter="*.ppm"
     )
     assets = raw.select(
         F.xxhash64(F.element_at(F.split("path", "/"), -1)).alias("asset_id"),
