@@ -58,10 +58,15 @@ Caveats encoded here rather than discovered at scale:
   only the bucket spec is catalog state.
 - Buckets are NOT AQE-visible: a skewed bucket key keeps its skew at
   read time (AQE skew-split works on shuffle exchanges, which this
-  layout exists to avoid).  Bucket skewed fact tables by their
-  high-cardinality key (orderkey, doc_id), not by a zipfian FK — the
-  measured guidance of operators/skew.py applies BEFORE choosing the
-  bucket key.
+  layout exists to avoid).  Measured on the zipfian twin (SCALE.md
+  "Bucketing × skew"): the dominant tax is the WRITE straggler — one
+  task sorts/writes the whole hot bucket, 3.7× the uniform write —
+  while the read-side straggler at a 12%-hot key stayed mild (the
+  bucketed join still beat the shuffle join).  Bucket by
+  high-cardinality keys (orderkey, doc_id); let genuinely skewed FK
+  joins shuffle under AQE, where the hot partitions can be split at
+  runtime — the measured guidance of operators/skew.py applies BEFORE
+  choosing the bucket key.
 - One file per bucket means one write task per bucket: pick N so a
   bucket's rows fit one task comfortably (the same sizing rule as
   shuffle partitions).  For a 100 TB table that is thousands of
