@@ -3324,83 +3324,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # immediately preceding round rotate to the back, where falling past
     # the cap loses nothing.  Rotate per round.
     #
-    # r10 state: the rotation's steady state, window 3.  r09 checked the
-    # first 50 entries of the r09 order (the r07-green block) — all
-    # green (CORRECTNESS_r09 50/50), so the r08∪r09 union again covers
-    # the whole 100-query roster with zero overlap and zero residue.
-    # Due now: the 50 entries whose newest green row is r08 — exactly
-    # the r09 back block, promoted to the front in its planned order.
-    # After this round every roster member's newest green row is r09 or
-    # r10, and the window rolls forward with zero residue again.
+    # r11 state: the rotation's steady state, window 4.  r10 checked the
+    # first 50 entries of the r10 order (the r08-green block) — all green
+    # (CORRECTNESS_r10 50/50), so the r09∪r10 union again covers the whole
+    # 100-query roster with zero overlap and zero residue.  Due now: the
+    # 50 entries whose newest green row is r09 — exactly the r10 back
+    # block, promoted to the front in its planned order.  After this round
+    # every roster member's newest green row is r10 or r11, and the window
+    # rolls forward with zero residue again.
     #
-    # Due-50 members changed THIS round (inside the checked window, so
-    # the driver re-verifies them): ngram_jaccard (the shingle-frequency
-    # window-skip sentinel now actually skips for unbounded callers —
-    # plan change, identical rows, hash-verified at sf0.01 before
-    # commit).  Two BACK-block members also changed: ann_topk_lsh /
-    # ann_recall (the degenerate-element prefilter from the r09 ADVICE
-    # low — arrays containing NULL/NaN elements are now rejected on both
-    # sides of lsh_topk, matching the streaming _fold_topk policy; the
-    # oracle got the mirrored list_filter guard, the sf fixtures contain
-    # no such vectors so result rows are unchanged, and both were
-    # re-hash-verified at sf0.01 plus the degenerate differential sweep
-    # before commit — they fall to r11's window as usual).  Back block =
-    # the 50 entries green in r09, ordered as r11's due list.  Keep the
-    # total AT 100: every future addition must be matched by a
+    # Keep the total AT 100: every future addition must be matched by a
     # consolidation.
     return {
-        # --- newest green row is r08 (due now) ---
-        "ann_topk_pandas": q_ann_topk_pandas,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "asset_metadata": q_asset_metadata,
-        "frame_sample": q_frame_sample,
-        "orders_with_customer": q_orders_with_customer,
-        "fanout_per_customer": q_fanout_per_customer,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customer_order_totals": q_customer_order_totals,
-        "big_orders": q_big_orders,
-        "sequence_pack": q_sequence_pack,
-        "shingle_novelty": q_shingle_novelty,
-        "vocab_growth": q_vocab_growth,
-        "shard_assignment": q_shard_assignment,
-        "cms_token_counts": q_cms_token_counts,
-        "token_count_modes": q_token_count_modes,
-        "mixture_weights": q_mixture_weights,
-        "sequence_pack_text": q_sequence_pack_text,
-        "late_shipment_priority": q_late_shipment_priority,
-        "order_gap_days": q_order_gap_days,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "stratified_sample": q_stratified_sample,
-        "contamination_check": q_contamination_check,
-        "source_percentiles": q_source_percentiles,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "bigram_pmi": q_bigram_pmi,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "posting_lists": q_posting_lists,
-        "grouping_sets_segments": q_grouping_sets_segments,
-        "daily_click_purchase": q_daily_click_purchase,
-        "hll_distinct": q_hll_distinct,
-        "click_purchase_funnel": q_click_purchase_funnel,
-        "kmeans_step": q_kmeans_step,
-        "zone_history": q_zone_history,
-        "quality_score_udf": q_quality_score_udf,
-        "winnowing": q_winnowing,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "ann_topk": q_ann_topk,
-        "latest_by_key": q_latest_by_key,
-        "one_to_many_snapshot": q_one_to_many_snapshot,
-        "join_trace": q_join_trace,
-        "car_moves": q_car_moves,
-        "arrive_leave": q_arrive_leave,
-        "zone_occupancy": q_zone_occupancy,
-        "incremental_snapshot": q_incremental_snapshot,
-        # --- green in r09 (past the cap loses nothing) = r11's due list ---
+        # --- newest green row is r09 (due now: the r10 back block) ---
         "simhash_near_dup": q_simhash_near_dup,
         "ann_recall": q_ann_recall,
         "audio_features": q_audio_features,
@@ -3451,6 +3387,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "zone_pollution_full": q_zone_pollution_full,
         "max_order_per_customer": q_max_order_per_customer,
+        # --- green in r10 (past the cap loses nothing) = r12's due list ---
+        "ann_topk_pandas": q_ann_topk_pandas,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "asset_metadata": q_asset_metadata,
+        "frame_sample": q_frame_sample,
+        "orders_with_customer": q_orders_with_customer,
+        "fanout_per_customer": q_fanout_per_customer,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customer_order_totals": q_customer_order_totals,
+        "big_orders": q_big_orders,
+        "sequence_pack": q_sequence_pack,
+        "shingle_novelty": q_shingle_novelty,
+        "vocab_growth": q_vocab_growth,
+        "shard_assignment": q_shard_assignment,
+        "cms_token_counts": q_cms_token_counts,
+        "token_count_modes": q_token_count_modes,
+        "mixture_weights": q_mixture_weights,
+        "sequence_pack_text": q_sequence_pack_text,
+        "late_shipment_priority": q_late_shipment_priority,
+        "order_gap_days": q_order_gap_days,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "stratified_sample": q_stratified_sample,
+        "contamination_check": q_contamination_check,
+        "source_percentiles": q_source_percentiles,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "bigram_pmi": q_bigram_pmi,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "posting_lists": q_posting_lists,
+        "grouping_sets_segments": q_grouping_sets_segments,
+        "daily_click_purchase": q_daily_click_purchase,
+        "hll_distinct": q_hll_distinct,
+        "click_purchase_funnel": q_click_purchase_funnel,
+        "kmeans_step": q_kmeans_step,
+        "zone_history": q_zone_history,
+        "quality_score_udf": q_quality_score_udf,
+        "winnowing": q_winnowing,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "ann_topk": q_ann_topk,
+        "latest_by_key": q_latest_by_key,
+        "one_to_many_snapshot": q_one_to_many_snapshot,
+        "join_trace": q_join_trace,
+        "car_moves": q_car_moves,
+        "arrive_leave": q_arrive_leave,
+        "zone_occupancy": q_zone_occupancy,
+        "incremental_snapshot": q_incremental_snapshot,
     }
 
 
