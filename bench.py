@@ -22,9 +22,21 @@ host's hypervisor contention arrives in minute-scale bursts that
 stretch wall clocks 2-4x with zero guest-visible steal): a fixed CPU
 spin loop is timed before/after the suite (`host_spin_sec`) and before
 every query, and up to 15 queries measured inside a burst window are
-re-measured once in a calmer one, keeping the better median
-(`burst_retried`; bursts are additive noise, so the lower of two
-medians from different windows is the better estimate).
+re-measured once in a calmer one.  A retry only happens when the retry
+window's own probe is healthy, and then the healthy-window median
+SUPERSEDES the bursty-window one (whichever direction it moves — no
+min-of-two, which was a downward-biased estimator); `unstable_spread`
+for a retried query is recomputed from the retry samples.
+
+The RECORDING itself is regime-gated (BENCH_r10 lesson: the whole run
+landed in a measured ~2x slow host regime and the recorded artifact
+carried no signal of it): probe history accumulates across runs in
+BENCH_CALIBRATION.json, the run waits up to $SPARK_GRAFT_REGIME_WAIT
+seconds (default 300) for a probe-clean window before starting, and the
+output carries `regime` ("clean"/"slow") plus `regime_ratio` (this
+run's median per-query probe over the historical healthy baseline) so a
+slow-regime artifact is self-describing instead of needing SCALE.md
+prose to adjudicate it.
 
 The complete result is always written to BENCH_FULL.json next to this
 file; the stdout line is additionally kept under ~1.9 KB (the driver
@@ -129,9 +141,53 @@ def _host_spin(iters: int = 10_000_000) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CALIB_PATH = os.path.join(_HERE, "BENCH_CALIBRATION.json")
+
+
+def _load_calibration() -> list[float]:
+    """Historical healthy 2M-iteration spin probes (one per prior run —
+    each run contributes its own cleanest observed probe, so a run that
+    was entirely slow still leaves an honest, if elevated, sample)."""
+    try:
+        with open(_CALIB_PATH) as f:
+            probes = json.load(f).get("healthy_spin_2m", [])
+        return [float(p) for p in probes if p > 0]
+    except (OSError, ValueError):
+        return []
+
+
+def _save_calibration(run_best_probe: float) -> None:
+    hist = _load_calibration()
+    hist.append(round(run_best_probe, 4))
+    with open(_CALIB_PATH, "w") as f:
+        json.dump({"healthy_spin_2m": hist[-200:]}, f)
+
+
+def _await_clean_window(baseline: float | None) -> list[float]:
+    """Block (bounded) until a 2M spin probe reads within 1.3x of the
+    historical healthy baseline; returns the probes observed.  No-op when
+    no history exists yet (first run seeds the calibration) or when the
+    wait budget ($SPARK_GRAFT_REGIME_WAIT, default 300 s, 0 disables) is
+    exhausted — the run then proceeds and the output is STAMPED slow
+    rather than silently recorded as if clean."""
+    probes = [_host_spin(2_000_000)]
+    if baseline is None:
+        return probes
+    budget = float(os.environ.get("SPARK_GRAFT_REGIME_WAIT", "300"))
+    deadline = time.monotonic() + budget
+    while probes[-1] > 1.3 * baseline and time.monotonic() < deadline:
+        time.sleep(15)
+        probes.append(_host_spin(2_000_000))
+    return probes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    calib = _load_calibration()
+    calib_baseline = min(calib) if calib else None
+    gate_probes = _await_clean_window(calib_baseline)
     spin_before = _host_spin()
     spark = get_session("bench", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -205,20 +261,32 @@ def main() -> None:
     # hypervisor contention arrives in minute-scale bursts that stretch
     # whole stretches of the suite 2-4x.  The per-query spin probe tells
     # us WHICH queries were measured inside a burst; re-measure the worst
-    # offenders once in (hopefully) a calmer window and keep the better
-    # median — bursts are purely additive noise, so the lower of two
-    # medians from different windows is closer to the true cost.  Bounded
-    # at 15 retries so a bursty hour cannot run the suite unbounded.
+    # offenders once in a window whose OWN probe is healthy, and let the
+    # healthy-window median supersede the bursty one in either direction
+    # (keeping min-of-two was a downward-biased estimator — a momentary
+    # probe blip could flag a clean measurement and then clip it).
+    # Bounded at 15 retries so a bursty hour cannot run the suite
+    # unbounded.  "healthy" folds in the calibration history so a
+    # UNIFORMLY slow run (where the within-run min is itself slow) still
+    # flags every query rather than none.
     healthy = min(spins.values())
+    if calib_baseline is not None:
+        healthy = min(healthy, calib_baseline)
     flagged = [n for n in BENCH_QUERIES if spins[n] > 1.5 * healthy]
     burst_retried: dict[str, list[float]] = {}
     for name in sorted(flagged, key=lambda n: -timings[n])[:15]:
         if _host_spin(2_000_000) > 1.25 * healthy:
             continue  # still bursty — keep the original measurement
-        retry_med = round(statistics.median(timed_block(queries[name])), 3)
-        if retry_med < timings[name]:
-            burst_retried[name] = [timings[name], retry_med]
-            timings[name] = retry_med
+        samples = timed_block(queries[name])
+        retry_med = round(statistics.median(samples), 3)
+        burst_retried[name] = [timings[name], retry_med]
+        timings[name] = retry_med
+        # the spread entry computed from the discarded bursty samples is
+        # stale — recompute it from the samples that now carry the median
+        if min(samples) > 0 and max(samples) / min(samples) > 2 and max(samples) > 0.5:
+            spread[name] = round(max(samples) / min(samples), 2)
+        else:
+            spread.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -239,6 +307,18 @@ def main() -> None:
         out["burst_queries"] = len(flagged)
     if burst_retried:
         out["burst_retried"] = burst_retried
+    # Regime stamp: this run's TYPICAL probe (median over the ~100
+    # per-query probes) against the historical healthy baseline.  A clean
+    # run reads ~1x; BENCH_r10's regime would have read ~2x.  The run's
+    # cleanest probe joins the calibration history either way.
+    run_probes = list(spins.values()) + gate_probes
+    run_typical = statistics.median(run_probes)
+    baseline = calib_baseline if calib_baseline is not None else min(run_probes)
+    out["regime_ratio"] = round(run_typical / baseline, 3)
+    out["regime"] = "slow" if out["regime_ratio"] > 1.5 else "clean"
+    if len(gate_probes) > 1:
+        out["regime_gate_waited_probes"] = len(gate_probes)
+    _save_calibration(min(run_probes))
     prior = _prior_round_timings()
     if prior and prior[2] == out["sf"]:
         fname, prev, _ = prior

@@ -176,4 +176,12 @@ def bucketed_join_check(
         == "true"
     )
     big, small = max(ln, rn), min(ln, rn)
-    return coalesce_on and big % small == 0
+    # Spark coalesces only up to maxBucketRatio (default 4): 64 vs 8
+    # buckets divides evenly but exceeds the ratio, so Spark refuses to
+    # coalesce and shuffles anyway — the check must refuse it too.
+    max_ratio = int(
+        spark.conf.get(
+            "spark.sql.bucketing.coalesceBucketsInJoin.maxBucketRatio", "4"
+        )
+    )
+    return coalesce_on and big % small == 0 and big // small <= max_ratio

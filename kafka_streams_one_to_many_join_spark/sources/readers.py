@@ -66,6 +66,12 @@ def read_stream(
     """
     reader = spark.readStream.format(fmt)
     if fmt == "binaryFile":
+        if schema is not None:
+            raise ValueError(
+                "binaryFile has a fixed schema (path, modificationTime, "
+                "length, content); a caller-supplied schema would be "
+                "silently ignored — omit it"
+            )
         reader = reader.schema(
             "path string, modificationTime timestamp, length long, content binary"
         )

@@ -115,8 +115,12 @@ def run_one(data_dir: str, mem: str, workload: str, cpus: int) -> dict:
     wall = round(time.monotonic() - t0, 3)
 
     app_id = spark.sparkContext.applicationId
+    # uiWebUrl is the port Spark ACTUALLY bound — if 4099 was occupied it
+    # retries 4100+ (spark.port.maxRetries) and a hardcoded URL would read
+    # another app's metrics or fail outright.
+    ui_base = spark.sparkContext.uiWebUrl
     with urllib.request.urlopen(
-        f"http://localhost:4099/api/v1/applications/{app_id}/stages"
+        f"{ui_base}/api/v1/applications/{app_id}/stages"
     ) as r:
         stages = json.load(r)
     mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)

@@ -251,6 +251,29 @@ def test_bucketed_sort_elision_pruning_and_check(spark, sf_dir, tmp_path):
                 F.col("o_custkey") == F.col("c_custkey"),
             )
             assert plans.count_shuffles(j84) == 0, plans.formatted_plan(j84)
+            # divisible but past maxBucketRatio (default 4): Spark refuses
+            # to coalesce 8:1 and shuffles, so the check must refuse too —
+            # and must track the conf when the caller raises the ratio
+            write_bucketed(cust, "cust_bk1", 1, "c_custkey", path=str(tmp_path / "c1"))
+            assert not bucketed_join_check(
+                spark, "orders_bk", "cust_bk1", "o_custkey", "c_custkey"
+            )
+            spark.conf.set(
+                "spark.sql.bucketing.coalesceBucketsInJoin.maxBucketRatio", "8"
+            )
+            try:
+                assert bucketed_join_check(
+                    spark, "orders_bk", "cust_bk1", "o_custkey", "c_custkey"
+                )
+                j81 = spark.table("orders_bk").join(
+                    spark.table("cust_bk1"),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+                assert plans.count_shuffles(j81) == 0, plans.formatted_plan(j81)
+            finally:
+                spark.conf.unset(
+                    "spark.sql.bucketing.coalesceBucketsInJoin.maxBucketRatio"
+                )
         finally:
             spark.conf.unset("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
 

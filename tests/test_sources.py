@@ -163,6 +163,18 @@ def test_binary_file_feeds_multimodal_pipeline(spark, tmp_path):
     assert meta["x.bin"].digest == hashlib.md5(payloads["x.bin"]).hexdigest()
 
 
+def test_read_stream_binaryfile_rejects_caller_schema(spark, tmp_path):
+    """binaryFile's schema is fixed by the format; a caller-supplied one
+    used to be silently ignored — now it's a loud contract violation."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from kafka_streams_one_to_many_join_spark.sources.readers import read_stream
+
+    with pytest.raises(ValueError, match="fixed schema"):
+        read_stream(spark, "binaryFile", str(tmp_path), schema=StructType([]))
+
+
 def test_write_stream_rejects_contradictory_triggers(spark, tmp_path):
     """A streaming query has exactly one trigger: asking for both a
     processing-time cadence and availableNow must fail loudly instead of
