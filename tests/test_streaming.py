@@ -357,6 +357,7 @@ def test_tws_gate_fails_fast_without_protobuf(spark, monkeypatch):
         symmetric_one_to_many_join_tws(tagged)
 
 
+@pytest.mark.tws_worker_spawn_flake
 def test_tws_join_matches_edge_cases(spark, tmp_path):
     """The transformWithStateInPandas variant (ValueState + MapState) must
     produce the identical emission trace as the applyInPandasWithState one
@@ -900,6 +901,7 @@ def test_join_state_ttl_expires_silent_zones(spark, tmp_path):
     assert expiring == [(1, 100, 10.0, 50.0)]
 
 
+@pytest.mark.tws_worker_spawn_flake
 def test_tws_join_native_ttl_expires_state(spark, tmp_path):
     """The typed-state variant's NATIVE ttlConfig: a zone value written in
     batch 1 is expired when read past the TTL; without TTL it is
@@ -2076,6 +2078,7 @@ def test_streaming_bpe_checkpoint_restart_exactness(spark, tmp_path, sf_dir):
     assert final[("z", "q")].n_words == 1
 
 
+@pytest.mark.tws_worker_spawn_flake
 def test_streaming_hll_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir):
     """Typed-state (transformWithStateInPandas) HLL == the portable
     applyInPandasWithState twin == the one-shot python reference, on the
@@ -2394,6 +2397,7 @@ def test_streaming_lsh_topk_matches_batch_and_restarts(spark, tmp_path, sf_dir):
     assert finalize(spark.read.parquet(f"{tmp_path}/out2").collect()) == expected
 
 
+@pytest.mark.tws_worker_spawn_flake
 def test_streaming_lsh_topk_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir):
     """Typed-state (transformWithStateInPandas) streaming ANN == the
     portable applyInPandasWithState twin == batch lsh_topk, on the same
@@ -2535,6 +2539,7 @@ def test_ann_topk_state_ttl_expires(spark, tmp_path):
     assert any(r.vec_id == 2 for r in expired), expired  # rebuilt cold
 
 
+@pytest.mark.tws_worker_spawn_flake
 def test_streaming_lsh_topk_tws_checkpoint_restart(spark, tmp_path, sf_dir):
     """First checkpoint-restart proof for the TYPED-STATE backend: the
     TWS ANN twin's ValueState (RocksDB typed state, protobuf-encoded)
