@@ -30,6 +30,7 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
     minhash_lsh_pairs,
     near_dup_clusters,
     ngram_jaccard_pairs,
+    simhash_near_dup_clusters,
     simhash_near_dup_pairs,
 )
 from kafka_streams_one_to_many_join_spark.functions.sampling import (
@@ -67,7 +68,6 @@ from kafka_streams_one_to_many_join_spark.operators import (
     latest_by_key,
     one_to_many_join,
     one_to_many_join_trace,
-    session_stats,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -442,19 +442,36 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
-    """Gap-based sessions (30 min) per user — operators.sessionize.
-    Undated events carry no session position and are excluded in both
-    engines."""
+    """Gap-based sessions (30 min) per user WITH the within-session
+    event-type path — the r11 consolidation of sessionization +
+    session_paths into one scan / one window shuffle / one groupBy
+    (funding the new simhash_clusters entry; previously two queries each
+    re-scanned and re-windowed events).  Undated events carry no session
+    position and are excluded in both engines.  Path assembly is
+    shuffle-frugal: collect_list of (ts, event_id, type) structs sorts
+    IN the aggregation buffer (array_sort after collect — no extra
+    exchange) with event_id breaking ts ties so the path string is
+    deterministic; session paths are bounded by session length, not
+    stream length — the state bound that makes this safe on unbounded
+    clickstreams."""
+    from kafka_streams_one_to_many_join_spark.operators import sessionize
+
     ev = (
         load_table(spark, sf, "events")
         .filter(F.col("ts").isNotNull())
-        .select("user_id", "ts")
+        .select("user_id", "ts", "event_id", "event_type")
     )
-    s = session_stats(
+    sess = sessionize(
         ev, key="user_id", ts_col="ts", gap=F.expr("INTERVAL 30 MINUTES")
     )
-    return s.select(
-        "user_id", "session_id", "session_start", "session_end", "n_events"
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+            " s -> s.event_type), '>')"
+        ).alias("path"),
     )
 
 
@@ -770,6 +787,20 @@ def q_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
 def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Banded SimHash near-dup pairs (exact for Hamming ≤ 3, pigeonhole)."""
     return simhash_near_dup_pairs(load_table(spark, sf, "documents"))
+
+
+def q_simhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup CLUSTERS — the principled dense-corpus control
+    for simhash_near_dup (VERDICT r10 item 5): on repetitive corpora the
+    Hamming-≤3 PAIR relation is Ω(output) quadratic (1.97M true pairs
+    among 50k docs on the sf100 twin) and max_bucket_size can only
+    sample it; cluster semantics give O(docs) output — one (doc_id,
+    cluster_id) row per doc with ≥1 near-dup — while staying EXACT for
+    the threshold.  In-bucket min-label propagation over the verified
+    Hamming relation; the pair relation never materializes
+    (functions/dedup.py:simhash_near_dup_clusters, differentially
+    asserted equal to near_dup_clusters(simhash_near_dup_pairs(...)))."""
+    return simhash_near_dup_clusters(load_table(spark, sf, "documents"))
 
 
 def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1427,43 +1458,6 @@ def q_zone_history(spark: SparkSession, sf: str) -> DataFrame:
         "zone_id",
         F.col("seq").alias("valid_from_seq"),
         F.lead("seq").over(w).alias("valid_to_seq"),
-    )
-
-
-def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
-    """Clickstream path analysis: the top-10 most common within-session
-    event-type sequences (gap-sessionized, 30 min).
-
-    Path assembly is shuffle-frugal: sessionize reuses one (user, ts)
-    window shuffle, then collect_list of (ts, event_id, type) structs per
-    session sorts IN the aggregation buffer (array_sort after collect —
-    no extra exchange) with event_id breaking ts ties so the path string
-    is deterministic.  Session paths are bounded by session length, not
-    stream length — the state bound that makes this safe on unbounded
-    clickstreams."""
-    from kafka_streams_one_to_many_join_spark.operators import sessionize
-
-    ev = (
-        load_table(spark, sf, "events")
-        .filter(F.col("ts").isNotNull())  # undated events have no session
-        .select("user_id", "ts", "event_id", "event_type")
-    )
-    sess = sessionize(
-        ev, key="user_id", ts_col="ts", gap=F.expr("INTERVAL 30 MINUTES")
-    )
-    paths = (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))), s -> s.event_type), '>')"
-            ).alias("path")
-        )
-    )
-    return (
-        paths.groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .orderBy(F.col("n_sessions").desc(), "path")
-        .limit(10)
     )
 
 
@@ -3337,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # consolidation.
     return {
         # --- newest green row is r09 (due now: the r10 back block) ---
+        "simhash_clusters": q_simhash_clusters,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_recall": q_ann_recall,
         "audio_features": q_audio_features,
@@ -3350,9 +3345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "ann_topk_lsh": q_ann_topk_lsh,
         "events_hourly": q_events_hourly,
-        "sessionization": q_sessionization,
+        "sessionization": q_sessionization,  # r11 composite: + session_paths
         "rolling_avg_value": q_rolling_avg_value,
-        "session_paths": q_session_paths,
         "segment_dedup": q_segment_dedup,
         "unigram_logprob": q_unigram_logprob,
         "bloom_filter": q_bloom_filter,
@@ -3443,6 +3437,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     tok = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    # shared by simhash_near_dup (pairs) and simhash_clusters (connected
+    # components over the same verified Hamming-≤3 relation)
+    simhash_pairs_sql = f"""
+            WITH s AS ({_simhash_sql(tok)}),
+            bands AS (
+                SELECT doc_id, simhash, b.b AS band,
+                       (simhash // power(2, b.b * 15)::BIGINT) % 32768 AS bval
+                FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS doc_a, l.simhash AS sa,
+                                r.doc_id AS doc_b, r.simhash AS sb
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+            )
+            SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
     d = {
         "latest_by_key": f"""
             SELECT car_id, zone_id, fuel_level FROM ({_CAR_EV_SQL})
@@ -3608,20 +3620,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionization": """
             WITH flagged AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id, event_type,
                        CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS is_new
                 FROM events WHERE ts IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ),
             sess AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id, event_type,
                        (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) + 1)::BIGINT AS session_id
                 FROM flagged
             )
             SELECT user_id, session_id, min(ts) AS session_start,
-                   max(ts) AS session_end, count(*) AS n_events
+                   max(ts) AS session_end, count(*) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
             FROM sess GROUP BY user_id, session_id
         """,
         "bpe_merge_step": f"""
@@ -4002,27 +4015,6 @@ def oracle_sql() -> dict[str, str]:
                        AS valid_to_seq
             FROM ({_CAR_EV_SQL})
         """,
-        "session_paths": """
-            WITH flagged AS (
-                SELECT user_id, ts, event_id, event_type,
-                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END AS is_new
-                FROM events WHERE ts IS NOT NULL
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-            ),
-            sess AS (
-                SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) + 1 AS session_id
-                FROM flagged
-            ),
-            paths AS (
-                SELECT user_id, session_id,
-                       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-                FROM sess GROUP BY 1, 2
-            )
-            SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
-            ORDER BY n_sessions DESC, path LIMIT 10
-        """,
         "weighted_sample": """
             SELECT doc_id, source, n_chars,
                    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)
@@ -4107,21 +4099,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 6) AS mean_chars
             FROM documents GROUP BY source
         """,
-        "simhash_near_dup": f"""
-            WITH s AS ({_simhash_sql(tok)}),
-            bands AS (
-                SELECT doc_id, simhash, b.b AS band,
-                       (simhash // power(2, b.b * 15)::BIGINT) % 32768 AS bval
-                FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+        "simhash_near_dup": simhash_pairs_sql,
+        "simhash_clusters": f"""
+            WITH RECURSIVE pairs AS ({simhash_pairs_sql}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
             ),
-            cand AS (
-                SELECT DISTINCT l.doc_id AS doc_a, l.simhash AS sa,
-                                r.doc_id AS doc_b, r.simhash AS sb
-                FROM bands l JOIN bands r
-                  ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+            reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
             )
-            SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
-            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+            SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+            FROM reach GROUP BY node
         """,
         "ann_topk": """
             WITH q AS (

@@ -531,6 +531,168 @@ def simhash_buckets(
     )
 
 
+def _simhash_band_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """(doc_id, simhash, band, bval) — one row per (signed doc, band),
+    shared by the pair and cluster faces of simhash near-dup.
+
+    Pigeonhole banding: ``max_hamming + 1`` bands over the 60-bit hash,
+    so two hashes within Hamming distance h agree on at least one band
+    (exact blocking, recall 1.0).  Deriving the band count from the
+    threshold is also the scale knob — see simhash_near_dup_pairs."""
+    bands = max_hamming + 1
+    if not 1 <= bands <= SIMHASH_BITS // 8:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {bands} bands; {SIMHASH_BITS}-bit "
+            f"simhash supports 0 <= max_hamming <= {SIMHASH_BITS // 8 - 1} "
+            "(narrower bands than 8 bits degenerate into quadratic buckets)"
+        )
+    width, extra = divmod(SIMHASH_BITS, bands)
+    offsets, off = [], 0
+    for b in range(bands):
+        w = width + (1 if b < extra else 0)
+        offsets.append((off, w))
+        off += w
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, "
+        f"'bval', pmod(shiftright(simhash, {o}), {1 << w}))"
+        for b, (o, w) in enumerate(offsets)
+    )
+    # Predicate and tokenizer must agree: tokens come from
+    # regexp_extract_all(lower(text), '[a-z0-9]+'), so the token-free test
+    # is [a-z0-9] on the LOWERCASED text — a character that only lowercases
+    # into ASCII (e.g. U+212A KELVIN SIGN → 'k') yields tokens and must be
+    # signed, matching the oracle (which tokenizes and therefore signs it).
+    sigs = simhash_buckets(
+        docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")), text_col, id_col
+    )
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("bs"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bs.band").alias("band"),
+        F.col("bs.bval").alias("bval"),
+    )
+
+
+def simhash_near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the Hamming-≤h relation WITHOUT ever
+    materializing the pair relation — the principled dense-corpus
+    control for simhash_near_dup_pairs.
+
+    On dense corpora (repetitive vocabulary — the measured sf100 twin
+    holds 1.97M true pairs among 50k docs) the pair relation is
+    Ω(output) quadratic and ``max_bucket_size`` can only SAMPLE it
+    (recall 0.016 at cap 256, SCALE.md round 10).  Cluster semantics
+    sidestep the bound: the deliverable becomes one (doc_id,
+    cluster_id) row per clustered doc — O(docs) output — while staying
+    EXACT for the threshold: the output equals
+    ``near_dup_clusters(simhash_near_dup_pairs(docs, max_hamming=h))``
+    (differentially asserted in tests/test_functions.py).
+
+    Algorithm: min-label propagation where each round's propagation
+    happens INSIDE the band buckets.  Every true edge (hamming ≤ h)
+    lands in some shared band bucket (pigeonhole, exact), so one round
+    of "each member takes the min label among its Hamming-verified
+    bucket co-members" is one round of label propagation over the true
+    relation; iterating to fixpoint yields its connected components.
+    Per round the hot-bucket work is O(|bucket|²) *bit-op compares*
+    (xor + bit_count inside a codegen'd SQL lambda — no structs, no
+    explode), but only O(|bucket|) ROWS ever materialize; the pair
+    path's quadratic explode/distinct/shuffle never happens.
+
+    Scale shape: after round 1 the label table shrinks to docs with at
+    least one verified neighbor (singletons can neither gain nor give
+    a label — dropped, matching near_dup_clusters' singletons-absent
+    contract), so every later round joins/shuffles only the dup graph,
+    not the corpus.  Rounds = O(component diameter) — near-dup
+    clusters are dense and shallow.  Convergence is the same
+    sum-of-labels fixpoint as near_dup_clusters: one driver scalar per
+    round, never a row-level collect; ``model.materialize`` truncates
+    lineage each round (reliable-checkpoint knob applies).
+
+    Output: (doc_id, cluster_id = min doc_id reachable via Hamming-≤h
+    steps); docs with no near-dup absent.
+    """
+    from kafka_streams_one_to_many_join_spark.model import materialize
+
+    band_rows = materialize(
+        _simhash_band_rows(docs, text_col, id_col, max_hamming)
+    )
+    # Round 1 doubles as the neighbor filter: a doc's min verified-
+    # neighbor label (neighbors only — self excluded) is non-NULL iff it
+    # has a near-dup edge.  array_min ignores NULLs but an empty filter
+    # result yields NULL, which the outer filter drops.
+    verified_min = (
+        "transform(members, x -> named_struct("
+        "'doc_id', x.doc_id, "
+        "'lbl', array_min(transform("
+        f"  filter(members, y -> bit_count(x.simhash ^ y.simhash) <= {max_hamming}"
+        "         and y.doc_id != x.doc_id), "
+        "  y -> y.lbl))))"
+    )
+    first = (
+        band_rows.withColumn("lbl", F.col("doc_id").cast("long"))
+        .groupBy("band", "bval")
+        .agg(F.collect_list(F.struct("doc_id", "simhash", "lbl")).alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode(F.expr(verified_min)).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.lbl").alias("nbr_lbl"))
+        .filter(F.col("nbr_lbl").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.least(F.min("nbr_lbl"), F.min(F.col("doc_id").cast("long"))).alias("lbl"))
+    )
+    labels = materialize(first)
+    # Later rounds propagate over the SAME buckets, labels restricted to
+    # the dup graph (inner join drops singletons from the buckets too —
+    # they contribute nothing to any min and only widen the quadratic
+    # compare).  Self is included in the min here: a component's minimum
+    # member must keep its own label.
+    propagate = (
+        "transform(members, x -> named_struct("
+        "'doc_id', x.doc_id, "
+        "'lbl', array_min(transform("
+        f"  filter(members, y -> bit_count(x.simhash ^ y.simhash) <= {max_hamming}), "
+        "  y -> y.lbl))))"
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        new_labels = (
+            band_rows.join(labels, "doc_id")
+            .groupBy("band", "bval")
+            .agg(
+                F.collect_list(F.struct("doc_id", "simhash", "lbl")).alias("members")
+            )
+            # a post-restriction singleton bucket only re-emits its one
+            # member's own label; every dup-graph doc also sits in some
+            # ≥2 bucket with a verified neighbor (pigeonhole + symmetry),
+            # and `propagate` includes self there — safe to skip
+            .filter(F.size("members") > 1)
+            .select(F.explode(F.expr(propagate)).alias("m"))
+            .groupBy(F.col("m.doc_id").alias("doc_id"))
+            .agg(F.min("m.lbl").alias("lbl"))
+        )
+        labels = materialize(new_labels)
+        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -591,37 +753,7 @@ def simhash_near_dup_pairs(
 
     Output: (doc_a < doc_b, hamming BIGINT ≤ max_hamming).
     """
-    bands = max_hamming + 1
-    if not 1 <= bands <= SIMHASH_BITS // 8:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs {bands} bands; {SIMHASH_BITS}-bit "
-            f"simhash supports 0 <= max_hamming <= {SIMHASH_BITS // 8 - 1} "
-            "(narrower bands than 8 bits degenerate into quadratic buckets)"
-        )
-    width, extra = divmod(SIMHASH_BITS, bands)
-    offsets, off = [], 0
-    for b in range(bands):
-        w = width + (1 if b < extra else 0)
-        offsets.append((off, w))
-        off += w
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, "
-        f"'bval', pmod(shiftright(simhash, {o}), {1 << w}))"
-        for b, (o, w) in enumerate(offsets)
-    )
-    # Predicate and tokenizer must agree: tokens come from
-    # regexp_extract_all(lower(text), '[a-z0-9]+'), so the token-free test
-    # is [a-z0-9] on the LOWERCASED text — a character that only lowercases
-    # into ASCII (e.g. U+212A KELVIN SIGN → 'k') yields tokens and must be
-    # signed, matching the oracle (which tokenizes and therefore signs it).
-    sigs = simhash_buckets(
-        docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")), text_col, id_col
-    )
-    band_rows = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.expr(f"array({band_structs})")).alias("bs"),
-    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"))
+    band_rows = _simhash_band_rows(docs, text_col, id_col, max_hamming)
     buckets = (
         band_rows.groupBy("band", "bval")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))

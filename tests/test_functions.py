@@ -586,10 +586,57 @@ def test_simhash_banding_exact_recall_any_threshold(spark):
         simhash_near_dup_pairs(docs, max_hamming=7)  # 8 bands < 8 bits each
 
 
+def test_simhash_clusters_match_pairs_plus_cc(spark, sf_dir):
+    """simhash_near_dup_clusters is EXACT for the threshold: its output
+    must equal connected components over the materialized pair relation
+    (near_dup_clusters ∘ simhash_near_dup_pairs) — on the real sf corpus
+    AND on a hand-built chain that only becomes one cluster through
+    transitive hops (the case a bucket-collapse shortcut would split)."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        near_dup_clusters,
+        simhash_near_dup_clusters,
+        simhash_near_dup_pairs,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(
+        tuple(r) for r in near_dup_clusters(simhash_near_dup_pairs(docs)).collect()
+    )
+    got = sorted(tuple(r) for r in simhash_near_dup_clusters(docs).collect())
+    assert got == want and len(got) > 0
+
+    # transitive chain: consecutive sentences near each other, endpoints
+    # far apart — the cluster must still be ONE component, and the
+    # singleton (99) must be absent
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    chain = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base + " extra more"),
+        (4, base + " extra more words"),
+        (99, "completely unrelated text about database query optimizers"),
+    ]
+    cdocs = spark.createDataFrame(chain, "doc_id long, text string")
+    cwant = sorted(
+        tuple(r)
+        for r in near_dup_clusters(
+            simhash_near_dup_pairs(cdocs, max_hamming=6), max_iter=25
+        ).collect()
+    )
+    cgot = sorted(
+        tuple(r)
+        for r in simhash_near_dup_clusters(cdocs, max_hamming=6).collect()
+    )
+    assert cgot == cwant
+    assert all(doc_id != 99 for doc_id, _ in cgot)
+
+
 def test_dedup_functions_on_empty_docs(spark):
     from kafka_streams_one_to_many_join_spark.functions.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        simhash_near_dup_clusters,
         simhash_near_dup_pairs,
     )
 
@@ -597,6 +644,7 @@ def test_dedup_functions_on_empty_docs(spark):
     assert ngram_jaccard_pairs(empty).count() == 0
     assert minhash_lsh_pairs(empty).count() == 0
     assert simhash_near_dup_pairs(empty).count() == 0
+    assert simhash_near_dup_clusters(empty).count() == 0
 
 
 def test_deterministic_sampling_stability(spark):
