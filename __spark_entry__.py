@@ -1159,12 +1159,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     by a vocabulary-keyed window over the SAME aggregated frame (no
     diamond, no self-join); the corpus size N is a 1-row column-pruned
     count branch, broadcast.  Top-k per doc via row_number — ties broken
-    by term so the result is deterministic."""
+    by term so the result is deterministic.
+
+    On a doc_id-BUCKETED documents table the widest exchange — the full
+    (doc, term) pair shuffle feeding the tf aggregate — disappears:
+    HashPartitioning(doc_id) satisfies ClusteredDistribution(doc_id, w)
+    (partitioning on a key subset co-locates the full key), so the agg
+    runs on the scan partitioning (measured: scripts/bucket_llm_bench.py,
+    SCALE.md "Bucketed layout on the LLM pipelines")."""
+    return _tfidf_top_terms(load_table(spark, sf, "documents"))
+
+
+def _tfidf_top_terms(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
-    docs = load_table(spark, sf, "documents")
     pairs = ensure_parallelism(docs).select(
         "doc_id",
         F.explode(
@@ -3049,12 +3059,16 @@ def q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     median-of-3 on the driver's sf0.1 file; a no-op on a well-partitioned
     at-scale scan.  On the already-2-partition 10x twin the spread costs
     ~0.2 s — the gate keeps it from firing on real multi-file scans)."""
+    return _segment_dedup(load_table(spark, sf, "documents"))
+
+
+def _segment_dedup(docs: DataFrame) -> DataFrame:
     from kafka_streams_one_to_many_join_spark.functions.dedup import (
         segment_hash_expr,
     )
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
-    docs = ensure_parallelism(load_table(spark, sf, "documents"))
+    docs = ensure_parallelism(docs)
     segs = docs.select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("_toks"),
@@ -3102,7 +3116,10 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     2.96 s (the round-robin text exchange executes once per branch — the
     vocab_growth counter-case again), checkpoint 0.78 s / 1.41 s —
     checkpoint wins or ties everywhere."""
-    docs = load_table(spark, sf, "documents")
+    return _unigram_logprob(load_table(spark, sf, "documents"))
+
+
+def _unigram_logprob(docs: DataFrame) -> DataFrame:
     pairs = docs.select(
         "doc_id",
         F.explode(
