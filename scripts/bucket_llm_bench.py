@@ -80,6 +80,16 @@ def timed(fn, reps: int) -> float:
     return round(statistics.median(samples), 3)
 
 
+def host_spin(iters: int = 2_000_000) -> float:
+    """The bench.py window-health probe: this host's hypervisor bursts
+    stretch a fixed CPU loop 2-4x with zero guest-visible steal."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(iters):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def result_hash(df) -> tuple:
     row = df.select(
         F.count(F.lit(1)).alias("n"),
@@ -153,20 +163,43 @@ def main() -> None:
         # (BUCKETED_READ_CONFS); bucketed layout under DEFAULT confs —
         # the planner auto-disables the bucketed scan when no operator
         # needs its distribution, so this row shows whether "store
-        # bucketed, let Spark choose" is safe for this pipeline
-        out[name] = {
-            "plain_sec": timed(lambda: run(plain), args.reps),
-            "bucketed_forced_sec": with_confs(
-                BUCKETED_READ_CONFS,
-                lambda: timed(lambda: run(bucketed), args.reps),
-            ),
-            "bucketed_auto_sec": timed(lambda: run(bucketed), args.reps),
-            "plain_shuffles": count_shuffles(builder(plain)),
-            "bucketed_forced_shuffles": with_confs(
-                BUCKETED_READ_CONFS, lambda: count_shuffles(builder(bucketed))
-            ),
-            "bucketed_auto_shuffles": count_shuffles(builder(bucketed)),
+        # bucketed, let Spark choose" is safe for this pipeline.
+        #
+        # Samples are INTERLEAVED plain/forced/auto per round with a
+        # spin probe before each (the SCALE.md noise protocol): this
+        # host's minute-scale bursts cover a whole sequential variant
+        # window and produced a 75 s vs 27 s plain minhash across two
+        # back-to-back runs of the sequential version of this script.
+        variants = {
+            "plain": (plain, {}),
+            "bucketed_forced": (bucketed, dict(BUCKETED_READ_CONFS)),
+            "bucketed_auto": (bucketed, {}),
         }
+        samples: dict[str, list[float]] = {v: [] for v in variants}
+        probes: dict[str, list[float]] = {v: [] for v in variants}
+        for _ in range(args.reps):
+            for vname, (table, confs) in variants.items():
+                probes[vname].append(host_spin())
+                t0 = time.monotonic()
+                with_confs(confs, lambda t=table: run(t))
+                samples[vname].append(time.monotonic() - t0)
+        out[name] = {
+            f"{v}_sec": round(statistics.median(samples[v]), 3) for v in variants
+        }
+        out[name]["spread"] = {
+            v: round(max(samples[v]) / max(min(samples[v]), 1e-9), 2)
+            for v in variants
+        }
+        out[name]["probe_max_over_min"] = round(
+            max(p for ps in probes.values() for p in ps)
+            / min(p for ps in probes.values() for p in ps),
+            2,
+        )
+        out[name]["plain_shuffles"] = count_shuffles(builder(plain))
+        out[name]["bucketed_forced_shuffles"] = with_confs(
+            BUCKETED_READ_CONFS, lambda: count_shuffles(builder(bucketed))
+        )
+        out[name]["bucketed_auto_shuffles"] = count_shuffles(builder(bucketed))
         for variant in ("forced", "auto"):
             out[name][f"ratio_{variant}"] = (
                 round(
