@@ -38,6 +38,18 @@ run's median per-query probe over the historical healthy baseline) so a
 slow-regime artifact is self-describing instead of needing SCALE.md
 prose to adjudicate it.
 
+Round-11 addition — the regime check has TWO axes, because the
+single-thread spin probe is blind to the slower failure mode: an
+interleaved two-worktree control (r09-final code vs HEAD, same boot,
+alternating samples) showed identical code reading 1.4-1.8x its
+r09-recorded wall clocks across days while every spin probe stayed
+healthy.  `host_parallel_sec` (a fixed 32-partition JVM hashing job,
+run before and after the suite) tracks that day-level multicore regime
+against its own calibration history; `parallel_ratio` > 1.5 stamps the
+recording slow even when spin probes are clean.  Cross-DAY
+round-over-round ratios are only meaningful between artifacts whose
+parallel_ratio is comparable.
+
 The complete result is always written to BENCH_FULL.json next to this
 file; the stdout line is additionally kept under ~1.9 KB (the driver
 records only a 2000-byte stdout tail) by listing the slowest queries
@@ -145,23 +157,48 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _CALIB_PATH = os.path.join(_HERE, "BENCH_CALIBRATION.json")
 
 
-def _load_calibration() -> list[float]:
-    """Historical healthy 2M-iteration spin probes (one per prior run —
-    each run contributes its own cleanest observed probe, so a run that
-    was entirely slow still leaves an honest, if elevated, sample)."""
+def _load_calibration(key: str = "healthy_spin_2m") -> list[float]:
+    """Historical healthy probes (one per prior run — each run
+    contributes its own cleanest observed sample, so a run that was
+    entirely slow still leaves an honest, if elevated, entry).  Two
+    probe families: ``healthy_spin_2m`` (single-thread CPU loop — sees
+    the minute-scale bursts) and ``healthy_parallel`` (a fixed
+    32-partition Spark job — sees the DAY-level multicore regime the
+    spin probe is blind to: round-11 interleaved two-worktree controls
+    measured identical code reading 1.4–1.8× across days while every
+    spin probe stayed healthy)."""
     try:
         with open(_CALIB_PATH) as f:
-            probes = json.load(f).get("healthy_spin_2m", [])
+            probes = json.load(f).get(key, [])
         return [float(p) for p in probes if p > 0]
     except (OSError, ValueError):
         return []
 
 
-def _save_calibration(run_best_probe: float) -> None:
-    hist = _load_calibration()
-    hist.append(round(run_best_probe, 4))
+def _save_calibration(run_best_probe: float, run_best_parallel: float | None) -> None:
+    payload = {
+        "healthy_spin_2m": (_load_calibration() + [round(run_best_probe, 4)])[-200:]
+    }
+    par = _load_calibration("healthy_parallel")
+    if run_best_parallel is not None:
+        par = par + [round(run_best_parallel, 4)]
+    payload["healthy_parallel"] = par[-200:]
     with open(_CALIB_PATH, "w") as f:
-        json.dump({"healthy_spin_2m": hist[-200:]}, f)
+        json.dump(payload, f)
+
+
+def _host_parallel_probe(spark) -> float:
+    """Seconds for a fixed 32-partition JVM hashing job (128M xxhash64)
+    — the multicore twin of _host_spin.  Exercises the actual execution
+    stack (task scheduling, all cores, memory bandwidth), so it moves
+    with the day-level host regime that leaves the single-thread spin
+    loop untouched."""
+    t0 = time.perf_counter()
+    # bit_xor: a long sum of 128M signed 64-bit hashes overflows ANSI
+    spark.range(0, 128_000_000, 1, 32).selectExpr(
+        "bit_xor(xxhash64(id)) as h"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def _await_clean_window(baseline: float | None) -> list[float]:
@@ -221,6 +258,8 @@ def main() -> None:
     region.mapInPandas(_noop_batches, schema=region.schema).write.format(
         "noop"
     ).mode("overwrite").save()
+
+    parallel_probes = [_host_parallel_probe(spark)]
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     # Per-query warm-up discards + a GC between queries: two rounds running,
@@ -307,18 +346,32 @@ def main() -> None:
         out["burst_queries"] = len(flagged)
     if burst_retried:
         out["burst_retried"] = burst_retried
-    # Regime stamp: this run's TYPICAL probe (median over the ~100
-    # per-query probes) against the historical healthy baseline.  A clean
-    # run reads ~1x; BENCH_r10's regime would have read ~2x.  The run's
-    # cleanest probe joins the calibration history either way.
+    # Regime stamp, two axes.  Spin axis: this run's TYPICAL single-
+    # thread probe (median over the ~100 per-query probes) against the
+    # historical healthy baseline — sees minute-scale bursts.  Parallel
+    # axis: the fixed 32-partition Spark job before/after the suite
+    # against ITS history — sees the day-level multicore regime the spin
+    # loop is blind to (round 11: identical code, interleaved worktree
+    # control, 1.4–1.8x across days with every spin probe healthy).
+    # A slow stamp on either axis marks the recording untrustworthy for
+    # round-over-round comparison.
     run_probes = list(spins.values()) + gate_probes
     run_typical = statistics.median(run_probes)
     baseline = calib_baseline if calib_baseline is not None else min(run_probes)
     out["regime_ratio"] = round(run_typical / baseline, 3)
-    out["regime"] = "slow" if out["regime_ratio"] > 1.5 else "clean"
+    parallel_probes.append(_host_parallel_probe(spark))
+    out["host_parallel_sec"] = parallel_probes
+    par_hist = _load_calibration("healthy_parallel")
+    par_baseline = min(par_hist) if par_hist else min(parallel_probes)
+    out["parallel_ratio"] = round(min(parallel_probes) / par_baseline, 3)
+    out["regime"] = (
+        "slow"
+        if out["regime_ratio"] > 1.5 or out["parallel_ratio"] > 1.5
+        else "clean"
+    )
     if len(gate_probes) > 1:
         out["regime_gate_waited_probes"] = len(gate_probes)
-    _save_calibration(min(run_probes))
+    _save_calibration(min(run_probes), min(parallel_probes))
     prior = _prior_round_timings()
     if prior and prior[2] == out["sf"]:
         fname, prev, _ = prior
