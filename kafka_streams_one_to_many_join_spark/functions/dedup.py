@@ -531,14 +531,8 @@ def simhash_buckets(
     )
 
 
-def _simhash_band_rows(
-    docs: DataFrame,
-    text_col: str,
-    id_col: str,
-    max_hamming: int,
-) -> DataFrame:
-    """(doc_id, simhash, band, bval) — one row per (signed doc, band),
-    shared by the pair and cluster faces of simhash near-dup.
+def _band_structs_expr(max_hamming: int) -> str:
+    """SQL array of (band, bval) structs over a ``simhash`` column.
 
     Pigeonhole banding: ``max_hamming + 1`` bands over the 60-bit hash,
     so two hashes within Hamming distance h agree on at least one band
@@ -557,11 +551,22 @@ def _simhash_band_rows(
         w = width + (1 if b < extra else 0)
         offsets.append((off, w))
         off += w
-    band_structs = ", ".join(
+    return ", ".join(
         f"named_struct('band', {b}, "
         f"'bval', pmod(shiftright(simhash, {o}), {1 << w}))"
         for b, (o, w) in enumerate(offsets)
     )
+
+
+def _simhash_band_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """(doc_id, simhash, band, bval) — one row per (signed doc, band),
+    shared by the pair and cluster faces of simhash near-dup."""
+    band_structs = _band_structs_expr(max_hamming)
     # Predicate and tokenizer must agree: tokens come from
     # regexp_extract_all(lower(text), '[a-z0-9]+'), so the token-free test
     # is [a-z0-9] on the LOWERCASED text — a character that only lowercases
@@ -603,23 +608,29 @@ def simhash_near_dup_clusters(
     ``near_dup_clusters(simhash_near_dup_pairs(docs, max_hamming=h))``
     (differentially asserted in tests/test_functions.py).
 
-    Algorithm: min-label propagation where each round's propagation
-    happens INSIDE the band buckets.  Every true edge (hamming ≤ h)
-    lands in some shared band bucket (pigeonhole, exact), so one round
-    of "each member takes the min label among its Hamming-verified
-    bucket co-members" is one round of label propagation over the true
-    relation; iterating to fixpoint yields its connected components.
-    Per round the hot-bucket work is O(|bucket|²) *bit-op compares*
-    (xor + bit_count inside a codegen'd SQL lambda — no structs, no
-    explode), but only O(|bucket|) ROWS ever materialize; the pair
-    path's quadratic explode/distinct/shuffle never happens.
+    Algorithm: SIGNATURE COLLAPSE, then min-label propagation inside
+    the band buckets.  Hamming distance between docs is a function of
+    their signatures alone, and equal signatures are mutually
+    Hamming-0, so the doc graph is a clique-blowup of the quotient
+    graph on DISTINCT signatures — clustering the quotient and fanning
+    labels back out is exact and collapses the dense-dedup case (identical-
+    document floods) before any quadratic work: the 50k-doc dense twin
+    holds 1.97M doc pairs but only |distinct sigs| propagation nodes.
+    Every true quotient edge (hamming ≤ h) lands in some shared band
+    bucket (pigeonhole, exact), so one round of "each signature takes
+    the min label among its Hamming-verified bucket co-members" is one
+    round of label propagation over the true relation; iterating to
+    the sum-of-labels fixpoint yields its connected components.  Per
+    round the hot-bucket work is O(|bucket|²) *bit-op compares* (xor +
+    bit_count inside a codegen'd SQL lambda — no structs, no explode)
+    over DISTINCT signatures, and only O(|bucket|) rows materialize;
+    the pair path's quadratic explode/distinct/shuffle never happens.
 
-    Scale shape: after round 1 the label table shrinks to docs with at
-    least one verified neighbor (singletons can neither gain nor give
-    a label — dropped, matching near_dup_clusters' singletons-absent
-    contract), so every later round joins/shuffles only the dup graph,
-    not the corpus.  Rounds = O(component diameter) — near-dup
-    clusters are dense and shallow.  Convergence is the same
+    Scale shape: after round 1 the label table shrinks to signatures
+    in the dup graph (a signature is in iff it covers ≥ 2 docs — an
+    internal Hamming-0 pair — or has a verified neighbor signature),
+    so every later round joins/shuffles only the dup graph.  Rounds =
+    O(quotient-component diameter).  Convergence is the same
     sum-of-labels fixpoint as near_dup_clusters: one driver scalar per
     round, never a row-level collect; ``model.materialize`` truncates
     lineage each round (reliable-checkpoint knob applies).
@@ -629,68 +640,121 @@ def simhash_near_dup_clusters(
     """
     from kafka_streams_one_to_many_join_spark.model import materialize
 
-    band_rows = materialize(
-        _simhash_band_rows(docs, text_col, id_col, max_hamming)
+    sigs = materialize(
+        simhash_buckets(
+            docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")),
+            text_col,
+            id_col,
+        ).select(F.col("doc_id"), F.col("simhash"))
     )
-    # Round 1 doubles as the neighbor filter: a doc's min verified-
-    # neighbor label (neighbors only — self excluded) is non-NULL iff it
-    # has a near-dup edge.  array_min ignores NULLs but an empty filter
-    # result yields NULL, which the outer filter drops.
+    groups = sigs.groupBy("simhash").agg(
+        F.min(F.col("doc_id").cast("long")).alias("rep"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    band_structs = _band_structs_expr(max_hamming)
+    band_rows = materialize(
+        groups.select(
+            "simhash",
+            "rep",
+            "n_docs",
+            F.explode(F.expr(f"array({band_structs})")).alias("bs"),
+        ).select(
+            "simhash",
+            "rep",
+            "n_docs",
+            F.col("bs.band").alias("band"),
+            F.col("bs.bval").alias("bval"),
+        )
+    )
+    # Round 1 doubles as the graph-membership filter: a signature's min
+    # verified-neighbor label (OTHER signatures only) is non-NULL iff it
+    # has an external near-dup edge; n_docs > 1 is the internal
+    # Hamming-0 edge.  array_min over an empty filter result is NULL.
     verified_min = (
         "transform(members, x -> named_struct("
-        "'doc_id', x.doc_id, "
+        "'simhash', x.simhash, "
         "'lbl', array_min(transform("
         f"  filter(members, y -> bit_count(x.simhash ^ y.simhash) <= {max_hamming}"
-        "         and y.doc_id != x.doc_id), "
+        "         and y.simhash != x.simhash), "
         "  y -> y.lbl))))"
     )
-    first = (
-        band_rows.withColumn("lbl", F.col("doc_id").cast("long"))
+    nbr_min = (
+        band_rows.withColumn("lbl", F.col("rep"))
         .groupBy("band", "bval")
-        .agg(F.collect_list(F.struct("doc_id", "simhash", "lbl")).alias("members"))
+        .agg(F.collect_list(F.struct("simhash", "lbl")).alias("members"))
         .filter(F.size("members") > 1)
         .select(F.explode(F.expr(verified_min)).alias("m"))
-        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.lbl").alias("nbr_lbl"))
+        .select(F.col("m.simhash").alias("simhash"), F.col("m.lbl").alias("nbr_lbl"))
         .filter(F.col("nbr_lbl").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.least(F.min("nbr_lbl"), F.min(F.col("doc_id").cast("long"))).alias("lbl"))
+        .groupBy("simhash")
+        .agg(F.min("nbr_lbl").alias("nbr_lbl"))
     )
-    labels = materialize(first)
+    labels = materialize(
+        groups.join(nbr_min, "simhash", "left")
+        .filter((F.col("n_docs") > 1) | F.col("nbr_lbl").isNotNull())
+        .select(
+            "simhash",
+            F.least(F.col("rep"), F.coalesce("nbr_lbl", "rep")).alias("lbl"),
+        )
+    )
     # Later rounds propagate over the SAME buckets, labels restricted to
-    # the dup graph (inner join drops singletons from the buckets too —
-    # they contribute nothing to any min and only widen the quadratic
-    # compare).  Self is included in the min here: a component's minimum
-    # member must keep its own label.
+    # the dup graph (the inner join drops out-of-graph signatures from
+    # the buckets — they contribute nothing to any min and only widen
+    # the quadratic compare).  Self is included in the min here: a
+    # component's minimum member must keep its own label.  The union
+    # with the previous labels retains signatures whose only dup edge
+    # is internal (n_docs > 1, no external neighbor) — post-restriction
+    # they may sit exclusively in singleton buckets.
     propagate = (
         "transform(members, x -> named_struct("
-        "'doc_id', x.doc_id, "
+        "'simhash', x.simhash, "
         "'lbl', array_min(transform("
         f"  filter(members, y -> bit_count(x.simhash ^ y.simhash) <= {max_hamming}), "
         "  y -> y.lbl))))"
     )
+    # Pointer jumping (path halving): labels are doc ids, and every
+    # label in the graph is the rep of some signature — so after each
+    # bucket-propagation hop, replace lbl with THAT signature's current
+    # label.  One hop per round through buckets + one jump per round
+    # turns O(component diameter) rounds into O(log diameter) — the
+    # difference between 25 rounds and ~6 on chain-shaped near-dup
+    # components (incremental-edit chains, the dense-twin shape).
+    rep_sig = groups.select(F.col("rep").alias("lbl"), F.col("simhash").alias("_ls"))
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
-        new_labels = (
-            band_rows.join(labels, "doc_id")
+        propagated = (
+            band_rows.join(labels, "simhash")
             .groupBy("band", "bval")
-            .agg(
-                F.collect_list(F.struct("doc_id", "simhash", "lbl")).alias("members")
-            )
-            # a post-restriction singleton bucket only re-emits its one
-            # member's own label; every dup-graph doc also sits in some
-            # ≥2 bucket with a verified neighbor (pigeonhole + symmetry),
-            # and `propagate` includes self there — safe to skip
+            .agg(F.collect_list(F.struct("simhash", "lbl")).alias("members"))
             .filter(F.size("members") > 1)
             .select(F.explode(F.expr(propagate)).alias("m"))
-            .groupBy(F.col("m.doc_id").alias("doc_id"))
-            .agg(F.min("m.lbl").alias("lbl"))
+            .select(F.col("m.simhash").alias("simhash"), F.col("m.lbl").alias("lbl"))
         )
-        labels = materialize(new_labels)
+        hopped = (
+            labels.unionByName(propagated)
+            .groupBy("simhash")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        jumped = (
+            hopped.join(rep_sig, "lbl", "left")
+            .join(
+                labels.select(F.col("simhash").alias("_ls"), F.col("lbl").alias("_lbl2")),
+                "_ls",
+                "left",
+            )
+            .select(
+                "simhash",
+                F.least(F.col("lbl"), F.coalesce("_lbl2", "lbl")).alias("lbl"),
+            )
+        )
+        labels = materialize(jumped)
         s = labels.agg(F.sum("lbl")).collect()[0][0]
         if s == prev_sum:
             break
         prev_sum = s
-    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    return sigs.join(labels, "simhash").select(
+        "doc_id", F.col("lbl").alias("cluster_id")
+    )
 
 
 def simhash_near_dup_pairs(
