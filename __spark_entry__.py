@@ -78,10 +78,17 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _car_events(spark: SparkSession, sf: str) -> DataFrame:
-    """Many-side stream: even event_ids; car_id=user_id, zone_id=event_type."""
+    """Many-side stream: even event_ids; car_id=user_id, zone_id=event_type.
+
+    NULL event_type rows are excluded: zone_id is the join domain (an
+    Int in the reference, DomainModel.scala:8 — a NULL key cannot
+    exist), and engines disagree about NULL keys (Spark window
+    partitions group NULLs; SQL equi-joins drop them).  Same policy as
+    the NULL-ts exclusion for temporal queries; fenced by the all-NULL
+    session rows in test_degenerate_events_parity."""
     return (
         load_table(spark, sf, "events")
-        .filter(F.col("event_id") % 2 == 0)
+        .filter((F.col("event_id") % 2 == 0) & F.col("event_type").isNotNull())
         .select(
             F.col("event_id").alias("seq"),
             F.col("user_id").alias("car_id"),
@@ -92,10 +99,11 @@ def _car_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _zone_events(spark: SparkSession, sf: str) -> DataFrame:
-    """One-side stream: odd event_ids; zone_id=event_type."""
+    """One-side stream: odd event_ids; zone_id=event_type (NULL-keyed
+    rows excluded — see _car_events)."""
     return (
         load_table(spark, sf, "events")
-        .filter(F.col("event_id") % 2 == 1)
+        .filter((F.col("event_id") % 2 == 1) & F.col("event_type").isNotNull())
         .select(
             F.col("event_id").alias("seq"),
             F.col("event_type").alias("zone_id"),
@@ -106,11 +114,12 @@ def _zone_events(spark: SparkSession, sf: str) -> DataFrame:
 
 _CAR_EV_SQL = (
     "SELECT event_id AS seq, user_id AS car_id, event_type AS zone_id, "
-    "value AS fuel_level FROM events WHERE event_id % 2 = 0"
+    "value AS fuel_level FROM events "
+    "WHERE event_id % 2 = 0 AND event_type IS NOT NULL"
 )
 _ZONE_EV_SQL = (
     "SELECT event_id AS seq, event_type AS zone_id, value AS pollution_level "
-    "FROM events WHERE event_id % 2 = 1"
+    "FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL"
 )
 
 # ---------------------------------------------------------------------------
@@ -468,9 +477,16 @@ def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
+        # coalesce INSIDE the lambda: array_join silently drops NULL
+        # elements while DuckDB's string_agg skips them too EXCEPT the
+        # all-NULL session, where array_join yields '' and string_agg
+        # yields NULL.  Mapping NULL type -> '' per element keeps every
+        # event's slot in the path ('a>>b', not 'a>b') identically in
+        # both engines (r11 ADVICE close; fixtures carry no NULL
+        # event_type, pinned by test_sessionization_null_event_type).
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
-            " s -> s.event_type), '>')"
+            " s -> coalesce(s.event_type, '')), '>')"
         ).alias("path"),
     )
 
@@ -804,7 +820,7 @@ def q_simhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    emb = _emb_full_width(load_table(spark, sf, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -824,7 +840,7 @@ def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
     closure, so it is bounded by ``_ANN_QUERY_CAP`` (deterministic: lowest
     query_ids win) — at any corpus scale the closure stays ~0.5 MB instead
     of growing with N/100."""
-    emb = load_table(spark, sf, "embeddings")
+    emb = _emb_full_width(load_table(spark, sf, "embeddings"))
     qpdf = (
         emb.filter(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -841,6 +857,23 @@ def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
 _N_PLANES, _EMB_DIM, _PLANES_SEED = 8, 64, 7
 
 
+def _emb_full_width(emb: DataFrame) -> DataFrame:
+    """Scan-level guard shared by the whole ANN / k-means family (r11
+    ADVICE close, generalized): NULL, empty, and ragged (short) vectors
+    have no defined position in the 64-dim space, and every engine pair
+    disagrees about them differently — Spark's aggregate-dot scores a
+    ragged vector over its leading dims while DuckDB's list indexing
+    NULLs the sim; an empty array 0-dot-argmaxes into IVF/kmeans cell 1
+    Spark-side but vanishes from an unnest-based oracle.  Excluding
+    non-full-width vectors identically on BOTH sides (each oracle
+    carries the same `len(embedding) = 64` predicate) makes the policy
+    uniform instead of per-query accidental.  Fenced by the empty +
+    ragged rows in test_oracle_parity's degenerate-embedding sweep."""
+    return emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _EMB_DIM)
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact re-rank,
     multi-probe at Hamming <= 2 (37 of 256 buckets per query ≈ 15% of
@@ -852,8 +885,9 @@ def q_ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     similarity.lsh_topk docstring for why unstructured corpora are
     LSH's worst case).  Zero-norm/NULL vectors are dropped on both
     sides (scan-level exists() prefilter — the streaming twin's NaN
-    policy, shared bit-for-bit)."""
-    emb = load_table(spark, sf, "embeddings")
+    policy, shared bit-for-bit); non-full-width vectors drop via the
+    family-wide _emb_full_width guard, mirrored in the oracle."""
+    emb = _emb_full_width(load_table(spark, sf, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1491,7 +1525,9 @@ def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
     cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
-    emb = ensure_parallelism(load_table(spark, sf, "embeddings"))
+    emb = ensure_parallelism(
+        _emb_full_width(load_table(spark, sf, "embeddings"))
+    )
     assigned = emb.select(
         "vec_id", "embedding", ivf_cell("embedding", cents).alias("cell")
     )
@@ -1774,9 +1810,12 @@ def _ann_lsh_sql() -> str:
             FROM embeddings
             -- degenerate-element policy (mirrors lsh_topk's prefilter):
             -- drop vectors with any NULL/NaN element (NULL array drops
-            -- via the NULL len); zero-norm drops via sim IS NOT NULL
+            -- via the NULL len); zero-norm drops via sim IS NOT NULL;
+            -- non-full-width vectors drop via the family-wide guard
+            -- (mirrors _emb_full_width)
             WHERE len(list_filter(embedding,
                       e -> e IS NULL OR isnan(e::DOUBLE))) = 0
+              AND len(embedding) = {_EMB_DIM}
         ),
         q AS (
             SELECT vec_id AS query_id, embedding, qn, bucket
@@ -1815,11 +1854,17 @@ def _kmeans_sql() -> str:
     )
     return f"""
         WITH cents(cell, cvec) AS (VALUES {cent_rows}),
+        -- full-width guard mirroring q_kmeans_step's _emb_full_width:
+        -- degenerate vectors would form a NULL/partial cell here
+        emb_ok AS (
+            SELECT * FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+        ),
         dots AS (
             SELECT e.vec_id, e.embedding, c.cell,
                    list_sum(list_transform(generate_series(1, {_EMB_DIM}),
                        i -> e.embedding[i]::DOUBLE * c.cvec[i])) AS dot
-            FROM embeddings e CROSS JOIN cents c
+            FROM emb_ok e CROSS JOIN cents c
         ),
         corpus AS (
             SELECT vec_id, embedding, cell FROM dots
@@ -1849,11 +1894,18 @@ def _ann_ivf_sql() -> str:
     )
     return f"""
         WITH cents(cell, cvec) AS (VALUES {cent_rows}),
+        -- full-width guard mirroring ivf_topk's Spark-side filter
+        -- (r11 ADVICE close): NULL / empty / ragged embeddings are
+        -- excluded identically in both engines instead of diverging
+        emb_ok AS (
+            SELECT * FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+        ),
         dots AS (
             SELECT e.vec_id, e.embedding, {_DUCK_NORM} AS nn, c.cell,
                    list_sum(list_transform(generate_series(1, {_EMB_DIM}),
                        i -> e.embedding[i]::DOUBLE * c.cvec[i])) AS dot
-            FROM embeddings e CROSS JOIN cents c
+            FROM emb_ok e CROSS JOIN cents c
         ),
         corpus AS (
             SELECT vec_id, embedding, nn, cell FROM dots
@@ -1905,10 +1957,18 @@ def _ann_ivf_trained_sql() -> str:
                    generate_subscripts(cvec, 1) AS dim
             FROM cents0
         ),
+        -- full-width guard mirroring train_centroids/ivf_topk's Spark
+        -- filter (r11 ADVICE close): before this guard an empty array
+        -- silently vanished here (no unnest rows) while Spark assigned
+        -- it to cell 1, and ragged vectors trained partial means
+        emb_ok AS (
+            SELECT * FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+        ),
         ex AS (
             SELECT vec_id, unnest(embedding)::DOUBLE AS x,
                    generate_subscripts(embedding, 1) AS dim
-            FROM embeddings
+            FROM emb_ok
         ),
         dots0 AS (
             SELECT e.vec_id, c.cell, sum(e.x * c.c) AS dot
@@ -3457,81 +3517,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # immediately preceding round rotate to the back, where falling past
     # the cap loses nothing.  Rotate per round.
     #
-    # r11 state: the rotation's steady state, window 4.  r10 checked the
-    # first 50 entries of the r10 order (the r08-green block) — all green
-    # (CORRECTNESS_r10 50/50), so the r09∪r10 union again covers the whole
+    # r12 state: steady-state rotation, window 4.  r11 checked the first
+    # 50 entries of the r11 order (the r09-green block) — all green
+    # (CORRECTNESS_r11 50/50), so the r10∪r11 union covers the whole
     # 100-query roster with zero overlap and zero residue.  Due now: the
-    # 50 entries whose newest green row is r09 — exactly the r10 back
-    # block, promoted to the front in its planned order.  After this round
-    # every roster member's newest green row is r10 or r11, and the window
-    # rolls forward with zero residue again.
+    # 50 entries whose newest green row is r10 — exactly the r11 back
+    # block, promoted to the front in its planned order.  After this
+    # round every roster member's newest green row is r11 or r12.
     #
-    # Due-50 members changed THIS round (inside the checked window, so
-    # the driver re-verifies them): simhash_clusters is NEW (VERDICT r10
-    # item 5 — the dense-corpus control; placed first of all), funded by
-    # consolidating session_paths into sessionization (per-session rows
-    # now carry the event-type path — both were due-block members, so
-    # the due count stays exactly 50).  ann_recall gained the
-    # ivf_trained method row (VERDICT item 6 — one deterministic Lloyd
-    # step from the seeded init, oracle mirrors the training in SQL;
-    # hash-verified at sf0.001 + sf0.01 + the degenerate-embedding
-    # fixture before commit).  simhash_near_dup's banding was refactored
-    # into the shared _simhash_band_rows helper (same plan, re-verified).
+    # r12 changes are CROSS-ENGINE GUARDS, value-neutral on every driver
+    # fixture (verified before commit: full 210-test parity suite at
+    # sf0.001 AND the complete parity sweep at sf0.01 — zero value
+    # drift), closing the r11 ADVICE items: (a) the ANN/kmeans family
+    # (ann_topk, ann_topk_pandas, ann_topk_lsh, ann_topk_ivf, ann_recall,
+    # kmeans_step) now excludes NULL/empty/ragged embeddings identically
+    # in both engines (_emb_full_width + mirrored len(embedding)=64
+    # predicates; previously each engine disagreed differently);
+    # (b) train_centroids rounds half-away-from-zero matching DuckDB/
+    # F.round instead of Python banker's; (c) sessionization coalesces
+    # NULL event_type per path element in both engines; (d) _car_events/
+    # _zone_events exclude NULL-keyed (NULL event_type → NULL zone_id)
+    # rows in both engines, the join-domain analog of the NULL-ts
+    # policy.  All four are fenced by new degenerate-fixture rows
+    # (empty/ragged vectors, an all-NULL-type session) in
+    # test_oracle_parity.  Due-block members affected (ann_topk,
+    # ann_topk_pandas, ann_topk_ivf, kmeans_step, latest_by_key,
+    # car_moves, arrive_leave, zone_occupancy, one_to_many_snapshot,
+    # incremental_snapshot, join_trace, zone_history) get the driver
+    # re-check this round; back-block members affected (sessionization,
+    # ann_recall, ann_topk_lsh, zone_pollution_full) hold their slots
+    # because the fixture results are bit-identical — moving them
+    # forward would evict due entries and break the union invariant.
     # Keep the total AT 100: every future addition must be matched by a
     # consolidation.
     return {
-        # --- newest green row is r09 (due now: the r10 back block) ---
-        "simhash_clusters": q_simhash_clusters,
-        "simhash_near_dup": q_simhash_near_dup,
-        "ann_recall": q_ann_recall,
-        "audio_features": q_audio_features,
-        "image_features": q_image_features,
-        "brand_price_rank": q_brand_price_rank,
-        "bpe_merge_step": q_bpe_merge_step,
-        "quality_classifier": q_quality_classifier,
-        "source_overlap": q_source_overlap,
-        "gopher_quality": q_gopher_quality,
-        "weighted_sample": q_weighted_sample,
-        "doc_repetition": q_doc_repetition,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "events_hourly": q_events_hourly,
-        "sessionization": q_sessionization,  # r11 composite: + session_paths
-        "rolling_avg_value": q_rolling_avg_value,
-        "segment_dedup": q_segment_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "bloom_filter": q_bloom_filter,
-        "pii_redaction": q_pii_redaction,
-        "embedding_normalize": q_embedding_normalize,
-        "split_leakage": q_split_leakage,
-        "returnflag_grouping": q_returnflag_grouping,
-        "customer_order_presence": q_customer_order_presence,
-        "top_token_zipf": q_top_token_zipf,
-        "promo_q19_revenue": q_promo_q19_revenue,
-        "segment_order_matrix": q_segment_order_matrix,
-        "doc_profile": q_doc_profile,
-        "customer_features": q_customer_features,
-        "corpus_stats": q_corpus_stats,
-        "props_surface": q_props_surface,
-        "click_purchase_segments": q_click_purchase_segments,
-        "sample_splits": q_sample_splits,
-        "monthly_orders_growth": q_monthly_orders_growth,
-        "union_filter": q_union_filter,
-        "token_chunks": q_token_chunks,
-        "packing_efficiency": q_packing_efficiency,
-        "curation_funnel": q_curation_funnel,
-        "quantile_sketch": q_quantile_sketch,
-        "dedup_exact": q_dedup_exact,
-        "volume_shipping": q_volume_shipping,
-        "customer_distribution": q_customer_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "wealthy_low_activity": q_wealthy_low_activity,
-        "linestatus_priority": q_linestatus_priority,
-        "pareto_customers": q_pareto_customers,
-        "asof_prior_purchase": q_asof_prior_purchase,
-        "event_type_stats": q_event_type_stats,
-        "zone_pollution_full": q_zone_pollution_full,
-        "max_order_per_customer": q_max_order_per_customer,
-        # --- green in r10 (past the cap loses nothing) = r12's due list ---
+        # --- newest green row is r10 (due now: the r11 back block) ---
         "ann_topk_pandas": q_ann_topk_pandas,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3582,6 +3602,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
         "incremental_snapshot": q_incremental_snapshot,
+        # --- green in r11 (past the cap loses nothing) = r13's due list ---
+        "simhash_clusters": q_simhash_clusters,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_recall": q_ann_recall,
+        "audio_features": q_audio_features,
+        "image_features": q_image_features,
+        "brand_price_rank": q_brand_price_rank,
+        "bpe_merge_step": q_bpe_merge_step,
+        "quality_classifier": q_quality_classifier,
+        "source_overlap": q_source_overlap,
+        "gopher_quality": q_gopher_quality,
+        "weighted_sample": q_weighted_sample,
+        "doc_repetition": q_doc_repetition,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,  # r11 composite: + session_paths
+        "rolling_avg_value": q_rolling_avg_value,
+        "segment_dedup": q_segment_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_filter": q_bloom_filter,
+        "pii_redaction": q_pii_redaction,
+        "embedding_normalize": q_embedding_normalize,
+        "split_leakage": q_split_leakage,
+        "returnflag_grouping": q_returnflag_grouping,
+        "customer_order_presence": q_customer_order_presence,
+        "top_token_zipf": q_top_token_zipf,
+        "promo_q19_revenue": q_promo_q19_revenue,
+        "segment_order_matrix": q_segment_order_matrix,
+        "doc_profile": q_doc_profile,
+        "customer_features": q_customer_features,
+        "corpus_stats": q_corpus_stats,
+        "props_surface": q_props_surface,
+        "click_purchase_segments": q_click_purchase_segments,
+        "sample_splits": q_sample_splits,
+        "monthly_orders_growth": q_monthly_orders_growth,
+        "union_filter": q_union_filter,
+        "token_chunks": q_token_chunks,
+        "packing_efficiency": q_packing_efficiency,
+        "curation_funnel": q_curation_funnel,
+        "quantile_sketch": q_quantile_sketch,
+        "dedup_exact": q_dedup_exact,
+        "volume_shipping": q_volume_shipping,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "wealthy_low_activity": q_wealthy_low_activity,
+        "linestatus_priority": q_linestatus_priority,
+        "pareto_customers": q_pareto_customers,
+        "asof_prior_purchase": q_asof_prior_purchase,
+        "event_type_stats": q_event_type_stats,
+        "zone_pollution_full": q_zone_pollution_full,
+        "max_order_per_customer": q_max_order_per_customer,
     }
 
 
@@ -3784,7 +3855,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events,
-                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+                   -- coalesce per element, mirroring the Spark lambda:
+                   -- keeps NULL-typed events' slots in the path and makes
+                   -- the all-NULL session '' (not NULL) in both engines
+                   string_agg(coalesce(event_type, ''), '>'
+                              ORDER BY ts, event_id) AS path
             FROM sess GROUP BY user_id, session_id
         """,
         "bpe_merge_step": f"""
@@ -4265,9 +4340,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
             FROM reach GROUP BY node
         """,
-        "ann_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        "ann_topk": f"""
+            -- full-width guard mirroring _emb_full_width (r11 ADVICE
+            -- close, generalized): ragged vectors scored here over
+            -- their leading dims while Spark dropped/NULLed them
+            WITH emb_ok AS (
+                SELECT * FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM emb_ok
                 WHERE vec_id % 100 = 0
             ),
             s AS (
@@ -4279,7 +4361,7 @@ def oracle_sql() -> dict[str, str]:
                                sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
                              * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))), 0.0)
                        , 6) AS sim
-                FROM embeddings e, q WHERE e.vec_id <> q.query_id
+                FROM emb_ok e, q WHERE e.vec_id <> q.query_id
             )
             SELECT query_id, vec_id, sim, rank FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id

@@ -21,12 +21,26 @@ The harness is burst-aware (SCALE.md "Host noise escalation": this
 host's hypervisor contention arrives in minute-scale bursts that
 stretch wall clocks 2-4x with zero guest-visible steal): a fixed CPU
 spin loop is timed before/after the suite (`host_spin_sec`) and before
-every query, and up to 15 queries measured inside a burst window are
-re-measured once in a calmer one.  A retry only happens when the retry
-window's own probe is healthy, and then the healthy-window median
-SUPERSEDES the bursty-window one (whichever direction it moves — no
-min-of-two, which was a downward-biased estimator); `unstable_spread`
-for a retried query is recomputed from the retry samples.
+every query, and queries whose measurement is suspect are re-measured
+in a window that is probe-healthy BOTH before and after the re-measure
+(the post-probe closes the r11 ADVICE hole: a burst starting mid-retry
+used to supersede the original unconditionally).  Round 12 widens the
+trigger from the pre-query spin probe alone — which let BENCH_r11 ship
+four burst rows the probe missed — to ANY of: (a) the pre-query spin
+probe read bursty, (b) the timed samples spread more than 2x
+(`unstable_spread`), (c) the median moved more than 2x SLOWER than the
+prior round's recording at the same sf.  A clean-window median
+SUPERSEDES the original in either direction (no min-of-two, which was
+downward-biased); `unstable_spread` is recomputed from the superseding
+samples.  Every retried query is stamped in `retry_status` with its
+trigger reasons and outcome, and every >2x slowdown that survives into
+`deltas_vs_prior` carries a verdict in `delta_adjudication`:
+"confirmed-clean-window" (re-measured between two healthy probes and
+still slow — a real change) or "unadjudicated:<why>" (burst never
+relented / retry wall budget exhausted — distrust the row).  The retry
+pass is bounded by $SPARK_GRAFT_RETRY_BUDGET wall seconds (default
+900), severity-ordered so delta/spread triggers outrank spin-only
+flags.
 
 The RECORDING itself is regime-gated (BENCH_r10 lesson: the whole run
 landed in a measured ~2x slow host regime and the recorded artifact
@@ -296,45 +310,102 @@ def main() -> None:
         if min(samples) > 0 and max(samples) / min(samples) > 2 and max(samples) > 0.5:
             spread[name] = round(max(samples) / min(samples), 2)
 
-    # Burst-aware retry (SCALE.md "Host noise escalation"): this host's
-    # hypervisor contention arrives in minute-scale bursts that stretch
-    # whole stretches of the suite 2-4x.  The per-query spin probe tells
-    # us WHICH queries were measured inside a burst; re-measure the worst
-    # offenders once in a window whose OWN probe is healthy, and let the
-    # healthy-window median supersede the bursty one in either direction
-    # (keeping min-of-two was a downward-biased estimator — a momentary
-    # probe blip could flag a clean measurement and then clip it).
-    # Bounded at 15 retries so a bursty hour cannot run the suite
-    # unbounded.  "healthy" folds in the calibration history so a
-    # UNIFORMLY slow run (where the within-run min is itself slow) still
-    # flags every query rather than none.
+    # Burst-aware retry + delta adjudication (SCALE.md "Host noise
+    # escalation"; r11 VERDICT item 1 + ADVICE).  This host's hypervisor
+    # contention arrives in minute-scale bursts that stretch whole
+    # stretches of the suite 2-4x.  Three triggers mark a measurement
+    # suspect (BENCH_r11 shipped four burst rows the spin-only trigger
+    # missed — dedup_canonical 11.1s re-measured at 2.6s minutes later):
+    #   spin   — the pre-query probe read bursty,
+    #   spread — the timed samples spread > 2x,
+    #   delta  — the median is > 2x SLOWER than the prior recording at
+    #            the same sf (fast-side deltas are improvements, or the
+    #            PRIOR row's burst — not re-measurable retroactively).
+    # Each suspect query is re-measured inside a window that is probe-
+    # healthy BOTH before and after the timed block (the post-probe
+    # closes the r11 ADVICE hole: a burst starting mid-retry used to
+    # supersede the original unconditionally); bursty attempts retry
+    # after a short sleep, bounded by a global wall budget.  The clean-
+    # window median supersedes in either direction.  "healthy" folds in
+    # the calibration history so a UNIFORMLY slow run still flags every
+    # query rather than none.
     healthy = min(spins.values())
     if calib_baseline is not None:
         healthy = min(healthy, calib_baseline)
-    flagged = [n for n in BENCH_QUERIES if spins[n] > 1.5 * healthy]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prior = _prior_round_timings()
+    prior_fname, prior_q = None, {}
+    if prior and prior[2] == sf_val:
+        prior_fname, prior_q, _ = prior
+
+    def _suspect_reasons(n: str) -> list[str]:
+        r = []
+        if spins[n] > 1.5 * healthy:
+            r.append("spin")
+        if n in spread:
+            r.append("spread")
+        if prior_q.get(n, 0) > 0 and timings[n] / prior_q[n] > 2:
+            r.append("delta")
+        return r
+
+    flagged = {n: _suspect_reasons(n) for n in BENCH_QUERIES}
+    flagged = {n: r for n, r in flagged.items() if r}
+    # severity order: delta/spread triggers (rows a reviewer will read as
+    # regressions) before spin-only flags; expensive rows first within
+    # each class — they move the headline most
+    queue = sorted(
+        flagged,
+        key=lambda n: (
+            not ({"delta", "spread"} & set(flagged[n])),
+            -timings[n],
+        ),
+    )
     burst_retried: dict[str, list[float]] = {}
-    for name in sorted(flagged, key=lambda n: -timings[n])[:15]:
-        if _host_spin(2_000_000) > 1.25 * healthy:
-            continue  # still bursty — keep the original measurement
-        samples = timed_block(queries[name])
-        retry_med = round(statistics.median(samples), 3)
-        burst_retried[name] = [timings[name], retry_med]
-        timings[name] = retry_med
-        # the spread entry computed from the discarded bursty samples is
-        # stale — recompute it from the samples that now carry the median
-        if min(samples) > 0 and max(samples) / min(samples) > 2 and max(samples) > 0.5:
-            spread[name] = round(max(samples) / min(samples), 2)
-        else:
-            spread.pop(name, None)
+    retry_status: dict[str, dict] = {}
+    retry_deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "900")
+    )
+    for name in queue:
+        outcome = "budget-exhausted"
+        for _attempt in range(4):
+            if time.monotonic() > retry_deadline:
+                outcome = "budget-exhausted"
+                break
+            if _host_spin(2_000_000) > 1.25 * healthy:
+                outcome = "window-never-healthy"
+                time.sleep(10)  # give the burst a chance to relent
+                continue
+            samples = timed_block(queries[name])
+            if _host_spin(2_000_000) > 1.25 * healthy:
+                # burst began MID-retry: the re-measure is itself suspect
+                # — discard it and try again (r11 ADVICE post-probe)
+                outcome = "retry-burst-discarded"
+                continue
+            retry_med = round(statistics.median(samples), 3)
+            burst_retried[name] = [timings[name], retry_med]
+            timings[name] = retry_med
+            # the spread entry computed from the superseded samples is
+            # stale — recompute from the samples carrying the median
+            if (
+                min(samples) > 0
+                and max(samples) / min(samples) > 2
+                and max(samples) > 0.5
+            ):
+                spread[name] = round(max(samples) / min(samples), 2)
+            else:
+                spread.pop(name, None)
+            outcome = "clean-window"
+            break
+        retry_status[name] = {"reasons": flagged[name], "outcome": outcome}
 
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "repeats": repeats,
         "warmups": warmups,
         "stat": "median",
@@ -346,6 +417,8 @@ def main() -> None:
         out["burst_queries"] = len(flagged)
     if burst_retried:
         out["burst_retried"] = burst_retried
+    if retry_status:
+        out["retry_status"] = retry_status
     # Regime stamp, two axes.  Spin axis: this run's TYPICAL single-
     # thread probe (median over the ~100 per-query probes) against the
     # historical healthy baseline — sees minute-scale bursts.  Parallel
@@ -372,25 +445,40 @@ def main() -> None:
     if len(gate_probes) > 1:
         out["regime_gate_waited_probes"] = len(gate_probes)
     _save_calibration(min(run_probes), min(parallel_probes))
-    prior = _prior_round_timings()
-    if prior and prior[2] == out["sf"]:
-        fname, prev, _ = prior
+    if prior_q:
         deltas = {
-            n: round(timings[n] / prev[n], 2)
+            n: round(timings[n] / prior_q[n], 2)
             for n in timings
-            if n in prev and prev[n] > 0
-            and not (1 / 1.5 <= timings[n] / prev[n] <= 1.5)
+            if prior_q.get(n, 0) > 0
+            and not (1 / 1.5 <= timings[n] / prior_q[n] <= 1.5)
         }
-        out["prior"] = fname
+        out["prior"] = prior_fname
         out["deltas_vs_prior"] = deltas
+        # Adjudicate every shipped >2x slowdown (the r11 VERDICT bar: no
+        # unadjudicated >2x delta in the artifact).  A slow delta whose
+        # final median came from a clean-window re-measure is a REAL
+        # change; anything else means the burst never relented and the
+        # row should be distrusted, and says so in-artifact.
+        adjudication = {}
+        for n, d in deltas.items():
+            if d > 2:
+                st = retry_status.get(n, {}).get("outcome")
+                adjudication[n] = (
+                    "confirmed-clean-window"
+                    if st == "clean-window"
+                    else f"unadjudicated:{st or 'not-flagged'}"
+                )
+        if adjudication:
+            out["delta_adjudication"] = adjudication
         # self-reporting round-over-round number: sum of this round's
         # medians over the prior round's on the queries both rounds ran —
         # the roster churns (consolidations fund new operators), so the
         # headline total is NOT comparable across rounds but this is
-        common = [n for n in timings if n in prev and prev[n] > 0]
+        common = [n for n in timings if prior_q.get(n, 0) > 0]
         if common:
             out["common_ratio_vs_prior"] = round(
-                sum(timings[n] for n in common) / sum(prev[n] for n in common), 3
+                sum(timings[n] for n in common) / sum(prior_q[n] for n in common),
+                3,
             )
             out["common_queries"] = len(common)
     # Full-fidelity copy on disk: the driver records only the last ~2000
@@ -408,12 +496,23 @@ def main() -> None:
 
 def _bounded_line(out: dict, budget: int = 1900) -> str:
     """ONE JSON line ≤ budget bytes: all queries if they fit, else the
-    slowest-first prefix plus queries_omitted + a pointer to the full file."""
+    slowest-first prefix plus queries_omitted + a pointer to the full file.
+    Verbose diagnostic maps drop FIRST (they live in BENCH_FULL.json);
+    the per-query timings and delta_adjudication — the rows a reviewer
+    audits — drop last."""
     compact = lambda d: json.dumps(d, separators=(",", ":"))  # noqa: E731
     if len(compact(out)) <= budget:
         return compact(out)
     line = {k: v for k, v in out.items() if k != "queries"}
     line["full"] = "BENCH_FULL.json"
+    # drop verbose diagnostics until the frame (everything but queries)
+    # leaves room for at least a few query rows
+    for verbose in ("retry_status", "burst_retried", "unstable_spread"):
+        if len(compact(line)) <= budget - 300:
+            break
+        if verbose in line:
+            del line[verbose]
+            line.setdefault("elided", []).append(verbose)
     kept: dict[str, float] = {}
     for name, t in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
         trial = dict(line)

@@ -403,10 +403,34 @@ def train_centroids(
     training only moves the literals, which the recall measurement in
     SCALE.md ("clustered-corpus ANN") shows is exactly what matters on
     clustered data.
+
+    Degenerate-input contract (r11 ADVICE close): NULL and
+    non-full-width vectors are excluded from training — an empty array
+    would otherwise 0-dot-argmax into cell 1 here while a SQL oracle
+    that unnests the embedding drops it entirely, and a ragged (short)
+    vector would contribute means for only its leading dims.  The same
+    width guard is mirrored verbatim in the differential SQL
+    (`_ann_ivf_trained_sql`), so degenerate corpora are handled
+    identically instead of diverging silently.
+
+    Cross-engine rounding contract: the 6-decimal centroid literals are
+    rounded HALF-AWAY-FROM-ZERO (matching DuckDB `round()` and Spark
+    `F.round`), not Python's banker's rounding, so an oracle that
+    re-derives the one-step training in SQL lands on the same literal
+    whenever it computes the same mean.  Remaining tolerance: float
+    summation ORDER inside avg() (Spark partial-agg merge vs DuckDB
+    sequential scan) can differ by ~1 ulp near the 15th significant
+    digit; this flips a 6th-decimal literal only when the true mean
+    sits within ~1e-10 of a .5e-6 boundary — not observed on any
+    hash-verified fixture, and a flip would localize to one method row
+    of the ann_recall differential rather than corrupting it silently.
     """
     import numpy as np
 
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    dim = len(init[0])
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
     cents = [list(c) for c in init]
     for _ in range(iters):
         rows = (
@@ -425,8 +449,20 @@ def train_centroids(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = mat / norms
-        cents = [[float(round(x, 6)) for x in row] for row in mat]
+        # half-away-from-zero, NOT Python round() (banker's): see the
+        # cross-engine rounding contract in the docstring
+        cents = [[_round_half_away(x, 6) for x in row] for row in mat]
     return cents
+
+
+def _round_half_away(x: float, ndigits: int) -> float:
+    """Round half away from zero — the mode DuckDB's round() and Spark's
+    F.round share; Python's built-in round() is half-to-even and would
+    systematically diverge on exact .5 ulps."""
+    import math
+
+    m = 10.0**ndigits
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
 
 
 def ivf_topk(
@@ -460,14 +496,18 @@ def ivf_topk(
     # whole centroid-dot array TWICE per row — measured 1.45 s → 1.0 s
     # for the sf0.1 operator.  Numerically identical (same expression,
     # same values), so the oracle is untouched.
-    # NULL embeddings are dropped up front on BOTH sides (a cheap
-    # scan-level predicate): they produce a NULL cell, which the "="
-    # join and the SQL oracle drop implicitly — but the <=> join below
-    # would match a NULL corpus cell to a NULL query cell, silently
-    # pairing degenerate rows.  The explicit guard makes <=> strictly
-    # equivalent to "=" on every input.
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    # NULL and non-full-width embeddings are dropped up front on BOTH
+    # sides (a cheap scan-level predicate).  NULLs would produce a NULL
+    # cell that the <=> join below silently pairs; empty arrays would
+    # 0-dot-argmax into cell 1 here while an unnest-based SQL oracle
+    # drops them, and ragged vectors dot only their leading dims — all
+    # three degenerate shapes diverge engine-to-engine unless excluded
+    # identically (r11 ADVICE close; the same `len(embedding) = dim`
+    # predicate sits on the oracle's base scan).
+    dim = len(centroids[0])
+    full = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    corpus = corpus.filter(full)
+    queries = queries.filter(full)
     ds = _cell_dots_expr(vec_col, centroids)
     c = (
         ensure_parallelism(corpus)

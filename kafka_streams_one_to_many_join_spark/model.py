@@ -139,6 +139,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+# armed (set to a list) only by scripts/plan_audit.py — see materialize()
+_PLAN_AUDIT_SINK: list | None = None
+
+
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Pin a DataFrame's result and truncate its lineage — the repo-wide
     wrapper for every batch ``localCheckpoint`` site (iterative label
@@ -157,7 +161,17 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
 
     ``reliable`` checkpointing is always eager (Spark materializes on
     write); the ``eager`` flag only controls the local fast path.
+
+    Plan-audit hook (r11 VERDICT item 3): checkpointing truncates
+    lineage, which made scripts/plan_audit.py blind to exactly the
+    iterative queries' real per-round plans (their PLANS.md rows read
+    "0 shuffles / 0 scans").  When ``_PLAN_AUDIT_SINK`` is armed (a
+    list), the PRE-truncation DataFrame is appended before
+    checkpointing so the auditor can count each stage's shuffles/joins/
+    scans; the default (None) costs nothing.
     """
+    if _PLAN_AUDIT_SINK is not None:
+        _PLAN_AUDIT_SINK.append(df)
     spark = df.sparkSession
     ckpt_dir = spark.conf.get("spark.graft.checkpointDir", None) or os.environ.get(
         "SPARK_GRAFT_CHECKPOINT_DIR"

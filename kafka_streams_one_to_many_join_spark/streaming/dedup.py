@@ -23,13 +23,23 @@ def streaming_dedup(
     keys: list[str],
     ts_col: str | None = None,
     watermark: str = "10 minutes",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """First occurrence per key wins, duplicates dropped exactly.
 
     With ``ts_col`` the watermark bounds state; duplicate keys arriving
     after the watermark passed their first occurrence are NOT dropped —
     the deliberate trade for bounded state at 100 TB/day stream volume.
+    ``shuffle_partitions``: opt-in latency mode — per-micro-batch latency
+    scales with the stateful partition count, not batch rows (see
+    streaming/latency.py for the measurement and the checkpoint-pinning
+    contract); default None keeps the session setting.
     """
+    from kafka_streams_one_to_many_join_spark.streaming.latency import (
+        apply_shuffle_partitions,
+    )
+
+    events = apply_shuffle_partitions(events, shuffle_partitions)
     if ts_col is not None:
         events = events.withWatermark(ts_col, watermark)
     return events.dropDuplicates(keys)
@@ -40,9 +50,16 @@ def streaming_dedup_within_watermark(
     keys: list[str],
     ts_col: str,
     watermark: str = "10 minutes",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Dedup duplicates that arrive within the watermark delay window —
-    at-least-once delivery repair with guaranteed state expiry."""
+    at-least-once delivery repair with guaranteed state expiry.
+    ``shuffle_partitions``: opt-in latency mode (streaming/latency.py)."""
+    from kafka_streams_one_to_many_join_spark.streaming.latency import (
+        apply_shuffle_partitions,
+    )
+
+    events = apply_shuffle_partitions(events, shuffle_partitions)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
@@ -62,6 +79,7 @@ def streaming_minhash_lsh_pairs(
     seed: int = 11,
     ttl_ms: int | None = None,
     max_bucket_size: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Cross-batch fuzzy near-dup candidate maintenance: the streaming
     twin of ``functions.dedup.minhash_lsh_pairs`` (recipe reused
@@ -128,6 +146,11 @@ def streaming_minhash_lsh_pairs(
         minhash_coeffs,
     )
 
+    from kafka_streams_one_to_many_join_spark.streaming.latency import (
+        apply_shuffle_partitions,
+    )
+
+    docs = apply_shuffle_partitions(docs, shuffle_partitions)
     rows = num_hashes // bands
     a, b = minhash_coeffs(num_hashes, seed)
     hashes = (
@@ -268,6 +291,7 @@ def streaming_segment_dup_deltas(
     id_col: str = "doc_id",
     width: int = 10,
     ttl_ms: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Stage 1: per segment-hash keyed state → (doc_id, d_segments, d_dup)
     deltas, append semantics.
@@ -297,6 +321,11 @@ def streaming_segment_dup_deltas(
     TTL horizon are deliberately missed); default None keeps exact
     keep-forever semantics, matching the batch pipeline.
     """
+    from kafka_streams_one_to_many_join_spark.streaming.latency import (
+        apply_shuffle_partitions,
+    )
+
+    docs = apply_shuffle_partitions(docs, shuffle_partitions)
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import (

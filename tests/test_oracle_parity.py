@@ -277,6 +277,19 @@ def edge_emb_dir(tmp_path_factory, sf_dir):
     # NULL embedding: NULL-cell/-bucket join keys (the <=> trap the IVF
     # guard exists for) and NULL norms through every cosine path
     extra.at[extra.index[2], "embedding"] = None
+    # empty + ragged vectors (r11 ADVICE): an empty array 0-dot-argmaxes
+    # into IVF cell 1 Spark-side while an unnest-based oracle drops it
+    # (no rows); a short vector dots/trains only its leading dims.  Both
+    # are now excluded by the shared full-width guard
+    # (len(embedding) == dim on BOTH engines) — these rows fence it.
+    shapes = emb.head(2).copy()
+    shapes["vec_id"] = [980004, 980005]
+    dt = emb.embedding.iloc[0].dtype
+    shapes.at[shapes.index[0], "embedding"] = np.array([], dtype=dt)
+    shapes.at[shapes.index[1], "embedding"] = emb.embedding.iloc[0][
+        : dim // 2
+    ].copy()
+    extra = pd.concat([extra, shapes], ignore_index=True)
     pd.concat([emb, extra], ignore_index=True).to_parquet(
         f"{tmp}/embeddings.parquet"
     )
@@ -355,7 +368,18 @@ def edge_events_dir(tmp_path_factory, sf_dir):
     undated = ev.head(2).copy()
     undated["event_id"] = [9910001, 9910002]
     undated["ts"] = [pd.NaT, pd.NaT]
-    pd.concat([ev, extra, undated], ignore_index=True).to_parquet(
+    # an ALL-NULL-event_type session (r11 ADVICE): its own user, close
+    # timestamps → one isolated session whose every type is NULL.
+    # Pre-coalesce, Spark's array_join rendered its path '' while
+    # DuckDB's string_agg rendered NULL; both now coalesce per element
+    # ('>' for this 2-event session) — these rows fence that.
+    nullsess = ev.head(2).copy()
+    nullsess["event_id"] = [9930001, 9930002]
+    nullsess["user_id"] = 99999991
+    nullsess["event_type"] = None
+    base_ts = pd.Timestamp("2024-01-01 00:00:00")
+    nullsess["ts"] = [base_ts, base_ts + pd.Timedelta(minutes=5)]
+    pd.concat([ev, extra, undated, nullsess], ignore_index=True).to_parquet(
         f"{tmp}/events.parquet"
     )
     return tmp

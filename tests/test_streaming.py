@@ -2654,3 +2654,67 @@ def test_streaming_multimodal_ingest_resizes_binary_files(spark, tmp_path):
     assert (w, h, sr, sg, sb) == (1, 1, 9, 9, 9)
     w, h, sr, sg, sb = decode_ppm(by_dims[(2, 1)])
     assert (w, h) == (2, 1) and (sr, sg, sb) == (0 + 6, 1 + 7, 2 + 8)
+
+
+# ---------------------------------------------------------------------------
+# latency mode: the r11 STREAM_BENCH finding (stateful micro-batch p50
+# scales with the shuffle-partition count — 2.42 s @ 8 vs 11.4 s @ 32 on
+# identical batches) as an API on the stateful constructors
+# ---------------------------------------------------------------------------
+
+
+def test_latency_mode_pins_state_partitions(spark, tmp_path):
+    """shuffle_partitions=4 on car_move_detection must reach the state
+    store (the progress event's stateOperators reports the pinned
+    partition count) and leave the operator's emissions unchanged."""
+    tmp = str(tmp_path)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.createDataFrame(CAR_ROWS, CAR_SCHEMA).coalesce(1).write.parquet(
+            f"{tmp}/cars"
+        )
+        cars_stream = read_stream(
+            spark, "parquet", f"{tmp}/cars",
+            schema=spark.createDataFrame([], CAR_SCHEMA).schema,
+        )
+        moves = car_move_detection(cars_stream, shuffle_partitions=4)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        q = write_stream(
+            moves, "memory", query_name="lat_moves", checkpoint=f"{tmp}/cp"
+        )
+        q.processAllAvailable()
+        prog = q.lastProgress
+        q.stop()
+        assert prog["stateOperators"], prog
+        assert int(prog["stateOperators"][0]["numShufflePartitions"]) == 4, prog
+        rows = {
+            (r.seq, r.car_id, r.zone_id, r.is_arriving)
+            for r in spark.sql("select * from lat_moves").collect()
+        }
+        # same emissions as the default-partition runs elsewhere in this
+        # file: arrive per event + leave for the two zone changes (incl.
+        # the same-zone quirk's leave)
+        assert (0, 1, 100, True) in rows
+        assert (4, 1, 100, False) in rows and (4, 1, 101, True) in rows
+        assert (6, 2, 100, False) in rows and (6, 2, 100, True) in rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_latency_mode_validates_and_restores(spark):
+    """latency_mode rejects nonsense values; apply_shuffle_partitions is
+    a no-op on None (the session conf must not move)."""
+    import pytest as _pytest
+
+    from kafka_streams_one_to_many_join_spark.streaming.latency import (
+        apply_shuffle_partitions,
+        latency_mode,
+    )
+
+    df = spark.range(1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    assert apply_shuffle_partitions(df, None) is df
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with _pytest.raises(ValueError):
+        latency_mode(df, 0)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
