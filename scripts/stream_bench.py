@@ -362,6 +362,13 @@ if __name__ == "__main__":
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         _write_batches(docs, f"{tmp}/docs", n_batches)
         out = {}
+        # probe-stamp the recording (r11 VERDICT item 5: the round-11
+        # percentiles were recorded in the slow regime with no stamp)
+        from bench import _host_spin, _load_calibration
+
+        calib = _load_calibration()
+        probes = [_host_spin(2_000_000)]
+        out_meta: dict = {}
         out["symmetric_join"] = _latency_summary(
             _run(
                 symmetric_one_to_many_join, f"{tmp}/tagged", tagged.schema,
@@ -369,6 +376,21 @@ if __name__ == "__main__":
             )
         )
         print("symmetric_join done", file=sys.stderr)
+        # the same rows through the constructor's latency knob
+        # (streaming/latency.py): per-batch latency scales with the
+        # stateful partition count, so this line is the knob's measured
+        # face; conf restored for the runs after it
+        out["symmetric_join_lat8"] = _latency_summary(
+            _run(
+                lambda st: symmetric_one_to_many_join(
+                    st, shuffle_partitions=8
+                ),
+                f"{tmp}/tagged", tagged.schema, tmp,
+                "symmetric_join_lat8", "append",
+            )
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        print("symmetric_join_lat8 done", file=sys.stderr)
         out["minhash_pairs_cap16"] = _latency_summary(
             _run(
                 lambda st: streaming_minhash_lsh_pairs(
@@ -378,10 +400,25 @@ if __name__ == "__main__":
             )
         )
         print("minhash_pairs_cap16 done", file=sys.stderr)
+        out["minhash_pairs_cap16_lat8"] = _latency_summary(
+            _run(
+                lambda st: streaming_minhash_lsh_pairs(
+                    st, threshold=0.7, max_bucket_size=16,
+                    shuffle_partitions=8,
+                ),
+                f"{tmp}/docs", docs.schema, tmp, "minhash_cap_lat8", "append",
+            )
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        print("minhash_pairs_cap16_lat8 done", file=sys.stderr)
+        probes.append(_host_spin(2_000_000))
+        out_meta["host_spin_sec"] = probes
+        if calib:
+            out_meta["regime_ratio"] = round(min(probes) / min(calib), 3)
         print(
             json.dumps(
                 {"sf": sf, "mode": "latency", "n_batches": n_batches,
-                 "pipelines": out}
+                 **out_meta, "pipelines": out}
             )
         )
         shutil.rmtree(tmp, ignore_errors=True)
