@@ -1337,8 +1337,11 @@ def q_daily_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER JOIN of daily click counts vs daily purchase counts —
     days with activity on either side survive, missing side coalesced to
     0.  Both branches are column-pruned scans with the event_type filter
-    pushed to parquet; the join shuffles only (day, count) pairs."""
-    ev = load_table(spark, sf, "events")
+    pushed to parquet; the join shuffles only (day, count) pairs.
+    Undated (NULL-ts) events are excluded — they have no day (the
+    repo-wide temporal policy, see events_hourly; a NULL day would also
+    never match across the full outer's equi-key, leaving junk rows)."""
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     day = F.date_trunc("day", F.col("ts"))
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -4305,11 +4308,13 @@ def oracle_sql() -> dict[str, str]:
         "daily_click_purchase": """
             WITH c AS (
                 SELECT date_trunc('day', ts) AS day, count(*) AS n_clicks
-                FROM events WHERE event_type = 'click' GROUP BY 1
+                FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+                GROUP BY 1
             ),
             p AS (
                 SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases
-                FROM events WHERE event_type = 'purchase' GROUP BY 1
+                FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+                GROUP BY 1
             )
             SELECT coalesce(c.day, p.day) AS day,
                    coalesce(n_clicks, 0) AS n_clicks,

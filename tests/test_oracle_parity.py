@@ -25,7 +25,16 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif dt.startswith("float", 0) or dt.startswith("Float"):
             pdf[c] = pdf[c].astype("float64")
         elif dt.startswith("datetime"):
-            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+            # unify the storage unit too: Spark's toPandas yields ns,
+            # DuckDB's fetchdf us, and pandas' frame assert treats
+            # same-instant values of different units as unequal once a
+            # NaT is present (first hit: the sf0.01 degenerate-events
+            # sweep, where an undated click lands a NaT day row)
+            pdf[c] = (
+                pd.to_datetime(pdf[c])
+                .dt.tz_localize(None)
+                .astype("datetime64[ns]")
+            )
         elif dt == "bool" or dt.startswith("boolean"):
             pdf[c] = pdf[c].astype("bool")
     return pdf.sort_values(list(pdf.columns), ignore_index=True)
