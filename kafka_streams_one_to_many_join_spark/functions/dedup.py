@@ -637,6 +637,21 @@ def simhash_near_dup_clusters(
 
     Output: (doc_id, cluster_id = min doc_id reachable via Hamming-≤h
     steps); docs with no near-dup absent.
+
+    When to use which path — MEASURED crossover
+    (scripts/simhash_crossover.py on the dense twins, SCALE.md "The
+    crossover, measured at 500k"): use ``simhash_near_dup_pairs`` (+
+    ``near_dup_clusters`` if you need clusters) while the pair
+    relation still fits — at this density that ends between 50k docs
+    (pairs-only 14.3 s vs 80.1 s here) and 500k docs, where the pair
+    path DNF'd twice (Java heap OOM at 16g mid pair-materialization;
+    still inside that first stage at a 2,400 s bound with 96g) while
+    this operator completed in 1,278 s with 318,633 memberships.  The
+    crossover is memory-first: the pair path must materialize the
+    Ω(pairs) relation (~×100 per decade on dense corpora) before CC
+    can start, while this operator's state never exceeds O(distinct
+    signatures) labels.  Both paths produce identical memberships at
+    every scale both complete (differentially asserted).
     """
     from kafka_streams_one_to_many_join_spark.model import materialize
 
