@@ -234,6 +234,7 @@ def _await_clean_window(baseline: float | None) -> list[float]:
 
 
 def main() -> None:
+    _archive_prior_full()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     calib = _load_calibration()
@@ -507,6 +508,15 @@ def _bounded_line(out: dict, budget: int = 1900) -> str:
     line["full"] = "BENCH_FULL.json"
     # drop verbose diagnostics until the frame (everything but queries)
     # leaves room for at least a few query rows
+    # a whole-roster prior (BENCH_FULL_r{N}.json) can make deltas_vs_prior
+    # 100 entries wide; the audit-relevant rows are the SLOW side — keep
+    # those, count the omitted fast ones (full map in BENCH_FULL.json)
+    if "deltas_vs_prior" in line:
+        slow = {n: d for n, d in line["deltas_vs_prior"].items() if d > 1.5}
+        omitted = len(line["deltas_vs_prior"]) - len(slow)
+        if omitted:
+            line["deltas_vs_prior"] = slow
+            line["deltas_fast_omitted"] = omitted
     for verbose in ("retry_status", "burst_retried", "unstable_spread"):
         if len(compact(line)) <= budget - 300:
             break
@@ -526,11 +536,7 @@ def _bounded_line(out: dict, budget: int = 1900) -> str:
     return compact(line)
 
 
-def _prior_round_timings() -> tuple[str, dict[str, float], object] | None:
-    """(filename, per-query timings, sf) from the highest-numbered
-    BENCH_r*.json, if any.  The caller only reports deltas when the prior
-    run's scale factor matches this run's — cross-sf ratios are meaningless.
-    """
+def _newest_round_artifact() -> tuple[int, str] | None:
     here = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -539,15 +545,73 @@ def _prior_round_timings() -> tuple[str, dict[str, float], object] | None:
             n = int(m.group(1))
             if best is None or n > best[0]:
                 best = (n, p)
+    return best
+
+
+def _prior_round_timings() -> tuple[str, dict[str, float], object] | None:
+    """(filename, per-query timings, sf) from the highest-numbered
+    BENCH_r*.json, if any.  The caller only reports deltas when the prior
+    run's scale factor matches this run's — cross-sf ratios are meaningless.
+
+    The driver records only a ~2000-byte stdout tail, so BENCH_r*.json
+    carries the slowest ~30 queries; a sibling ``BENCH_FULL_r{N}.json``
+    (archived by ``_archive_prior_full`` from the recording run's
+    BENCH_FULL.json — same sf, same total) upgrades the prior map to all
+    queries, widening the burst-retry delta trigger and the >2x
+    adjudication from the recorded prefix to the whole roster.
+    """
+    best = _newest_round_artifact()
     if best is None:
         return None
     try:
         with open(best[1]) as f:
             parsed = json.load(f).get("parsed") or {}
         q = parsed.get("queries")
-        return (os.path.basename(best[1]), q, parsed.get("sf")) if q else None
+        if not q:
+            return None
+        full_path = os.path.join(
+            os.path.dirname(best[1]), f"BENCH_FULL_r{best[0]}.json"
+        )
+        try:
+            with open(full_path) as f:
+                full = json.load(f)
+            if full.get("sf") == parsed.get("sf") and abs(
+                float(full.get("value", -1)) - float(parsed.get("value", -2))
+            ) < 0.01:
+                q = {**full.get("queries", {}), **q}
+        except (OSError, ValueError):
+            pass
+        return (os.path.basename(best[1]), q, parsed.get("sf"))
     except (OSError, ValueError):
         return None
+
+
+def _archive_prior_full() -> None:
+    """Every run overwrites BENCH_FULL.json, but a ROUND recording's
+    full-fidelity per-query map is needed one round later for whole-roster
+    delta adjudication.  If the on-disk BENCH_FULL.json belongs to the
+    newest BENCH_r{N}.json recording (same sf, same headline total),
+    snapshot it to BENCH_FULL_r{N}.json before this run clobbers it."""
+    best = _newest_round_artifact()
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    if best is None or not os.path.exists(full_path):
+        return
+    dst = os.path.join(here, f"BENCH_FULL_r{best[0]}.json")
+    if os.path.exists(dst):
+        return
+    try:
+        with open(full_path) as f:
+            full = json.load(f)
+        with open(best[1]) as f:
+            parsed = json.load(f).get("parsed") or {}
+        if full.get("sf") == parsed.get("sf") and abs(
+            float(full.get("value", -1)) - float(parsed.get("value", -2))
+        ) < 0.01:
+            with open(dst, "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+    except (OSError, ValueError):
+        pass
 
 
 if __name__ == "__main__":
