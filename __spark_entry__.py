@@ -1200,7 +1200,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     HashPartitioning(doc_id) satisfies ClusteredDistribution(doc_id, w)
     (partitioning on a key subset co-locates the full key), so the agg
     runs on the scan partitioning (measured: scripts/bucket_llm_bench.py,
-    SCALE.md "Bucketed layout on the LLM pipelines")."""
+    SCALE.md "Bucketed layout on the LLM pipelines").
+
+    Known scale bound (measured r12): the df window shuffles the tf
+    frame BY TERM, so one partition holds every (doc, stopword) row —
+    up to |docs| rows for "the" — and AQE cannot split window
+    partitions.  The skew-immune alternative (df via map-side-combined
+    groupBy(w).count() on a materialized tf + broadcast join back;
+    identical values, asserted) measures 1.39 s vs 1.15 s here at sf0.1
+    — the extra tf checkpoint costs more than the skew until the
+    hottest term's partition stops fitting an executor.  Switch the df
+    step to the agg+broadcast form when corpus_docs x avg_doc_tokens
+    makes a single term's window partition executor-sized."""
     return _tfidf_top_terms(load_table(spark, sf, "documents"))
 
 
