@@ -42,6 +42,16 @@ pass is bounded by $SPARK_GRAFT_RETRY_BUDGET wall seconds (default
 900), severity-ordered so delta/spread triggers outrank spin-only
 flags.
 
+After the retry pass the harness runs the reviewer's audit on itself
+(round 12): the 5 slowest recorded rows are re-measured once, minutes
+after their recording, between two healthy probes (`canary` in the
+artifact: recorded vs canary vs ratio).  A canary at <= 0.5x the
+recorded median exposes a burst the triggers missed (clean spin probe,
+no prior delta, samples tight INSIDE the burst — the exact signature
+of BENCH_r11's four bad rows); the row is then re-measured in full and
+superseded, stamped `canary-superseded`.  Budget:
+$SPARK_GRAFT_CANARY_BUDGET wall seconds (default 180).
+
 The RECORDING itself is regime-gated (BENCH_r10 lesson: the whole run
 landed in a measured ~2x slow host regime and the recorded artifact
 carried no signal of it): probe history accumulates across runs in
@@ -215,19 +225,38 @@ def _host_parallel_probe(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calib_low(probes: list[float]) -> float | None:
+    """Robust healthy baseline from calibration history: the 25th
+    percentile (min when fewer than 4 entries).  This host's
+    single-thread probe is BIMODAL across boots/days (measured:
+    0.075-0.081 vs 0.115-0.120 for the same 2M loop — a ~1.5x CPU-mode
+    shift, NOT a burst), so the all-time MIN pins 'healthy' to the
+    lucky fast mode and makes every slow-mode day read permanently
+    bursty — retries then never find a 'clean' window and the whole
+    retry/canary machinery degrades to stamps.  The quartile keeps the
+    baseline honest across both modes; uniform slowness beyond 1.5x of
+    it is still flagged (and stamped) as a regime."""
+    if not probes:
+        return None
+    s = sorted(probes)
+    return s[len(s) // 4]
+
+
 def _await_clean_window(baseline: float | None) -> list[float]:
-    """Block (bounded) until a 2M spin probe reads within 1.3x of the
-    historical healthy baseline; returns the probes observed.  No-op when
-    no history exists yet (first run seeds the calibration) or when the
-    wait budget ($SPARK_GRAFT_REGIME_WAIT, default 300 s, 0 disables) is
-    exhausted — the run then proceeds and the output is STAMPED slow
-    rather than silently recorded as if clean."""
+    """Block (bounded) until a 2M spin probe reads within 1.5x of the
+    historical healthy baseline (quartile — see _calib_low; the margin
+    admits the host's slow CPU mode and still rejects 2-4x bursts);
+    returns the probes observed.  No-op when no history exists yet
+    (first run seeds the calibration) or when the wait budget
+    ($SPARK_GRAFT_REGIME_WAIT, default 300 s, 0 disables) is exhausted
+    — the run then proceeds and the output is STAMPED slow rather than
+    silently recorded as if clean."""
     probes = [_host_spin(2_000_000)]
     if baseline is None:
         return probes
     budget = float(os.environ.get("SPARK_GRAFT_REGIME_WAIT", "300"))
     deadline = time.monotonic() + budget
-    while probes[-1] > 1.3 * baseline and time.monotonic() < deadline:
+    while probes[-1] > 1.5 * baseline and time.monotonic() < deadline:
         time.sleep(15)
         probes.append(_host_spin(2_000_000))
     return probes
@@ -238,7 +267,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     calib = _load_calibration()
-    calib_baseline = min(calib) if calib else None
+    calib_baseline = _calib_low(calib)
     gate_probes = _await_clean_window(calib_baseline)
     spin_before = _host_spin()
     spark = get_session("bench", shuffle_partitions=cpus)
@@ -330,9 +359,18 @@ def main() -> None:
     # window median supersedes in either direction.  "healthy" folds in
     # the calibration history so a UNIFORMLY slow run still flags every
     # query rather than none.
-    healthy = min(spins.values())
-    if calib_baseline is not None:
-        healthy = min(healthy, calib_baseline)
+    # "Healthy" for burst detection is RUN-RELATIVE: the 25th percentile
+    # of this run's ~100 per-query probes estimates today's clean CPU
+    # mode (bursts are minute-scale 2-4x excursions hitting a minority
+    # of probes; a day-mode shift moves them all and is the regime
+    # stamp's job, not the retrier's).  Only when today's mode itself
+    # sits > 1.5x over the calibration quartile — a uniformly slow day —
+    # does the historical baseline take over, flagging every query and
+    # stamping the run slow.
+    run_spins = sorted(spins.values())
+    healthy = run_spins[len(run_spins) // 4]
+    if calib_baseline is not None and healthy > 1.5 * calib_baseline:
+        healthy = calib_baseline
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prior = _prior_round_timings()
@@ -400,6 +438,50 @@ def main() -> None:
             break
         retry_status[name] = {"reasons": flagged[name], "outcome": outcome}
 
+    # Post-suite canary (r12): the reviewer's own audit, internalized.
+    # Re-measure the slowest recorded rows once, minutes after their
+    # recording, between two healthy probes — the exact protocol the
+    # r11 review used to kill four recorded rows as bursts.  A canary
+    # at <= 0.5x the recorded median means the recording was burst-
+    # inflated even though no trigger fired (clean spin probe, no
+    # prior delta, samples tight INSIDE the burst): re-measure in full
+    # and supersede.  Every canary lands in the artifact either way,
+    # so the recorded top rows carry their own independent audit.
+    canary: dict[str, dict] = {}
+    canary_deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_CANARY_BUDGET", "180")
+    )
+    for name in sorted(timings, key=lambda n: -timings[n])[:5]:
+        if time.monotonic() > canary_deadline:
+            break
+        if _host_spin(2_000_000) > 1.25 * healthy:
+            canary[name] = {"recorded": timings[name], "status": "window-bursty"}
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        c = round(time.perf_counter() - t0, 3)
+        if _host_spin(2_000_000) > 1.25 * healthy:
+            canary[name] = {"recorded": timings[name], "status": "window-bursty"}
+            continue
+        entry = {
+            "recorded": timings[name],
+            "canary": c,
+            "ratio": round(c / timings[name], 2) if timings[name] else None,
+        }
+        if timings[name] > 0.5 and c <= 0.5 * timings[name]:
+            samples = timed_block(queries[name])
+            if _host_spin(2_000_000) <= 1.25 * healthy:
+                med = round(statistics.median(samples), 3)
+                burst_retried[name] = [timings[name], med]
+                timings[name] = med
+                spread.pop(name, None)
+                retry_status[name] = {
+                    "reasons": ["canary"],
+                    "outcome": "canary-superseded",
+                }
+                entry["superseded_to"] = med
+        canary[name] = entry
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_suite_seconds",
@@ -420,6 +502,8 @@ def main() -> None:
         out["burst_retried"] = burst_retried
     if retry_status:
         out["retry_status"] = retry_status
+    if canary:
+        out["canary"] = canary
     # Regime stamp, two axes.  Spin axis: this run's TYPICAL single-
     # thread probe (median over the ~100 per-query probes) against the
     # historical healthy baseline — sees minute-scale bursts.  Parallel
@@ -436,7 +520,7 @@ def main() -> None:
     parallel_probes.append(_host_parallel_probe(spark))
     out["host_parallel_sec"] = parallel_probes
     par_hist = _load_calibration("healthy_parallel")
-    par_baseline = min(par_hist) if par_hist else min(parallel_probes)
+    par_baseline = _calib_low(par_hist) or min(parallel_probes)
     out["parallel_ratio"] = round(min(parallel_probes) / par_baseline, 3)
     out["regime"] = (
         "slow"
@@ -517,7 +601,7 @@ def _bounded_line(out: dict, budget: int = 1900) -> str:
         if omitted:
             line["deltas_vs_prior"] = slow
             line["deltas_fast_omitted"] = omitted
-    for verbose in ("retry_status", "burst_retried", "unstable_spread"):
+    for verbose in ("retry_status", "burst_retried", "unstable_spread", "canary"):
         if len(compact(line)) <= budget - 300:
             break
         if verbose in line:
