@@ -548,9 +548,11 @@ def main() -> None:
         for n, d in deltas.items():
             if d > 2:
                 st = retry_status.get(n, {}).get("outcome")
+                # canary-superseded medians also came from a full timed
+                # block bracketed by healthy probes — same trust level
                 adjudication[n] = (
                     "confirmed-clean-window"
-                    if st == "clean-window"
+                    if st in ("clean-window", "canary-superseded")
                     else f"unadjudicated:{st or 'not-flagged'}"
                 )
         if adjudication:
