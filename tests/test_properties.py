@@ -333,3 +333,52 @@ def test_streaming_topk_fold_split_invariance(arrivals, cuts, k):
         _, ranked = _fold_topk(top, [pdf], k)
         top = dict(ranked)  # persist exactly what the operator stores
     assert ranked == expected
+
+
+def _cc_reference(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find ground truth: cluster_id = min node of the component.
+    Union always re-roots the larger root under the smaller, so by
+    induction every root IS its component's minimum."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((n, find(n)) for n in parent)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    """The iterative min-label propagation (the CC backbone of
+    dedup_clusters / dedup_canonical / simhash_near_dup_clusters)
+    equals union-find ground truth on ARBITRARY graphs — path chains
+    (worst-case diameter for the round count), self-loops, duplicate
+    and reversed edges, disconnected singletons included."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        near_dup_clusters,
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = sorted(
+        (r.doc_id, r.cluster_id) for r in near_dup_clusters(df).collect()
+    )
+    assert got == _cc_reference(edges)
