@@ -474,7 +474,16 @@ def main() -> None:
                 med = round(statistics.median(samples), 3)
                 burst_retried[name] = [timings[name], med]
                 timings[name] = med
-                spread.pop(name, None)
+                # spread must describe the samples carrying the median
+                # (same rule as the retry loop), not the superseded ones
+                if (
+                    min(samples) > 0
+                    and max(samples) / min(samples) > 2
+                    and max(samples) > 0.5
+                ):
+                    spread[name] = round(max(samples) / min(samples), 2)
+                else:
+                    spread.pop(name, None)
                 retry_status[name] = {
                     "reasons": ["canary"],
                     "outcome": "canary-superseded",
@@ -609,6 +618,35 @@ def _bounded_line(out: dict, budget: int = 1900) -> str:
         if verbose in line:
             del line[verbose]
             line.setdefault("elided", []).append(verbose)
+    # a uniformly slow day can put the WHOLE roster on the slow side
+    # (~100 deltas + 100 adjudications ≈ 8 KB — the frame alone would
+    # blow the tail and the driver would record parsed:{}, losing every
+    # stamp in the round that needs them most).  Keep the WORST slow
+    # deltas that fit, mirror adjudication to the kept keys, count the
+    # rest; the full maps live in BENCH_FULL.json.
+    def frame_size() -> int:
+        return len(compact(line))
+
+    if frame_size() > budget - 300 and line.get("deltas_vs_prior"):
+        ranked = sorted(
+            line["deltas_vs_prior"].items(), key=lambda kv: -kv[1]
+        )
+        adj = line.get("delta_adjudication", {})
+        while len(ranked) > 1 and frame_size() > budget - 300:
+            drop, _ = ranked.pop()
+            line["deltas_vs_prior"] = dict(ranked)
+            if drop in adj:
+                adj = {k: v for k, v in adj.items() if k != drop}
+                if adj:
+                    line["delta_adjudication"] = adj
+                else:
+                    line.pop("delta_adjudication", None)
+                line["delta_adjudication_omitted"] = (
+                    line.get("delta_adjudication_omitted", 0) + 1
+                )
+            line["deltas_slow_omitted"] = (
+                line.get("deltas_slow_omitted", 0) + 1
+            )
     kept: dict[str, float] = {}
     for name, t in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
         trial = dict(line)
@@ -619,6 +657,14 @@ def _bounded_line(out: dict, budget: int = 1900) -> str:
         kept[name] = t
     line["queries"] = kept
     line["queries_omitted"] = len(out["queries"]) - len(kept)
+    # hard guarantee: a line the driver tail cannot hold is worthless —
+    # shed the remaining optional maps entirely before overflowing
+    for last_resort in ("deltas_vs_prior", "delta_adjudication"):
+        if len(compact(line)) <= budget:
+            break
+        if last_resort in line:
+            del line[last_resort]
+            line.setdefault("elided", []).append(last_resort)
     return compact(line)
 
 

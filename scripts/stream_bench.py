@@ -364,7 +364,7 @@ if __name__ == "__main__":
         out = {}
         # probe-stamp the recording (r11 VERDICT item 5: the round-11
         # percentiles were recorded in the slow regime with no stamp)
-        from bench import _host_spin, _load_calibration
+        from bench import _calib_low, _host_spin, _load_calibration
 
         calib = _load_calibration()
         probes = [_host_spin(2_000_000)]
@@ -414,7 +414,12 @@ if __name__ == "__main__":
         probes.append(_host_spin(2_000_000))
         out_meta["host_spin_sec"] = probes
         if calib:
-            out_meta["regime_ratio"] = round(min(probes) / min(calib), 3)
+            # quartile baseline, not the all-time min: the host probe is
+            # bimodal across days (bench._calib_low) and the min would
+            # stamp every slow-CPU-mode day as a burst regime
+            out_meta["regime_ratio"] = round(
+                min(probes) / _calib_low(calib), 3
+            )
         print(
             json.dumps(
                 {"sf": sf, "mode": "latency", "n_batches": n_batches,

@@ -165,3 +165,46 @@ def test_bench_prior_map_upgrades_to_full_fidelity():
     assert len(q) >= len(parsed["queries"])
     if os.path.exists(os.path.join(here, f"BENCH_FULL_{fname.split('.')[0].split('_')[-1]}.json")):
         assert len(q) == len(entrymod.queries())
+
+
+def test_bench_bounded_line_survives_a_uniformly_slow_day():
+    """Worst case for the stdout tail: every roster query reads >2x slow
+    and unadjudicated (a whole-run burst).  The line must still fit the
+    driver's ~2000-byte tail AND parse — keeping the WORST slow deltas
+    with their verdicts and counting the shed ones — instead of
+    overflowing into the parsed:{} failure the bound exists to prevent."""
+    import json
+
+    import bench
+
+    names = sorted(entrymod.queries())
+    out = {
+        "metric": "total_suite_seconds",
+        "value": 300.0,
+        "unit": "sec",
+        "queries": {n: 3.0 for n in names},
+        "sf": 0.1,
+        "deltas_vs_prior": {n: 2.5 for n in names},
+        "delta_adjudication": {
+            n: "unadjudicated:window-never-healthy" for n in names
+        },
+        "retry_status": {
+            n: {"reasons": ["delta"], "outcome": "window-never-healthy"}
+            for n in names
+        },
+        "burst_retried": {n: [5.0, 3.0] for n in names},
+        "unstable_spread": {n: 2.2 for n in names},
+        "canary": {
+            n: {"recorded": 3.0, "status": "window-bursty"}
+            for n in names[:5]
+        },
+    }
+    line = bench._bounded_line(out)
+    assert len(line) <= 1900
+    parsed = json.loads(line[-2000:])  # the driver-tail contract itself
+    assert parsed["deltas_vs_prior"]  # the audit rows survive trimming
+    assert parsed["delta_adjudication"]
+    assert (
+        len(parsed["deltas_vs_prior"]) + parsed["deltas_slow_omitted"]
+        == len(names)
+    )
