@@ -382,3 +382,57 @@ def test_near_dup_clusters_matches_union_find(spark, edges):
         (r.doc_id, r.cluster_id) for r in near_dup_clusters(df).collect()
     )
     assert got == _cc_reference(edges)
+
+
+def _winnow_reference(text: str, k: int = 8, window: int = 4) -> set[int]:
+    """Straight-line python model of winnowing_fingerprints for one doc:
+    same normalization, same md5-prefix gram hash, min per window,
+    deduplicated."""
+    import hashlib
+    import re
+
+    n = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+    if len(n) < k:
+        return set()
+    hashes = [
+        int(hashlib.md5(n[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(n) - k + 1)
+    ]
+    if len(hashes) < window:
+        return {min(hashes)}
+    return {
+        min(hashes[j : j + window]) for j in range(len(hashes) - window + 1)
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c.x0", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnowing_matches_reference(spark, texts):
+    """The SQL-expression winnowing equals the sequential MOSS reference
+    for ANY input — normalization edge cases (punctuation runs, multi-
+    space, all-punct, short-of-k docs) included.  Equality implies both
+    halves of the scheme's guarantee: every selected fingerprint is a
+    window minimum (soundness) and every window contributes its minimum
+    (coverage — the shared-substring detection property)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    want = {
+        i: _winnow_reference(t)
+        for i, t in enumerate(texts)
+        if _winnow_reference(t)
+    }
+    assert got == want
