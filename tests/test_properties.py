@@ -436,3 +436,51 @@ def test_winnowing_matches_reference(spark, texts):
         if _winnow_reference(t)
     }
     assert got == want
+
+
+def _simhash_reference(text: str) -> int:
+    """Sequential model of simhash_buckets: distinct [a-z0-9]+ tokens of
+    the lowered text, 60-bit md5-prefix token hashes, strict per-bit
+    majority (ties -> 0)."""
+    import hashlib
+    import re
+
+    toks = list(dict.fromkeys(re.findall("[a-z0-9]+", text.lower())))
+    if not toks:
+        return 0
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    sig = 0
+    for b in range(60):
+        if sum((h >> b) & 1 for h in hs) * 2 > len(hs):
+            sig |= 1 << b
+    return sig
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="Ab 1.x,Z0", min_size=0, max_size=50),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_simhash_matches_reference_in_both_vote_modes(spark, texts):
+    """Both vote implementations (codegen'd SQL aggregate and the
+    Arrow-vectorized pandas twin) must equal the sequential reference
+    bit-for-bit on ANY input — mixed case, punctuation, digits,
+    token-free and empty docs included.  This is the signature every
+    simhash dedup path (pairs, clusters, doc_profile) keys on."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        simhash_buckets,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    want = {i: _simhash_reference(t) for i, t in enumerate(texts)}
+    for mode in ("expr", "pandas"):
+        got = {
+            r.doc_id: r.simhash
+            for r in simhash_buckets(df, vote_mode=mode).collect()
+        }
+        assert got == want, mode
