@@ -3531,92 +3531,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # immediately preceding round rotate to the back, where falling past
     # the cap loses nothing.  Rotate per round.
     #
-    # r12 state: steady-state rotation, window 4.  r11 checked the first
-    # 50 entries of the r11 order (the r09-green block) — all green
-    # (CORRECTNESS_r11 50/50), so the r10∪r11 union covers the whole
+    # r13 state: steady-state rotation, window 4.  r12 checked the first
+    # 50 entries of the r12 order (the r10-green block) — all green
+    # (CORRECTNESS_r12 50/50), so the r11∪r12 union covers the whole
     # 100-query roster with zero overlap and zero residue.  Due now: the
-    # 50 entries whose newest green row is r10 — exactly the r11 back
-    # block, promoted to the front in its planned order.  After this
-    # round every roster member's newest green row is r11 or r12.
-    #
-    # r12 changes are CROSS-ENGINE GUARDS, value-neutral on every driver
-    # fixture (verified before commit: full 210-test parity suite at
-    # sf0.001 AND the complete parity sweep at sf0.01 — zero value
-    # drift), closing the r11 ADVICE items: (a) the ANN/kmeans family
-    # (ann_topk, ann_topk_pandas, ann_topk_lsh, ann_topk_ivf, ann_recall,
-    # kmeans_step) now excludes NULL/empty/ragged embeddings identically
-    # in both engines (_emb_full_width + mirrored len(embedding)=64
-    # predicates; previously each engine disagreed differently);
-    # (b) train_centroids rounds half-away-from-zero matching DuckDB/
-    # F.round instead of Python banker's; (c) sessionization coalesces
-    # NULL event_type per path element in both engines; (d) _car_events/
-    # _zone_events exclude NULL-keyed (NULL event_type → NULL zone_id)
-    # rows in both engines, the join-domain analog of the NULL-ts
-    # policy.  All four are fenced by new degenerate-fixture rows
-    # (empty/ragged vectors, an all-NULL-type session) in
-    # test_oracle_parity.  Due-block members affected (ann_topk,
-    # ann_topk_pandas, ann_topk_ivf, kmeans_step, latest_by_key,
-    # car_moves, arrive_leave, zone_occupancy, one_to_many_snapshot,
-    # incremental_snapshot, join_trace, zone_history) get the driver
-    # re-check this round; back-block members affected (sessionization,
-    # ann_recall, ann_topk_lsh, zone_pollution_full) hold their slots
-    # because the fixture results are bit-identical — moving them
-    # forward would evict due entries and break the union invariant.
-    # Keep the total AT 100: every future addition must be matched by a
-    # consolidation.
+    # 50 entries whose newest green row is r11 — exactly the r12 back
+    # block, promoted to the front in its planned order (front-50 ==
+    # the CORRECTNESS_r11 key set, as VERDICT r12 item 3 prescribes).
+    # After this round every roster member's newest green row is r12 or
+    # r13.  Keep the total AT 100: every future addition must be matched
+    # by a consolidation.
     return {
-        # --- newest green row is r10 (due now: the r11 back block) ---
-        "ann_topk_pandas": q_ann_topk_pandas,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "asset_metadata": q_asset_metadata,
-        "frame_sample": q_frame_sample,
-        "orders_with_customer": q_orders_with_customer,
-        "fanout_per_customer": q_fanout_per_customer,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customer_order_totals": q_customer_order_totals,
-        "big_orders": q_big_orders,
-        "sequence_pack": q_sequence_pack,
-        "shingle_novelty": q_shingle_novelty,
-        "vocab_growth": q_vocab_growth,
-        "shard_assignment": q_shard_assignment,
-        "cms_token_counts": q_cms_token_counts,
-        "token_count_modes": q_token_count_modes,
-        "mixture_weights": q_mixture_weights,
-        "sequence_pack_text": q_sequence_pack_text,
-        "late_shipment_priority": q_late_shipment_priority,
-        "order_gap_days": q_order_gap_days,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "stratified_sample": q_stratified_sample,
-        "contamination_check": q_contamination_check,
-        "source_percentiles": q_source_percentiles,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "bigram_pmi": q_bigram_pmi,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "posting_lists": q_posting_lists,
-        "grouping_sets_segments": q_grouping_sets_segments,
-        "daily_click_purchase": q_daily_click_purchase,
-        "hll_distinct": q_hll_distinct,
-        "click_purchase_funnel": q_click_purchase_funnel,
-        "kmeans_step": q_kmeans_step,
-        "zone_history": q_zone_history,
-        "quality_score_udf": q_quality_score_udf,
-        "winnowing": q_winnowing,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "ann_topk": q_ann_topk,
-        "latest_by_key": q_latest_by_key,
-        "one_to_many_snapshot": q_one_to_many_snapshot,
-        "join_trace": q_join_trace,
-        "car_moves": q_car_moves,
-        "arrive_leave": q_arrive_leave,
-        "zone_occupancy": q_zone_occupancy,
-        "incremental_snapshot": q_incremental_snapshot,
-        # --- green in r11 (past the cap loses nothing) = r13's due list ---
+        # --- newest green row is r11 (due now: the r12 back block) ---
         "simhash_clusters": q_simhash_clusters,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_recall": q_ann_recall,
@@ -3667,6 +3593,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": q_event_type_stats,
         "zone_pollution_full": q_zone_pollution_full,
         "max_order_per_customer": q_max_order_per_customer,
+        # --- green in r12 (past the cap loses nothing) = r14's due list ---
+        "ann_topk_pandas": q_ann_topk_pandas,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "asset_metadata": q_asset_metadata,
+        "frame_sample": q_frame_sample,
+        "orders_with_customer": q_orders_with_customer,
+        "fanout_per_customer": q_fanout_per_customer,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customer_order_totals": q_customer_order_totals,
+        "big_orders": q_big_orders,
+        "sequence_pack": q_sequence_pack,
+        "shingle_novelty": q_shingle_novelty,
+        "vocab_growth": q_vocab_growth,
+        "shard_assignment": q_shard_assignment,
+        "cms_token_counts": q_cms_token_counts,
+        "token_count_modes": q_token_count_modes,
+        "mixture_weights": q_mixture_weights,
+        "sequence_pack_text": q_sequence_pack_text,
+        "late_shipment_priority": q_late_shipment_priority,
+        "order_gap_days": q_order_gap_days,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "stratified_sample": q_stratified_sample,
+        "contamination_check": q_contamination_check,
+        "source_percentiles": q_source_percentiles,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "bigram_pmi": q_bigram_pmi,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "posting_lists": q_posting_lists,
+        "grouping_sets_segments": q_grouping_sets_segments,
+        "daily_click_purchase": q_daily_click_purchase,
+        "hll_distinct": q_hll_distinct,
+        "click_purchase_funnel": q_click_purchase_funnel,
+        "kmeans_step": q_kmeans_step,
+        "zone_history": q_zone_history,
+        "quality_score_udf": q_quality_score_udf,
+        "winnowing": q_winnowing,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "ann_topk": q_ann_topk,
+        "latest_by_key": q_latest_by_key,
+        "one_to_many_snapshot": q_one_to_many_snapshot,
+        "join_trace": q_join_trace,
+        "car_moves": q_car_moves,
+        "arrive_leave": q_arrive_leave,
+        "zone_occupancy": q_zone_occupancy,
+        "incremental_snapshot": q_incremental_snapshot,
     }
 
 
