@@ -43,24 +43,33 @@ pass is bounded by $SPARK_GRAFT_RETRY_BUDGET wall seconds (default
 flags.
 
 After the retry pass the harness runs the reviewer's audit on itself
-(round 12): the 5 slowest recorded rows are re-measured once, minutes
-after their recording, between two healthy probes (`canary` in the
-artifact: recorded vs canary vs ratio).  A canary at <= 0.5x the
-recorded median exposes a burst the triggers missed (clean spin probe,
-no prior delta, samples tight INSIDE the burst — the exact signature
-of BENCH_r11's four bad rows); the row is then re-measured in full and
-superseded, stamped `canary-superseded`.  Budget:
-$SPARK_GRAFT_CANARY_BUDGET wall seconds (default 180).
+(round 12): the 5 slowest recorded rows — plus, in round 13, the
+CANARY_WATCHLIST rows the prior VERDICT asked to watch — are
+re-measured once, minutes after their recording, between two healthy
+probes (`canary` in the artifact: recorded vs canary vs ratio).  A
+canary at <= 0.5x the recorded median exposes a burst the triggers
+missed (clean spin probe, no prior delta, samples tight INSIDE the
+burst — the exact signature of BENCH_r11's four bad rows); since r13
+the trigger is symmetric (>= 2x also re-measures — r12 ADVICE noted
+the one-sided trigger let slow canaries ship unexamined).  Either way
+the row is re-measured in full and superseded from the clean window,
+stamped `canary-superseded` with the retry pass's original reasons
+preserved.  Budget: $SPARK_GRAFT_CANARY_BUDGET wall seconds (default
+180).
 
 The RECORDING itself is regime-gated (BENCH_r10 lesson: the whole run
 landed in a measured ~2x slow host regime and the recorded artifact
 carried no signal of it): probe history accumulates across runs in
 BENCH_CALIBRATION.json, the run waits up to $SPARK_GRAFT_REGIME_WAIT
 seconds (default 300) for a probe-clean window before starting, and the
-output carries `regime` ("clean"/"slow") plus `regime_ratio` (this
-run's median per-query probe over the historical healthy baseline) so a
-slow-regime artifact is self-describing instead of needing SCALE.md
-prose to adjudicate it.
+output carries `regime` ("clean"/"clean-relative"/"slow" — see
+_regime_stamp; "clean-relative" is r13's honest label for a run that is
+internally consistent but sits in this host's slow CPU mode) plus
+`regime_ratio` (this run's median per-query probe over the historical
+healthy baseline) so a slow-regime artifact is self-describing instead
+of needing SCALE.md prose to adjudicate it.  Only clean-stamped runs
+feed the calibration history (r12 ADVICE: slow streaks must not ratchet
+the baseline).
 
 Round-11 addition — the regime check has TWO axes, because the
 single-thread spin probe is blind to the slower failure mode: an
@@ -162,6 +171,17 @@ BENCH_QUERIES = [
 BENCH_QUERIES = [n for n in BENCH_QUERIES if n in entry_mod.queries()]
 BENCH_QUERIES += sorted(set(entry_mod.queries()) - set(BENCH_QUERIES))
 
+# One-round canary watch (VERDICT r12 item 5): rows whose small r12
+# regressions sat inside the host-noise band — audited unconditionally
+# this round.  Prune entries once their canary reads confirmatory.
+CANARY_WATCHLIST = [
+    "embedding_near_dup",
+    "ann_topk_lsh",
+    "frame_sample",
+    "ann_topk_pandas",
+    "ann_topk",
+]
+
 
 def _host_spin(iters: int = 10_000_000) -> float:
     """Seconds for a fixed single-thread CPU loop — the window-health
@@ -199,7 +219,20 @@ def _load_calibration(key: str = "healthy_spin_2m") -> list[float]:
         return []
 
 
-def _save_calibration(run_best_probe: float, run_best_parallel: float | None) -> None:
+def _save_calibration(
+    run_best_probe: float,
+    run_best_parallel: float | None,
+    regime: str = "clean",
+) -> None:
+    """Append this run's cleanest probes to the calibration history —
+    but only from CLEAN-stamped runs (r12 ADVICE): an extended slow-CPU-
+    mode streak used to ratchet the 200-entry history's 25th percentile
+    toward the slow mode, gradually desensitizing the regime gate that
+    _calib_low feeds.  Slow and clean-relative runs still leave their
+    probes in the artifact (host_spin_sec / regime_ratio); they just
+    don't move the baseline."""
+    if regime != "clean":
+        return
     payload = {
         "healthy_spin_2m": (_load_calibration() + [round(run_best_probe, 4)])[-200:]
     }
@@ -240,6 +273,45 @@ def _calib_low(probes: list[float]) -> float | None:
         return None
     s = sorted(probes)
     return s[len(s) // 4]
+
+
+def _regime_stamp(
+    regime_ratio: float, parallel_ratio: float, internal_spread: float
+) -> tuple[str, str | None]:
+    """Three-way regime stamp (VERDICT r12 item 4: BENCH_r12 carried
+    regime_ratio 1.351 yet stamped "clean" because burst detection is
+    run-relative — true, but the bare label read oddly against the
+    elevated calibration ratio).
+
+    - ``slow``: the day-level multicore regime is off (parallel_ratio >
+      1.5), or the spin probes are BOTH elevated vs calibration AND
+      internally inconsistent (bursts contaminated the run) — the
+      recording is untrustworthy for round-over-round comparison.
+    - ``clean-relative``: the run's probes are internally consistent
+      (median within 1.25x of the run's own p25 — every query was
+      measured under the same conditions, so within-run comparisons and
+      the retry/canary machinery are fully trustworthy) but the whole
+      run sits above the calibration quartile (this host's slow CPU
+      mode, a ~1.5x day-level shift — SCALE.md).  Cross-ROUND ratios
+      from such an artifact carry the host mode and need the
+      regime_ratio correction.
+    - ``clean``: probes healthy on both axes.
+    """
+    if parallel_ratio > 1.5:
+        return "slow", None
+    if regime_ratio > 1.25 and internal_spread <= 1.25:
+        return (
+            "clean-relative",
+            (
+                f"spin probes internally consistent (median/p25 "
+                f"{internal_spread}) but {regime_ratio}x the calibration "
+                "quartile — within-run comparisons trustworthy; "
+                "cross-round ratios carry the host CPU mode"
+            ),
+        )
+    if regime_ratio > 1.5:
+        return "slow", None
+    return "clean", None
 
 
 def _await_clean_window(baseline: float | None) -> list[float]:
@@ -445,13 +517,27 @@ def main() -> None:
     # at <= 0.5x the recorded median means the recording was burst-
     # inflated even though no trigger fired (clean spin probe, no
     # prior delta, samples tight INSIDE the burst): re-measure in full
-    # and supersede.  Every canary lands in the artifact either way,
-    # so the recorded top rows carry their own independent audit.
+    # and supersede.  The trigger is SYMMETRIC since r13 (r12 ADVICE):
+    # a canary at >= 2x the recorded median with healthy brackets means
+    # the RECORDING was suspiciously fast for today's host (or the row
+    # genuinely degrades when re-run cold) — re-measure in full and
+    # supersede in whichever direction the clean-window median lands.
+    # Every canary lands in the artifact either way, so the recorded
+    # top rows carry their own independent audit.
     canary: dict[str, dict] = {}
     canary_deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_CANARY_BUDGET", "180")
     )
-    for name in sorted(timings, key=lambda n: -timings[n])[:5]:
+    canary_names = sorted(timings, key=lambda n: -timings[n])[:5]
+    # r13 watchlist (VERDICT r12 item 5): the five ANN-adjacent rows whose
+    # small r12 regressions (1.30-1.37x) were attributed to host noise —
+    # canary them for one round regardless of rank so a real creeping
+    # regression can't hide under that explanation twice in a row.  All
+    # are sub-second rows, so the extra cost is a few seconds.
+    for w in CANARY_WATCHLIST:
+        if w in timings and w not in canary_names:
+            canary_names.append(w)
+    for name in canary_names:
         if time.monotonic() > canary_deadline:
             break
         if _host_spin(2_000_000) > 1.25 * healthy:
@@ -468,7 +554,9 @@ def main() -> None:
             "canary": c,
             "ratio": round(c / timings[name], 2) if timings[name] else None,
         }
-        if timings[name] > 0.5 and c <= 0.5 * timings[name]:
+        if timings[name] > 0.5 and (
+            c <= 0.5 * timings[name] or c >= 2 * timings[name]
+        ):
             samples = timed_block(queries[name])
             if _host_spin(2_000_000) <= 1.25 * healthy:
                 med = round(statistics.median(samples), 3)
@@ -484,11 +572,23 @@ def main() -> None:
                     spread[name] = round(max(samples) / min(samples), 2)
                 else:
                     spread.pop(name, None)
+                # merge, don't replace (r12 ADVICE): keep the retry pass's
+                # original trigger reasons and record its outcome so the
+                # artifact preserves the full provenance chain
+                prior_rs = retry_status.get(name)
                 retry_status[name] = {
-                    "reasons": ["canary"],
+                    "reasons": flagged.get(name, []) + ["canary"],
                     "outcome": "canary-superseded",
                 }
+                if prior_rs is not None:
+                    retry_status[name]["prior_outcome"] = prior_rs["outcome"]
                 entry["superseded_to"] = med
+            else:
+                # the post-probe after the full re-measure read bursty:
+                # the re-measure is discarded, and the artifact says so
+                # instead of showing a burst-confirming canary that was
+                # silently not acted on (r12 ADVICE)
+                entry["status"] = "supersede-window-bursty"
         canary[name] = entry
 
     total = round(sum(timings.values()), 3)
@@ -531,14 +631,17 @@ def main() -> None:
     par_hist = _load_calibration("healthy_parallel")
     par_baseline = _calib_low(par_hist) or min(parallel_probes)
     out["parallel_ratio"] = round(min(parallel_probes) / par_baseline, 3)
-    out["regime"] = (
-        "slow"
-        if out["regime_ratio"] > 1.5 or out["parallel_ratio"] > 1.5
-        else "clean"
+    run_p25 = sorted(run_probes)[len(run_probes) // 4]
+    internal_spread = round(run_typical / run_p25, 3) if run_p25 > 0 else 1.0
+    out["regime_internal_spread"] = internal_spread
+    out["regime"], note = _regime_stamp(
+        out["regime_ratio"], out["parallel_ratio"], internal_spread
     )
+    if note:
+        out["regime_note"] = note
     if len(gate_probes) > 1:
         out["regime_gate_waited_probes"] = len(gate_probes)
-    _save_calibration(min(run_probes), min(parallel_probes))
+    _save_calibration(min(run_probes), min(parallel_probes), out["regime"])
     if prior_q:
         deltas = {
             n: round(timings[n] / prior_q[n], 2)
@@ -610,7 +713,13 @@ def _bounded_line(out: dict, budget: int = 1900) -> str:
         slow = {n: d for n, d in line["deltas_vs_prior"].items() if d > 1.5}
         omitted = len(line["deltas_vs_prior"]) - len(slow)
         if omitted:
-            line["deltas_vs_prior"] = slow
+            # drop the key entirely when nothing is slow-side — an empty
+            # {} wastes bytes and reads as "no deltas computed";
+            # deltas_fast_omitted carries the signal (r12 ADVICE)
+            if slow:
+                line["deltas_vs_prior"] = slow
+            else:
+                del line["deltas_vs_prior"]
             line["deltas_fast_omitted"] = omitted
     for verbose in ("retry_status", "burst_retried", "unstable_spread", "canary"):
         if len(compact(line)) <= budget - 300:

@@ -208,3 +208,81 @@ def test_bench_bounded_line_survives_a_uniformly_slow_day():
         len(parsed["deltas_vs_prior"]) + parsed["deltas_slow_omitted"]
         == len(names)
     )
+
+
+def test_bench_regime_stamp_three_way():
+    """VERDICT r12 item 4: a run whose probes are internally consistent
+    but uniformly above the calibration quartile must stamp
+    'clean-relative' with an explanatory note — not a bare 'clean' that
+    reads oddly against an elevated regime_ratio, and not 'slow' (the
+    within-run machinery is fully trustworthy)."""
+    import bench
+
+    # healthy on both axes
+    assert bench._regime_stamp(1.05, 1.0, 1.1) == ("clean", None)
+    # the BENCH_r12 case: ratio 1.351, internally consistent
+    regime, note = bench._regime_stamp(1.351, 1.0, 1.08)
+    assert regime == "clean-relative"
+    assert "1.351" in note and "calibration" in note
+    # elevated past the 1.5 gate but still internally consistent:
+    # clean-relative per the VERDICT's literal prescription
+    regime, note = bench._regime_stamp(1.8, 1.0, 1.1)
+    assert regime == "clean-relative"
+    # elevated AND internally inconsistent (bursts hit the run): slow
+    assert bench._regime_stamp(1.8, 1.0, 1.6) == ("slow", None)
+    # day-level multicore regime: slow regardless of spin axis
+    assert bench._regime_stamp(1.0, 1.6, 1.0) == ("slow", None)
+    # mildly elevated but bursty run under the 1.5 gate: clean (the
+    # pre-r13 behavior — per-query retries handle the bursts)
+    assert bench._regime_stamp(1.3, 1.0, 1.5) == ("clean", None)
+
+
+def test_bench_bounded_line_drops_empty_slow_deltas():
+    """When every delta is fast-side, the trimmed line must drop the
+    deltas_vs_prior key entirely (an empty {} reads as 'no deltas
+    computed') while deltas_fast_omitted carries the signal."""
+    import json
+
+    import bench
+
+    names = sorted(entrymod.queries())
+    out = {
+        "metric": "total_suite_seconds",
+        "value": 50.0,
+        "unit": "sec",
+        "queries": {n: 0.5 for n in names},
+        "sf": 0.1,
+        "deltas_vs_prior": {n: 0.4 for n in names},
+    }
+    line = bench._bounded_line(out)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "deltas_vs_prior" not in parsed
+    assert parsed["deltas_fast_omitted"] == len(names)
+
+
+def test_bench_calibration_only_appends_from_clean_runs(tmp_path, monkeypatch):
+    """r12 ADVICE: an extended slow-CPU-mode streak must not ratchet the
+    calibration quartile upward — only clean-stamped runs contribute."""
+    import json
+
+    import bench
+
+    path = tmp_path / "calib.json"
+    path.write_text(json.dumps({"healthy_spin_2m": [0.08], "healthy_parallel": [1.0]}))
+    monkeypatch.setattr(bench, "_CALIB_PATH", str(path))
+    bench._save_calibration(0.2, 2.0, regime="slow")
+    bench._save_calibration(0.15, 1.8, regime="clean-relative")
+    assert json.loads(path.read_text())["healthy_spin_2m"] == [0.08]
+    bench._save_calibration(0.081, 1.05, regime="clean")
+    saved = json.loads(path.read_text())
+    assert saved["healthy_spin_2m"] == [0.08, 0.081]
+    assert saved["healthy_parallel"] == [1.0, 1.05]
+
+
+def test_bench_canary_watchlist_is_on_the_roster():
+    """The r13 watchlist entries must name real roster queries, or the
+    canary loop would silently skip them."""
+    import bench
+
+    assert set(bench.CANARY_WATCHLIST) <= set(entrymod.queries())
