@@ -1744,10 +1744,22 @@ def _simhash_sql(tok: str) -> str:
 
 
 def _minhash_lsh_sql(
-    tok: str, threshold: float, num_hashes: int = 16, bands: int = 8
+    tok: str,
+    threshold: float,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_unit: str = "word",
+    shingle_n: int = 3,
+    table: str = "documents",
 ) -> str:
     """The affine-reseed MinHash-LSH construction with the same (a_j, b_j)
-    literals as minhash_coeffs — the oracle IS the algorithm, re-expressed."""
+    literals as minhash_coeffs — the oracle IS the algorithm, re-expressed.
+
+    ``shingle_unit="word"`` mirrors the engine's word-trigram default
+    (``shingle_n`` fixed at 3 on this path — the lead()-window form);
+    ``"codepoint"`` mirrors ``_codepoint_shingles``: sliding codepoint
+    n-grams over the space-joined token string (DuckDB ``substring``/
+    ``length`` are codepoint-indexed like Spark's)."""
     from kafka_streams_one_to_many_join_spark.functions.dedup import minhash_coeffs
 
     a, b = minhash_coeffs(num_hashes)
@@ -1755,10 +1767,9 @@ def _minhash_lsh_sql(
     seed_values = ", ".join(
         f"({j}, {a[j]}, {b[j]})" for j in range(num_hashes)
     )
-    return f"""
-        WITH toks AS (
-            SELECT doc_id, {tok} AS t FROM documents
-        ),
+    if shingle_unit == "word":
+        assert shingle_n == 3, "word-shingle oracle is the trigram form"
+        sh_ctes = f"""
         pos AS (
             SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p FROM toks
         ),
@@ -1769,7 +1780,28 @@ def _minhash_lsh_sql(
                        lead(tk, 2) OVER w AS t_last
                 FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
             ) WHERE t_last IS NOT NULL
+        ),"""
+    elif shingle_unit == "codepoint":
+        sh_ctes = f"""
+        norm AS (
+            SELECT doc_id, array_to_string(t, ' ') AS nrm FROM toks
         ),
+        sh AS (
+            -- unnest(generate_series(...)) rather than the table-function
+            -- form: DuckDB table functions reject lateral column refs
+            SELECT DISTINCT doc_id, substring(nrm, i::INT, {shingle_n}) AS shingle
+            FROM (
+                SELECT doc_id, nrm,
+                       unnest(generate_series(1, length(nrm) - {shingle_n} + 1)) AS i
+                FROM norm
+            )
+        ),"""
+    else:
+        raise ValueError(f"unknown shingle_unit {shingle_unit!r}")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tok} AS t FROM {table}
+        ),{sh_ctes}
         hs AS (
             SELECT DISTINCT doc_id, {_DUCK_SHINGLE_H}::BIGINT AS h FROM sh
         ),

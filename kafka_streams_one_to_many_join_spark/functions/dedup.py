@@ -43,11 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_one_to_many_join_spark.functions.text import TOKEN_RE
+from kafka_streams_one_to_many_join_spark.functions.text import TOKEN_RE, token_re_sql
 
 
-def _tokens(text_col: str) -> str:
-    return f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+def _tokens(text_col: str, token_mode: str = "ascii") -> str:
+    return (
+        f"regexp_extract_all(lower({text_col}), '{token_re_sql(token_mode)}', 0)"
+    )
 
 
 def _shingle_expr(text_col: str, n: int) -> str:
@@ -70,8 +72,28 @@ def _shingle_from_tokens(n: int, t: str = "_t") -> str:
     )
 
 
+def _codepoint_shingles(n: int, s: str = "_n") -> str:
+    """Shingle array of codepoint n-grams over a normalized-text column —
+    the space-free-script (CJK) companion to word shingles: unicode-mode
+    tokenization makes a whole CJK sentence-run ONE token, so word
+    n-grams degenerate; sliding codepoint n-grams over the
+    space-joined token string restore sub-sentence granularity.
+    ``substring``/``length`` are codepoint-indexed in both Spark and
+    DuckDB, so the oracle mirrors this expression verbatim."""
+    return (
+        f"case when length({s}) < {n} then array() "
+        f"else array_distinct(transform(sequence(1, length({s}) - {n} + 1), "
+        f"i -> substring({s}, i, {n}))) end"
+    )
+
+
 def _with_shingles(
-    docs: DataFrame, text_col: str, id_col: str, n: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """(doc_id, _sh): tokens materialized in their OWN projection before
     shingling — the inline form mentions the token regex three times (size
@@ -79,12 +101,26 @@ def _with_shingles(
     splitting the projection pins the regex to once per row (measured ~30%
     faster shingling at sf0.1).  Input spread across cores first: a
     single-row-group parquet scan would otherwise run the whole
-    tokenize+shingle on one core."""
+    tokenize+shingle on one core.
+
+    ``shingle_unit``: "word" (default — n-grams over the token array) or
+    "codepoint" (n-grams over the space-joined tokens; the right unit
+    for space-free scripts where unicode-mode "words" are whole runs)."""
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
-    return ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"), F.expr(_tokens(text_col)).alias("_t")
-    ).select("doc_id", F.expr(_shingle_from_tokens(n)).alias("_sh"))
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_tokens(text_col, token_mode)).alias("_t"),
+    )
+    if shingle_unit == "word":
+        return base.select("doc_id", F.expr(_shingle_from_tokens(n)).alias("_sh"))
+    if shingle_unit == "codepoint":
+        return base.select(
+            "doc_id", F.array_join("_t", " ").alias("_n")
+        ).select("doc_id", F.expr(_codepoint_shingles(n)).alias("_sh"))
+    raise ValueError(
+        f"unknown shingle_unit {shingle_unit!r}; expected 'word' or 'codepoint'"
+    )
 
 
 def exact_duplicates(
@@ -110,13 +146,15 @@ def shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
 ) -> DataFrame:
-    """doc → distinct word-n-gram shingle set, exploded to (id, shingle).
+    """doc → distinct n-gram shingle set, exploded to (id, shingle).
 
     Shingle construction is a pure expression: token array → sliding window
     via transform(sequence(...)) → concat_ws — no UDF, no shuffle.
     """
-    return _with_shingles(docs, text_col, id_col, n).select(
+    return _with_shingles(docs, text_col, id_col, n, token_mode, shingle_unit).select(
         "doc_id", F.explode("_sh").alias("shingle")
     )
 
@@ -316,8 +354,16 @@ def minhash_lsh_pairs(
     seed: int = 11,
     hash_mode: str = "md5",
     max_bucket_size: int | None = None,
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    ``token_mode="unicode"`` + ``shingle_unit="codepoint"`` is the
+    multilingual configuration (VERDICT r12 item 1): Unicode token class
+    so non-Latin text stops vanishing, codepoint shingles so space-free
+    scripts get sub-sentence granularity.  ASCII/word stays the default
+    (oracle-parity roster semantics).
 
     Candidates: pairs agreeing on ALL minhashes of ≥1 band.  Verification:
     exact Jaccard over the docs' 31-bit shingle-hash sets — the same sets
@@ -352,7 +398,9 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     a, b = minhash_coeffs(num_hashes, seed)
-    sh = _with_shingles(docs, text_col, id_col, shingle_n).select(
+    sh = _with_shingles(
+        docs, text_col, id_col, shingle_n, token_mode, shingle_unit
+    ).select(
         "doc_id", F.explode("_sh").alias("shingle")
     ).select("doc_id", F.expr(_shingle_h(hash_mode)).alias("h"))
     mins = [

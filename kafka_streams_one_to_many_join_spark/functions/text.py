@@ -5,7 +5,22 @@ Everything here is a pure Catalyst expression (regexp/higher-order/hash
 built-ins): per-row, embarrassingly parallel, whole-stage-codegen'd, no
 shuffle, no Python.  The exact token definition is pinned (and mirrored in
 the DuckDB oracle SQL) so results are bit-reproducible across engines:
-a token is a maximal run of ``[a-z0-9]`` in the lower-cased text.
+by default a token is a maximal run of ``[a-z0-9]`` in the lower-cased
+text.
+
+Token modes (r13, VERDICT r12 item 1).  The ASCII contract silently
+tokenizes every non-Latin document to the empty array — a real
+multilingual pre-training corpus (the 100 TB use case) would route all
+CJK/Cyrillic/Arabic text into the degenerate "token-free doc" branch of
+every quality filter and dedup operator.  ``token_mode="unicode"``
+switches the token class to Unicode letters+digits (``[\\p{L}\\p{N}]+``
+— supported identically by Spark's Java regex engine and DuckDB's RE2,
+so oracle parity holds in both modes).  ASCII stays the default
+everywhere: the driver fixtures are Latin-only and the pinned roster
+hashes must not move.  For space-free scripts (CJK), word shingles are
+degenerate even in unicode mode (a whole sentence-run is one "word") —
+the shingle layer in ``dedup.py`` additionally takes
+``shingle_unit="codepoint"`` for those corpora.
 """
 
 from __future__ import annotations
@@ -14,6 +29,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
+
+# Raw regex per mode, exactly as the regex engine must see it.  DuckDB SQL
+# string literals do not process backslashes, so oracle SQL embeds these
+# verbatim; Spark SQL string literals DO, so expression strings go through
+# token_re_sql() below.
+TOKEN_MODES = {
+    "ascii": TOKEN_RE,
+    "unicode": r"[\p{L}\p{N}]+",
+}
+
+# Complement class per mode (normalization / punctuation stripping).
+NONTOKEN_MODES = {
+    "ascii": "[^a-z0-9]",
+    "unicode": r"[^\p{L}\p{N}]",
+}
+
+
+def token_re(mode: str = "ascii") -> str:
+    """The token regex for ``mode``, raw form (what the regex engine and
+    DuckDB SQL literals see)."""
+    try:
+        return TOKEN_MODES[mode]
+    except KeyError:
+        raise ValueError(
+            f"unknown token_mode {mode!r}; expected one of {sorted(TOKEN_MODES)}"
+        ) from None
+
+
+def token_re_sql(mode: str = "ascii") -> str:
+    """The token regex escaped for embedding in a Spark SQL string
+    literal (Spark's parser consumes one level of backslash escaping;
+    the ASCII pattern has no backslashes, so ascii-mode expression
+    strings are byte-identical to the pre-r13 ones)."""
+    return token_re(mode).replace("\\", "\\\\")
 
 # Tiny per-language stopword lists for the n-gram/stopword language
 # heuristic.  Deterministic and mirrored in oracle SQL; not a real langid
@@ -26,28 +75,39 @@ STOPWORDS = {
 }
 
 
-def tokens_expr(text_col: str) -> Column:
-    """text column (by name) → array of lower-case alphanumeric tokens."""
-    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+def tokens_expr(text_col: str, token_mode: str = "ascii") -> Column:
+    """text column (by name) → array of lower-case tokens in ``token_mode``
+    (maximal runs of the mode's token class in the lower-cased text)."""
+    return F.expr(
+        f"regexp_extract_all(lower({text_col}), '{token_re_sql(token_mode)}', 0)"
+    )
 
 
-def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_mode: str = "ascii",
+) -> DataFrame:
     """Per-document quality stats: token count, char count, average token
     length, punctuation ratio, stopword ratio, all-caps-ness.
 
     These are the standard pre-training quality filters (length bounds,
     symbol ratios, stopword presence) expressed as one projection.
+    ``token_mode="unicode"`` makes the token and token-char classes
+    Unicode-aware; the stopword list stays English (a non-English doc
+    legitimately scores stopword_ratio 0).
     """
-    toks = tokens_expr(text_col)
+    toks = tokens_expr(text_col, token_mode)
     n_tok = F.size(toks).cast("bigint")
     n_char = F.length(F.col(text_col)).cast("bigint")
-    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")).cast("bigint")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), NONTOKEN_MODES[token_mode], "")
+    ).cast("bigint")
     n_stop = F.size(F.expr(
-        f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0), "
+        f"filter(regexp_extract_all(lower({text_col}), '{token_re_sql(token_mode)}', 0), "
         "t -> array_contains(array('the','a','and','of','to'), t))"
     )).cast("bigint")
-    _ = stop_arr
     return docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -299,9 +359,13 @@ def gopher_quality(
     max_top_word_ratio: float = 0.2,
     min_distinct_ratio: float = 0.3,
     min_stopwords: int = 2,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape):
     repetition and length signals plus a combined ``keep`` verdict.
+    ``token_mode="unicode"`` scores non-Latin corpora on their real
+    tokens instead of routing every document into the token-free branch
+    (n_words=0, keep=false); the stopword signal stays English.
 
     Signals per document: word count, mean word length, distinct-word
     ratio, most-frequent-word ratio (the two repetition filters), and
@@ -323,7 +387,7 @@ def gopher_quality(
     extra fixed-width sums, zero extra exchanges.  Entropy is NULL for
     empty documents.
     """
-    toks = tokens_expr(text_col)
+    toks = tokens_expr(text_col, token_mode)
     per_word = (
         docs.select(F.col(id_col), F.explode_outer(toks).alias("_w"))
         .groupBy(id_col, "_w")

@@ -1,0 +1,279 @@
+"""Unicode token contract (r13, VERDICT r12 item 1).
+
+The ASCII token class ``[a-z0-9]+`` — the oracle-parity default pinned
+across every roster query — tokenizes every non-Latin document to the
+empty array, silently routing a multilingual corpus into the degenerate
+"token-free doc" branch of every quality filter and dedup operator.
+``token_mode="unicode"`` switches the single definition site
+(``functions.text.TOKEN_MODES``) to ``[\\p{L}\\p{N}]+``, which Spark's
+Java regex engine and DuckDB's RE2 interpret identically, so the
+DuckDB-oracle parity methodology extends to the multilingual path.
+
+This file is that proof, on a committed CJK + Cyrillic fixture corpus:
+
+- ``text_stats`` / ``gopher_quality`` / ``minhash_lsh_pairs`` are
+  oracle-paired green in BOTH modes (the unicode oracles embed
+  ``token_re("unicode")`` verbatim — same definition site, no drift);
+- space-free scripts additionally get codepoint-shingle MinHash
+  (``shingle_unit="codepoint"``), oracle-paired against a DuckDB
+  mirror of the sliding-substring construction;
+- a degenerate fence pins the ASCII-mode behavior the default contract
+  promises: non-Latin docs ARE token-free there (n_tokens = 0,
+  gopher keep = false, no MinHash pairs among them).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kafka_streams_one_to_many_join_spark.functions.dedup import minhash_lsh_pairs
+from kafka_streams_one_to_many_join_spark.functions.text import (
+    gopher_quality,
+    text_stats,
+    token_re,
+    tokens_expr,
+)
+
+# ---------------------------------------------------------------------------
+# fixture corpus: Cyrillic near-dup pair, CJK near-dup pair, singletons,
+# mixed-script, pure-ASCII control, and the degenerate classes (empty,
+# punctuation-only).  doc_id < 100 are non-Latin-only documents.
+# ---------------------------------------------------------------------------
+RU_A = "зимой в москве идёт снег и дует холодный северный ветер"
+RU_B = "зимой в москве идёт снег и дует холодный северный шторм"
+ZH_A = "今天北京天气晴朗气温适宜出行游玩大家都很开心"
+ZH_B = "今天北京天气晴朗气温适宜出行游玩大家都很高兴"
+CORPUS = [
+    (1, RU_A, "ru"),
+    (2, RU_B, "ru"),
+    (3, ZH_A, "zh"),
+    (4, ZH_B, "zh"),
+    (5, "日本語のテキストです。形態素解析はしません。", "ja"),
+    (6, "это совсем другой русский документ про тёплое лето", "ru"),
+    (7, "上海明天有大雨请大家记得带伞出门注意安全", "zh"),
+    (8, "Смешанный text with английскими words 和中文 2024", "mixed"),
+    (101, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (102, "", "empty"),
+    (103, "!!! ... ——— 》》《《", "punct"),
+]
+NON_LATIN_IDS = {1, 2, 3, 4, 5, 6, 7}
+
+
+@pytest.fixture(scope="module")
+def udocs(spark, tmp_path_factory):
+    pdf = pd.DataFrame(CORPUS, columns=["doc_id", "text", "source"])
+    path = str(tmp_path_factory.mktemp("unicode_corpus") / "udocs.parquet")
+    pdf.to_parquet(path, index=False)
+    sdf = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW udocs AS SELECT * FROM '{path}'")
+    return sdf, con
+
+
+def _tok_sql(mode: str) -> str:
+    """DuckDB tokenizer from the engine's own definition site — raw regex
+    (DuckDB string literals don't process backslashes)."""
+    return f"regexp_extract_all(lower(text), '{token_re(mode)}', 0)"
+
+
+def _compare(spark_df, con, sql: str, name: str) -> None:
+    a = spark_df.toPandas()
+    b = con.execute(sql).fetchdf()
+    assert sorted(a.columns) == sorted(b.columns), name
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)}"
+    a = a[sorted(a.columns)].sort_values(sorted(a.columns), ignore_index=True)
+    b = b[sorted(b.columns)].sort_values(sorted(b.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# text_stats — both modes
+# ---------------------------------------------------------------------------
+def _text_stats_sql(mode: str) -> str:
+    tok = _tok_sql(mode)
+    nontok = "[^a-z0-9]" if mode == "ascii" else r"[^\p{L}\p{N}]"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({tok})::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars_total,
+                   length(regexp_replace(lower(text), '{nontok}', '', 'g'))::BIGINT AS alpha,
+                   len(list_filter({tok},
+                       t -> list_contains(['the','a','and','of','to'], t)))::BIGINT AS n_stop
+            FROM udocs
+        )
+        SELECT doc_id, n_tokens, n_chars_total,
+               CASE WHEN n_tokens > 0
+                    THEN round(alpha::DOUBLE / n_tokens, 6) ELSE 0.0 END AS avg_token_len,
+               CASE WHEN n_chars_total > 0
+                    THEN round((n_chars_total - alpha)::DOUBLE / n_chars_total, 6)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tokens > 0
+                    THEN round(n_stop::DOUBLE / n_tokens, 6) ELSE 0.0 END AS stopword_ratio
+        FROM base
+    """
+
+
+@pytest.mark.parametrize("mode", ["ascii", "unicode"])
+def test_text_stats_parity_both_modes(udocs, mode):
+    sdf, con = udocs
+    _compare(text_stats(sdf, token_mode=mode), con, _text_stats_sql(mode), f"text_stats/{mode}")
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality — both modes
+# ---------------------------------------------------------------------------
+_G = dict(
+    min_words=3,
+    max_words=100_000,
+    min_mean_word_len=1.0,
+    max_mean_word_len=12.0,
+    max_top_word_ratio=0.5,
+    min_distinct_ratio=0.2,
+    min_stopwords=0,
+)
+
+
+def _gopher_sql(mode: str) -> str:
+    tok = _tok_sql(mode)
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest({tok}) AS w FROM udocs
+        ),
+        per_word AS (
+            SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+        ),
+        agg AS (
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_words,
+                   sum(c * length(w))::BIGINT AS chars,
+                   count(*)::BIGINT AS n_distinct,
+                   max(c)::BIGINT AS top,
+                   sum(CASE WHEN w IN ('the','a','and','of','to')
+                            THEN c ELSE 0 END)::BIGINT AS n_stopwords,
+                   sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+            FROM per_word GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CASE WHEN coalesce(a.n_words, 0) > 0
+                    THEN round(a.chars::DOUBLE / a.n_words, 6)
+                    ELSE 0.0 END AS mean_word_len,
+               CASE WHEN coalesce(a.n_words, 0) > 0
+                    THEN round(a.n_distinct::DOUBLE / a.n_words, 6)
+                    ELSE 0.0 END AS distinct_ratio,
+               CASE WHEN coalesce(a.n_words, 0) > 0
+                    THEN round(a.top::DOUBLE / a.n_words, 6)
+                    ELSE 0.0 END AS top_word_ratio,
+               CAST(coalesce(a.n_stopwords, 0) AS BIGINT) AS n_stopwords,
+               CASE WHEN coalesce(a.n_words, 0) > 0 THEN
+                   round(ln(a.n_words::DOUBLE) - a.clnc / a.n_words::DOUBLE, 6)
+               END AS entropy,
+               CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_unique_tokens,
+               coalesce(a.n_words BETWEEN {_G['min_words']} AND {_G['max_words']}
+                AND a.chars::DOUBLE / a.n_words
+                    BETWEEN {_G['min_mean_word_len']} AND {_G['max_mean_word_len']}
+                AND a.top::DOUBLE / a.n_words <= {_G['max_top_word_ratio']}
+                AND a.n_distinct::DOUBLE / a.n_words >= {_G['min_distinct_ratio']}
+                AND a.n_stopwords >= {_G['min_stopwords']}, false) AS keep
+        FROM udocs d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@pytest.mark.parametrize("mode", ["ascii", "unicode"])
+def test_gopher_quality_parity_both_modes(udocs, mode):
+    sdf, con = udocs
+    _compare(
+        gopher_quality(sdf, token_mode=mode, **_G),
+        con,
+        _gopher_sql(mode),
+        f"gopher/{mode}",
+    )
+
+
+def test_gopher_unicode_mode_rescues_non_latin_docs(udocs):
+    """The point of the mode: the Cyrillic docs score on their real words
+    in unicode mode and keep=true, while ascii mode rejects them all."""
+    sdf, _ = udocs
+    uni = {r.doc_id: r for r in gopher_quality(sdf, token_mode="unicode", **_G).collect()}
+    asc = {r.doc_id: r for r in gopher_quality(sdf, token_mode="ascii", **_G).collect()}
+    assert uni[1].n_words == 10 and uni[1].keep
+    assert uni[6].keep
+    for did in NON_LATIN_IDS:
+        assert asc[did].n_words <= 2 and not asc[did].keep  # doc 8-free set
+
+
+# ---------------------------------------------------------------------------
+# minhash — unicode word shingles (Cyrillic) and codepoint shingles (CJK)
+# ---------------------------------------------------------------------------
+def test_minhash_parity_unicode_word_shingles(udocs):
+    import __spark_entry__ as entry_mod
+
+    sdf, con = udocs
+    pairs = minhash_lsh_pairs(sdf, threshold=0.5, token_mode="unicode")
+    sql = entry_mod._minhash_lsh_sql(
+        _tok_sql("unicode"), threshold=0.5, table="udocs"
+    )
+    _compare(pairs, con, sql, "minhash/unicode/word")
+    # and the pair the mode exists for: the Cyrillic near-dups
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_minhash_parity_unicode_codepoint_shingles(udocs):
+    import __spark_entry__ as entry_mod
+
+    sdf, con = udocs
+    pairs = minhash_lsh_pairs(
+        sdf, threshold=0.4, token_mode="unicode", shingle_unit="codepoint"
+    )
+    sql = entry_mod._minhash_lsh_sql(
+        _tok_sql("unicode"),
+        threshold=0.4,
+        shingle_unit="codepoint",
+        table="udocs",
+    )
+    _compare(pairs, con, sql, "minhash/unicode/codepoint")
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # CJK near-dups are invisible to word shingles (each doc is ONE giant
+    # "word" run — no trigram exists) but found by codepoint shingles
+    assert (3, 4) in got
+
+
+def test_cjk_pair_needs_codepoint_shingles(udocs):
+    sdf, _ = udocs
+    word_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(sdf, threshold=0.4, token_mode="unicode").collect()
+    }
+    assert (3, 4) not in word_pairs
+
+
+# ---------------------------------------------------------------------------
+# the degenerate fence: ascii mode treats non-Latin docs as token-free
+# ---------------------------------------------------------------------------
+def test_ascii_mode_degenerate_fence(udocs):
+    sdf, _ = udocs
+    stats = {r.doc_id: r for r in text_stats(sdf, token_mode="ascii").collect()}
+    for did in NON_LATIN_IDS:
+        assert stats[did].n_tokens == 0, did
+        assert stats[did].avg_token_len == 0.0 and stats[did].stopword_ratio == 0.0
+    # the ASCII control doc still tokenizes normally
+    assert stats[101].n_tokens == 12
+    # and no MinHash pair forms among the non-Latin docs in ascii mode —
+    # including the genuine near-dup pairs (1,2) and (3,4)
+    asc_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(sdf, threshold=0.1, token_mode="ascii").collect()
+    }
+    assert not {p for p in asc_pairs if p[0] in NON_LATIN_IDS or p[1] in NON_LATIN_IDS}
+
+
+def test_unknown_token_mode_raises(udocs):
+    sdf, _ = udocs
+    with pytest.raises(ValueError, match="token_mode"):
+        sdf.select(tokens_expr("text", "latin-1"))
+    with pytest.raises(ValueError, match="shingle_unit"):
+        minhash_lsh_pairs(sdf, shingle_unit="byte").collect()
