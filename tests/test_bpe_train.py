@@ -1,0 +1,143 @@
+"""bpe_train (r13, VERDICT r12 item 2): the full BPE training loop on
+top of bpe_merge_step's collapsed word-count design.
+
+Three claims, each load-bearing:
+
+1. the learned merge table hash-matches a sequential reference
+   implementation (classic Sennrich greedy BPE over the same word
+   counts, same argmax tiebreak) on the driver fixture corpus;
+2. the corpus is scanned exactly ONCE across ALL merge iterations —
+   every post-initial stage reads the materialized word-count frame,
+   never the documents table (asserted via the plan-audit hook);
+3. the greedy left-to-right merge fold agrees with the sequential model
+   on repeated-symbol runs ("aaa" → [aa, a]) and cascades, and the
+   unicode token mode trains on non-Latin words.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_streams_one_to_many_join_spark import model as model_mod
+from kafka_streams_one_to_many_join_spark.functions.text import bpe_train
+
+
+def _seq_bpe(word_counts: dict[str, int], num_merges: int):
+    """Sequential reference: classic BPE with greedy left-to-right merge
+    application and (count desc, (left, right) lexicographic asc) argmax
+    — UTF-8 binary string order equals code-point order, so Python tuple
+    comparison mirrors Spark's orderBy exactly."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (left, right), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        for w, syms in vocab.items():
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == left and s == right:
+                    acc[-1] = merged
+                else:
+                    acc.append(s)
+            vocab[w] = acc
+    return merges
+
+
+def _spark_merges(df) -> list[tuple[int, str, str, int]]:
+    return [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in df.orderBy("merge_rank").collect()
+    ]
+
+
+def test_bpe_train_matches_sequential_reference(spark, sf_dir):
+    """The VERDICT's done-bar: the final merge table hash-matches the
+    sequential reference on the fixture corpus."""
+    import __spark_entry__ as entry_mod
+
+    docs = entry_mod.load_table(spark, sf_dir, "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", (t or "").lower()):
+            counts[w] = counts.get(w, 0) + 1
+    expected = _seq_bpe(counts, 24)
+    got = _spark_merges(bpe_train(docs, num_merges=24))
+    assert got == expected
+    assert len(got) == 24  # fixture vocab is rich enough to not dry up
+
+
+def test_bpe_train_corpus_scanned_once(spark, sf_dir, monkeypatch):
+    """The scale claim as a plan assertion: arm the materialize plan-audit
+    sink and train — exactly the FIRST materialized stage may scan the
+    corpus; every later stage's plan must be scan-free (it reads the
+    checkpointed word-count frame)."""
+    import __spark_entry__ as entry_mod
+
+    sink: list = []
+    monkeypatch.setattr(model_mod, "_PLAN_AUDIT_SINK", sink)
+    docs = entry_mod.load_table(spark, sf_dir, "documents")
+    bpe_train(docs, num_merges=9, materialize_every=4)
+    assert len(sink) >= 3  # initial vocab + iterations 4 and 8
+    plans = [df._jdf.queryExecution().optimizedPlan().toString() for df in sink]
+
+    def scans(p: str) -> bool:
+        return "parquet" in p.lower() or "FileScan" in p
+
+    assert scans(plans[0])
+    for p in plans[1:]:
+        assert not scans(p), "a merge iteration re-read the corpus"
+
+
+def test_bpe_train_greedy_run_semantics(spark):
+    """Repeated-symbol runs are where naive merge application diverges
+    from the classic greedy non-overlapping scan: 'aaaa' under merge
+    (a,a) must become [aa, aa], 'aaa' must become [aa, a].  Sweep a
+    run-heavy corpus against the sequential model."""
+    corpus = ["aaaa aaa aa baab abab", "aaab bbba abba aab", "aaaa abab aaab"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id int, text string")
+    counts: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    expected = _seq_bpe(counts, 8)
+    got = _spark_merges(bpe_train(docs, num_merges=8, materialize_every=3))
+    assert got == expected
+
+
+def test_bpe_train_unicode_mode(spark):
+    """Unicode token mode trains on non-Latin words; the sequential
+    tokenizer for this fixture is whitespace split (texts contain only
+    letters and single spaces, where [\\p{L}\\p{N}]+ degenerates to
+    exactly that)."""
+    corpus = ["снег снегопад снежный", "погода снег ветер", "погода ветер ветер"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id int, text string"
+    )
+    counts: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    expected = _seq_bpe(counts, 6)
+    got = _spark_merges(bpe_train(docs, num_merges=6, token_mode="unicode"))
+    assert got == expected
+
+
+def test_bpe_train_stops_when_pairs_dry_up(spark):
+    """A single-character vocabulary has no adjacent pairs after every
+    word collapses — the loop must stop early, not KeyError or loop."""
+    docs = spark.createDataFrame([(1, "ab ab a b")], "doc_id int, text string")
+    got = _spark_merges(bpe_train(docs, num_merges=10))
+    # 'ab' is the only multi-symbol word: one merge then dry
+    assert got == [(1, "a", "b", 2)]
