@@ -437,17 +437,60 @@ def q_customer_order_presence(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window (hourly) aggregation; batch twin of a streaming
-    windowed agg.  events.ts is normalized to TIMESTAMP by load_table
-    (model.py) regardless of the parquet's physical vintage.  Undated
-    (NULL-ts) events are excluded — they have no window, and NULL
-    ordering differs across engines (pinned by the NULL-ts row in
-    test_degenerate_events_parity)."""
-    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    windowed agg — PLUS, since r13, the per-type statistical surface the
+    former ``event_type_stats`` query pinned (stddev_samp + exact
+    interpolated median), bag-unioned with a ``grain`` tag the
+    returnflag_grouping way (the consolidation funding the new
+    ``minhash_lsh_incremental`` roster entry; every original column of
+    both queries stays hash-pinned).
+
+    events.ts is normalized to TIMESTAMP by load_table (model.py)
+    regardless of the parquet's physical vintage.  Undated (NULL-ts)
+    events are excluded from the HOURLY grain only — they have no
+    window, and NULL ordering differs across engines (pinned by the
+    NULL-ts row in test_degenerate_events_parity); the per-type grain
+    keeps them (the former query's exact semantics)."""
+    ev = load_table(spark, sf, "events")
     hour = F.date_trunc("hour", F.col("ts"))
-    return ev.groupBy(hour.alias("hour"), "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+    nulld = F.lit(None).cast("double")
+    hourly = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.lit("hourly").alias("grain"),
+            "hour",
+            "event_type",
+            "n_events",
+            "avg_value",
+            nulld.alias("min_value"),
+            nulld.alias("max_value"),
+            nulld.alias("stddev_value"),
+            nulld.alias("median_value"),
+        )
     )
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+    ).select(
+        F.lit("type").alias("grain"),
+        F.lit(None).cast("timestamp").alias("hour"),
+        "event_type",
+        "n_events",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "stddev_value",
+        "median_value",
+    )
+    return hourly.unionByName(per_type)
 
 
 def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
@@ -523,19 +566,6 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf, "documents"))
     return hashed_quality_score(docs)
-
-
-def q_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Statistical aggregate surface: stddev + exact interpolated median."""
-    ev = load_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
-    )
 
 
 def q_returnflag_grouping(spark: SparkSession, sf: str) -> DataFrame:
@@ -775,6 +805,34 @@ def _minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(
         load_table(spark, sf, "documents"), num_hashes=16, bands=8,
         threshold=0.7, shingle_n=3,
+    )
+
+
+def q_minhash_lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus-growth dedup (functions/dedup.py
+    minhash_lsh_pairs_incremental, r13): the nightly-ingest shape —
+    docs with doc_id % 10 = 7 play the newly-arrived shard, the rest
+    the frozen corpus whose band index (minhash_band_index) is persisted
+    once and probed per shard.  Output == the full-recompute pair set
+    restricted to pairs touching the shard (differentially asserted in
+    tests/test_functions.py; the oracle IS that restriction of the full
+    pair SQL).  At 100 TB the frozen corpus is written bucketed on
+    bsig_h (sources/bucketed.py) so the probe join reads it
+    shuffle-free — plan-asserted in tests/test_plans.py; the
+    delta-vs-full cost is measured at two scale decades in SCALE.md
+    round 13."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
+    frozen = docs.filter(F.col("doc_id") % 10 != 7)
+    shard = docs.filter(F.col("doc_id") % 10 == 7)
+    index = minhash_band_index(frozen, num_hashes=16, bands=8, shingle_n=3)
+    return minhash_lsh_pairs_incremental(
+        shard, index, num_hashes=16, bands=8, threshold=0.7, shingle_n=3
     )
 
 
@@ -3568,12 +3626,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_r12 50/50), so the r11∪r12 union covers the whole
     # 100-query roster with zero overlap and zero residue.  Due now: the
     # 50 entries whose newest green row is r11 — exactly the r12 back
-    # block, promoted to the front in its planned order (front-50 ==
-    # the CORRECTNESS_r11 key set, as VERDICT r12 item 3 prescribes).
-    # After this round every roster member's newest green row is r12 or
-    # r13.  Keep the total AT 100: every future addition must be matched
-    # by a consolidation.
+    # block, promoted to the front in its planned order, PLUS the one
+    # declared deviation from "front-50 == CORRECTNESS_r11 key set"
+    # (VERDICT r12 item 3): the new ``minhash_lsh_incremental`` entry
+    # (never checked — first of all, per the standing ordering contract)
+    # is funded by consolidating ``event_type_stats`` into
+    # ``events_hourly`` (bag-union with a grain tag, every original
+    # column still hash-pinned — both were r11-green due-window members,
+    # so the swap stays inside the due window and the driver re-checks
+    # the changed composite this round).  front-50 == (CORRECTNESS_r11
+    # keys − {event_type_stats}) ∪ {minhash_lsh_incremental}.  After
+    # this round every roster member's newest green row is r12 or r13.
+    # Keep the total AT 100: every future addition must be matched by a
+    # consolidation.
     return {
+        # --- never checked: new this round ---
+        "minhash_lsh_incremental": q_minhash_lsh_incremental,
         # --- newest green row is r11 (due now: the r12 back block) ---
         "simhash_clusters": q_simhash_clusters,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3622,7 +3690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linestatus_priority": q_linestatus_priority,
         "pareto_customers": q_pareto_customers,
         "asof_prior_purchase": q_asof_prior_purchase,
-        "event_type_stats": q_event_type_stats,
         "zone_pollution_full": q_zone_pollution_full,
         "max_order_per_customer": q_max_order_per_customer,
         # --- green in r12 (past the cap loses nothing) = r14's due list ---
@@ -3858,9 +3925,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n_events, round(avg(value), 4) AS avg_value
-            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            SELECT 'hourly' AS grain, date_trunc('hour', ts) AS hour,
+                   event_type, count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value,
+                   NULL::DOUBLE AS min_value, NULL::DOUBLE AS max_value,
+                   NULL::DOUBLE AS stddev_value, NULL::DOUBLE AS median_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
+            UNION ALL
+            SELECT 'type' AS grain, NULL::TIMESTAMP AS hour, event_type,
+                   count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value,
+                   round(stddev_samp(value), 4) AS stddev_value,
+                   round(quantile_cont(value, 0.5), 4) AS median_value
+            FROM events GROUP BY event_type
         """,
         "sessionization": """
             WITH flagged AS (
@@ -3923,14 +4002,10 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS decile
             FROM sc
         """,
-        "event_type_stats": """
-            SELECT event_type, count(*) AS n_events,
-                   round(min(value), 2) AS min_value,
-                   round(max(value), 2) AS max_value,
-                   round(avg(value), 4) AS avg_value,
-                   round(stddev_samp(value), 4) AS stddev_value,
-                   round(quantile_cont(value, 0.5), 4) AS median_value
-            FROM events GROUP BY event_type
+        "minhash_lsh_incremental": f"""
+            WITH pairs AS ({_minhash_lsh_sql(tok, threshold=0.7)})
+            SELECT doc_a, doc_b, jaccard FROM pairs
+            WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
         """,
         "customer_order_totals": """
             SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,

@@ -11,12 +11,15 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
     exact_duplicates,
+    minhash_band_index,
     minhash_coeffs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
     minhash_signatures,
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_buckets,
+    with_bsig_hash,
 )
 from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     asset_metadata,
@@ -69,8 +72,10 @@ __all__ = [
     "ivf_topk",
     "language_id",
     "lsh_topk",
+    "minhash_band_index",
     "minhash_coeffs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_incremental",
     "minhash_signatures",
     "near_dup_clusters",
     "ngram_jaccard_pairs",
@@ -78,6 +83,7 @@ __all__ = [
     "seeded_centroids",
     "seeded_planes",
     "simhash_buckets",
+    "with_bsig_hash",
     "text_stats",
     "tokens_expr",
     "train_val_split",

@@ -343,6 +343,179 @@ def minhash_signatures(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 11,
+    hash_mode: str = "md5",
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """The per-document LSH band index: ``(doc_id, band, bsig, hset)`` —
+    one row per (doc, band) with the band's minhash signature slice and
+    the doc's full 31-bit shingle-hash set (the verification payload).
+
+    This is the state the full pipeline builds in-flight, exposed as a
+    PERSISTABLE index for the nightly-ingest pattern (VERDICT r12
+    item 6): write it once for the frozen corpus — e.g. via
+    ``sources.bucketed.write_bucketed`` on ``bsig_h`` (add
+    ``with_bsig_hash``) so nightly probes read it shuffle-free — then
+    dedup each new shard with ``minhash_lsh_pairs_incremental`` instead
+    of re-running the full corpus pipeline.  Index size: bands× rows per
+    doc, each carrying the hset (~4·|shingles| bytes) — the same payload
+    the full pipeline shuffles per band.
+    """
+    rows = num_hashes // bands
+    a, b = minhash_coeffs(num_hashes, seed)
+    sh = _with_shingles(
+        docs, text_col, id_col, shingle_n, token_mode, shingle_unit
+    ).select(
+        "doc_id", F.explode("_sh").alias("shingle")
+    ).select("doc_id", F.expr(_shingle_h(hash_mode)).alias("h"))
+    mins = [
+        F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
+        for j in range(num_hashes)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(
+        *mins, F.collect_set("h").alias("hset")
+    ).select(
+        "doc_id",
+        F.array(*[f"_s{j}" for j in range(num_hashes)]).alias("sig"),
+        "hset",
+    )
+    return per_doc.select(
+        "doc_id",
+        "hset",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'bsig', slice(sig, b * {rows} + 1, {rows})))"
+            )
+        ).alias("bs"),
+    ).select("doc_id", "hset", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+
+def with_bsig_hash(index: DataFrame) -> DataFrame:
+    """Add ``bsig_h = xxhash64(band, bsig)`` — the scalar bucketing key
+    for persisting a band index (Spark cannot bucket by an array
+    column).  A table bucketed on ``bsig_h`` hash-partitions every
+    (band, bsig) bucket's rows together, so an incremental probe joining
+    on (bsig_h, band, bsig) reads the frozen index WITHOUT shuffling it
+    (HashPartitioning on a subset of the join keys satisfies the join's
+    clustered distribution)."""
+    return index.withColumn("bsig_h", F.xxhash64("band", "bsig"))
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 11,
+    hash_mode: str = "md5",
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: near-dup pairs TOUCHING a new shard,
+    against a frozen corpus represented by its persisted band index
+    (``minhash_band_index`` output; ``bsig_h`` column optional) — the
+    nightly-ingest shape where re-running the full pair pipeline over
+    100 TB to dedup a 100 GB shard is the wrong cost model.
+
+    Output == ``minhash_lsh_pairs(frozen ∪ new)`` RESTRICTED to pairs
+    with ≥1 endpoint in the new shard (differentially asserted in
+    tests; oracle-paired as ``minhash_lsh_incremental``).  Exactness
+    holds because both candidate generation (same-band signature
+    agreement — a doc's signature depends only on its own text) and
+    verification (exact Jaccard over the carried shingle-hash sets) are
+    corpus-independent per doc.
+
+    Dataflow: build the new shard's band rows in-flight (|shard|-sized),
+    then (a) new-vs-frozen candidates via an equi-join on (band, bsig)
+    — plus bsig_h when the index carries it, which makes a bucketed
+    index read shuffle-free — and (b) new-vs-new candidates via the
+    same in-bucket expansion as the full pipeline, restricted to the
+    shard.  The frozen corpus is never re-tokenized and, when bucketed,
+    never re-shuffled; only index rows whose buckets the shard actually
+    probes contribute join output.
+    """
+    new_rows = minhash_band_index(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+        hash_mode=hash_mode,
+        token_mode=token_mode,
+        shingle_unit=shingle_unit,
+    )
+    if "bsig_h" in index.columns:
+        new_rows = with_bsig_hash(new_rows)
+        join_keys = ["bsig_h", "band", "bsig"]
+    else:
+        join_keys = ["band", "bsig"]
+    old = index.select(
+        *join_keys,
+        F.col("doc_id").alias("_old_id"),
+        F.col("hset").alias("_old_hset"),
+    )
+    new = new_rows.select(
+        *join_keys,
+        F.col("doc_id").alias("_new_id"),
+        F.col("hset").alias("_new_hset"),
+    )
+    cross = (
+        new.join(old, on=join_keys)
+        .select(
+            F.least("_old_id", "_new_id").alias("doc_a"),
+            F.greatest("_old_id", "_new_id").alias("doc_b"),
+            F.size(F.array_intersect("_new_hset", "_old_hset"))
+            .cast("bigint")
+            .alias("n_common"),
+            (F.size("_new_hset") + F.size("_old_hset")).alias("n_total"),
+        )
+    )
+    within_buckets = (
+        new_rows.groupBy("band", "bsig")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), y -> "
+        "struct(x.doc_id as doc_a, y.doc_id as doc_b, "
+        "cast(size(array_intersect(x.hset, y.hset)) as bigint) as n_common, "
+        "size(x.hset) + size(y.hset) as n_total))))"
+    )
+    within = within_buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"),
+        F.col("p.doc_b").alias("doc_b"),
+        F.col("p.n_common").alias("n_common"),
+        F.col("p.n_total").alias("n_total"),
+    )
+    verified = (
+        cross.unionByName(within)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_total") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified.distinct()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -396,34 +569,18 @@ def minhash_lsh_pairs(
     verify inline from the carried sets → distinct.  Three shuffles total;
     per-bucket work is quadratic only in bucket size, the LSH guarantee.
     """
-    rows = num_hashes // bands
-    a, b = minhash_coeffs(num_hashes, seed)
-    sh = _with_shingles(
-        docs, text_col, id_col, shingle_n, token_mode, shingle_unit
-    ).select(
-        "doc_id", F.explode("_sh").alias("shingle")
-    ).select("doc_id", F.expr(_shingle_h(hash_mode)).alias("h"))
-    mins = [
-        F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
-        for j in range(num_hashes)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(
-        *mins, F.collect_set("h").alias("hset")
-    ).select(
-        "doc_id",
-        F.array(*[f"_s{j}" for j in range(num_hashes)]).alias("sig"),
-        "hset",
+    band_rows = minhash_band_index(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+        hash_mode=hash_mode,
+        token_mode=token_mode,
+        shingle_unit=shingle_unit,
     )
-    band_rows = per_doc.select(
-        "doc_id",
-        "hset",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"named_struct('band', b, 'bsig', slice(sig, b * {rows} + 1, {rows})))"
-            )
-        ).alias("bs"),
-    ).select("doc_id", "hset", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
     buckets = (
         band_rows.groupBy("band", "bsig")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))

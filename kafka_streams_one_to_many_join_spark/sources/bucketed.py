@@ -87,6 +87,19 @@ BUCKETED_READ_CONFS = {
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
+# A join whose keys are a SUPERSET of a bucketed side's bucket columns
+# (e.g. the minhash incremental probe: keys (bsig_h, band, bsig), index
+# bucketed on the scalar bsig_h because arrays cannot be bucket columns)
+# still reshuffles the bucketed side by default — since Spark 3.3 the
+# co-partition check demands partitioning on ALL join keys.  This
+# relaxation accepts subset partitioning; it is correctness-neutral
+# (equal key tuples imply equal subset values, so the subset clustering
+# already co-locates every matching pair) and turns such probes into
+# one-sided shuffles (plan-asserted in tests/test_minhash_incremental).
+SUBSET_KEY_JOIN_CONFS = {
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
+}
+
 
 def write_bucketed(
     df: DataFrame,
