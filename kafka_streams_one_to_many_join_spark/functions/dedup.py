@@ -447,6 +447,8 @@ def minhash_lsh_pairs_incremental(
     never re-shuffled; only index rows whose buckets the shard actually
     probes contribute join output.
     """
+    from kafka_streams_one_to_many_join_spark.model import materialize
+
     new_rows = minhash_band_index(
         new_docs,
         text_col=text_col,
@@ -459,6 +461,11 @@ def minhash_lsh_pairs_incremental(
         token_mode=token_mode,
         shingle_unit=shingle_unit,
     )
+    # the band rows feed BOTH the index join and the within-shard bucket
+    # expansion — a DataFrame diamond re-executes its common subtree per
+    # branch (the lesson minhash_lsh_pairs' docstring records), which
+    # here means tokenizing + signing the shard twice.  Pin it once.
+    new_rows = materialize(new_rows)
     if "bsig_h" in index.columns:
         new_rows = with_bsig_hash(new_rows)
         join_keys = ["bsig_h", "band", "bsig"]
