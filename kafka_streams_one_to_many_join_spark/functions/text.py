@@ -162,6 +162,7 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): position-sliding
     character k-gram hashes, min per window of ``window`` consecutive
@@ -175,9 +176,11 @@ def winnowing_fingerprints(
     expression engine recomputes per position, still one projection,
     no shuffle except the final distinct).
     """
+    nontok = NONTOKEN_MODES[token_mode][:-1] + " ]"  # keep spaces
+    nontok_sql = nontok.replace("\\", "\\\\")
     norm = (
         f"trim(regexp_replace(regexp_replace(lower({text_col}), "
-        "'[^a-z0-9 ]', ' '), ' +', ' '))"
+        f"'{nontok_sql}', ' '), ' +', ' '))"
     )
     gram_h = (
         f"cast(conv(substring(md5(substring(_n, i, {k})), 1, 8), 16, 10) as bigint)"
@@ -203,14 +206,30 @@ def winnowing_fingerprints(
     )
 
 
-def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_mode: str = "ascii",
+) -> DataFrame:
     """Normalization fingerprint: md5 of the whitespace-collapsed,
     lower-cased, punctuation-stripped text.  Two documents with the same
     fingerprint are content-equal modulo formatting — the exact-dedup key
     used by every large-scale corpus pipeline.
+
+    The token mode matters MORE here than anywhere else: in ascii mode
+    every non-Latin document normalizes to the EMPTY string, so the
+    whole non-Latin corpus shares one fingerprint and a fingerprint
+    dedup would collapse it to a single document (fenced in
+    tests/test_unicode_tokens.py).  Multilingual corpora must pass
+    ``token_mode="unicode"``.
     """
     normalized = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+        F.regexp_replace(
+            F.lower(F.col(text_col)),
+            NONTOKEN_MODES[token_mode][:-1] + " ]",
+            " ",
+        ),
         " +",
         " ",
     )

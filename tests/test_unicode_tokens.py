@@ -27,6 +27,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_streams_one_to_many_join_spark.functions.dedup import minhash_lsh_pairs
 from kafka_streams_one_to_many_join_spark.functions.text import (
@@ -277,3 +278,52 @@ def test_unknown_token_mode_raises(udocs):
         sdf.select(tokens_expr("text", "latin-1"))
     with pytest.raises(ValueError, match="shingle_unit"):
         minhash_lsh_pairs(sdf, shingle_unit="byte").collect()
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint / winnowing — the mode matters MOST for fingerprinting:
+# in ascii mode every non-Latin doc normalizes to '' and the whole
+# non-Latin corpus shares ONE fingerprint (an exact-dedup catastrophe)
+# ---------------------------------------------------------------------------
+def test_ascii_fingerprint_collapses_non_latin_corpus(udocs):
+    from kafka_streams_one_to_many_join_spark.functions.text import doc_fingerprint
+
+    sdf, con = udocs
+    non_latin = sdf.filter(F.col("doc_id").isin(*NON_LATIN_IDS))
+    asc = doc_fingerprint(non_latin, token_mode="ascii")
+    assert asc.select("fingerprint").distinct().count() == 1  # the hazard
+    uni = doc_fingerprint(non_latin, token_mode="unicode")
+    assert uni.select("fingerprint").distinct().count() == len(NON_LATIN_IDS)
+    # oracle parity in unicode mode (md5 of UTF-8 bytes agrees across engines)
+    _compare(
+        doc_fingerprint(sdf, token_mode="unicode"),
+        con,
+        r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        FROM udocs
+        """,
+        "doc_fingerprint/unicode",
+    )
+
+
+def test_winnowing_unicode_mode_fingerprints_cjk(udocs):
+    """Unicode-mode winnowing produces fingerprints for CJK docs (ascii
+    mode yields none — the normalized text is empty), and the CJK
+    near-dup pair shares fingerprints (the local-similarity guarantee
+    over codepoint k-grams)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    sdf, _ = udocs
+    non_latin = sdf.filter(F.col("doc_id").isin(*NON_LATIN_IDS))
+    asc = winnowing_fingerprints(non_latin, k=4, window=3, token_mode="ascii")
+    assert asc.count() == 0
+    uni = winnowing_fingerprints(non_latin, k=4, window=3, token_mode="unicode")
+    per_doc = {r.doc_id: r.n for r in uni.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert all(per_doc.get(d, 0) > 0 for d in NON_LATIN_IDS)
+    fps = {d: {r.fingerprint for r in uni.filter(F.col("doc_id") == d).collect()} for d in (3, 4, 7)}
+    assert fps[3] & fps[4]          # the near-dup pair overlaps
+    assert not (fps[3] & fps[7])    # unrelated CJK docs don't
