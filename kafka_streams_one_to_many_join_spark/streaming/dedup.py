@@ -80,12 +80,17 @@ def streaming_minhash_lsh_pairs(
     ttl_ms: int | None = None,
     max_bucket_size: int | None = None,
     shuffle_partitions: int | None = None,
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Cross-batch fuzzy near-dup candidate maintenance: the streaming
     twin of ``functions.dedup.minhash_lsh_pairs`` (recipe reused
     bit-for-bit — same shingles, same 31-bit md5 prefix hash, same
     affine-reseed minhash coefficients, same banding, same exact-Jaccard
-    verification).
+    verification; ``token_mode``/``shingle_unit`` thread through the
+    SAME shingle builder, so the r13 multilingual configuration —
+    unicode tokens + codepoint shingles — streams too, replay-paired
+    with its batch twin in tests/test_unicode_tokens.py).
 
     Per-document signatures are PURE PROJECTIONS here (array_min over
     transform of the doc's distinct shingle hashes) — a signature is a
@@ -162,7 +167,7 @@ def streaming_minhash_lsh_pairs(
         for j in range(num_hashes)
     )
     banded = (
-        _with_shingles(docs, text_col, id_col, shingle_n)
+        _with_shingles(docs, text_col, id_col, shingle_n, token_mode, shingle_unit)
         .filter(F.expr("size(_sh) > 0"))  # batch drops shingle-less docs too
         .select("doc_id", F.expr(hashes).alias("_hs"))
         .select("doc_id", "_hs", F.expr(f"array({sig_items})").alias("_sig"))

@@ -327,3 +327,57 @@ def test_winnowing_unicode_mode_fingerprints_cjk(udocs):
     fps = {d: {r.fingerprint for r in uni.filter(F.col("doc_id") == d).collect()} for d in (3, 4, 7)}
     assert fps[3] & fps[4]          # the near-dup pair overlaps
     assert not (fps[3] & fps[7])    # unrelated CJK docs don't
+
+
+def test_streaming_minhash_unicode_codepoint_matches_batch(spark, tmp_path):
+    """The multilingual configuration streams: a 2-batch replay of the
+    unicode corpus through the streaming MinHash twin with unicode
+    tokens + codepoint shingles emits exactly the batch pair set — with
+    the CJK near-dup endpoints split ACROSS the batch boundary, so the
+    pair can only come from bucket state."""
+    import os
+    import time
+
+    from kafka_streams_one_to_many_join_spark.sources.readers import read_stream
+    from kafka_streams_one_to_many_join_spark.sources.writers import write_stream
+    from kafka_streams_one_to_many_join_spark.streaming.dedup import (
+        streaming_minhash_lsh_pairs,
+    )
+
+    rows = [(i, t) for i, t, _ in CORPUS]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    expected = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.4, token_mode="unicode", shingle_unit="codepoint"
+        ).collect()
+    }
+    assert any(p[:2] == (3, 4) for p in expected)
+    # doc 3 in batch 1, doc 4 in batch 2 — the pair must cross state
+    batches = [[r for r in rows if r[0] != 4], [r for r in rows if r[0] == 4]]
+    os.makedirs(f"{tmp_path}/udocs", exist_ok=True)
+    for part in batches:
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp_path}/udocs")
+        time.sleep(1.05)
+    stream = read_stream(
+        spark, "parquet", f"{tmp_path}/udocs",
+        schema=spark.createDataFrame([], schema).schema,
+        maxFilesPerTrigger="1",
+    )
+    pairs = streaming_minhash_lsh_pairs(
+        stream, threshold=0.4, token_mode="unicode", shingle_unit="codepoint"
+    )
+    q = write_stream(
+        pairs, "memory", query_name="umhlsh", output_mode="append",
+        checkpoint=f"{tmp_path}/cp_umhlsh",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.sql("select * from umhlsh").collect()
+    }
+    assert got == expected
