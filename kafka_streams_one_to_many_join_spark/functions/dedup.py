@@ -173,6 +173,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
     hash_mode: str = "md5",
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (a < b, jaccard ≥ threshold).
 
@@ -215,7 +217,7 @@ def ngram_jaccard_pairs(
     # STRING-distinct counts and intersections are counted by hash
     # equality with multiplicity — the oracle mirrors exactly, so a
     # 2^-32 prefix collision perturbs both engines identically.
-    sh = _with_shingles(docs, text_col, id_col, n).select(
+    sh = _with_shingles(docs, text_col, id_col, n, token_mode, shingle_unit).select(
         "doc_id",
         F.size("_sh").alias("set_size"),
         F.explode("_sh").alias("shingle"),

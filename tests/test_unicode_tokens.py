@@ -381,3 +381,32 @@ def test_streaming_minhash_unicode_codepoint_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from umhlsh").collect()
     }
     assert got == expected
+
+
+def test_ngram_jaccard_unicode_codepoint(udocs):
+    """The exact-Jaccard baseline takes the same multilingual
+    configuration: codepoint trigram shingles find the CJK near-dup
+    pair with jaccard matching a hand-computed set ratio; ascii mode
+    sees no pairs among non-Latin docs."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        UNBOUNDED_SHINGLE_FREQ,
+        ngram_jaccard_pairs,
+    )
+
+    sdf, _ = udocs
+    uni = ngram_jaccard_pairs(
+        sdf, n=3, threshold=0.4, max_shingle_freq=UNBOUNDED_SHINGLE_FREQ,
+        token_mode="unicode", shingle_unit="codepoint",
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in uni.collect()}
+    assert (3, 4) in got
+    # hand-computed: ZH_A/ZH_B are 22 codepoints sharing a 20-cp prefix;
+    # trigram sets (20 each, distinct) share 18 → J = 18/22
+    assert got[(3, 4)] == round(18 / 22, 6)
+    asc = ngram_jaccard_pairs(
+        sdf, n=3, threshold=0.1, max_shingle_freq=UNBOUNDED_SHINGLE_FREQ,
+    )
+    asc_pairs = {(r.doc_a, r.doc_b) for r in asc.collect()}
+    assert not {
+        p for p in asc_pairs if p[0] in NON_LATIN_IDS or p[1] in NON_LATIN_IDS
+    }
