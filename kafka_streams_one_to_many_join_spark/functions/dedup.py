@@ -712,6 +712,7 @@ def simhash_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     vote_mode: str = "expr",
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """(doc_id, simhash BIGINT) — 60-bit SimHash over the token set.
 
@@ -734,7 +735,7 @@ def simhash_buckets(
 
     hashed = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.expr(simhash_token_hash_expr(_tokens(text_col))).alias("_th"),
+        F.expr(simhash_token_hash_expr(_tokens(text_col, token_mode))).alias("_th"),
     )
     if vote_mode == "pandas":
         return hashed.select(
@@ -777,17 +778,24 @@ def _simhash_band_rows(
     text_col: str,
     id_col: str,
     max_hamming: int,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """(doc_id, simhash, band, bval) — one row per (signed doc, band),
     shared by the pair and cluster faces of simhash near-dup."""
+    from kafka_streams_one_to_many_join_spark.functions.text import token_re
+
     band_structs = _band_structs_expr(max_hamming)
     # Predicate and tokenizer must agree: tokens come from
-    # regexp_extract_all(lower(text), '[a-z0-9]+'), so the token-free test
-    # is [a-z0-9] on the LOWERCASED text — a character that only lowercases
-    # into ASCII (e.g. U+212A KELVIN SIGN → 'k') yields tokens and must be
-    # signed, matching the oracle (which tokenizes and therefore signs it).
+    # regexp_extract_all(lower(text), token_re(mode)), so the token-free
+    # test is the mode's token class on the LOWERCASED text — a character
+    # that only lowercases into the class (e.g. U+212A KELVIN SIGN → 'k'
+    # in ascii mode) yields tokens and must be signed, matching the
+    # oracle (which tokenizes and therefore signs it).
     sigs = simhash_buckets(
-        docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")), text_col, id_col
+        docs.filter(F.lower(F.col(text_col)).rlike(token_re(token_mode))),
+        text_col,
+        id_col,
+        token_mode=token_mode,
     )
     return sigs.select(
         "doc_id",
@@ -807,6 +815,7 @@ def simhash_near_dup_clusters(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_iter: int = 25,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Connected components of the Hamming-≤h relation WITHOUT ever
     materializing the pair relation — the principled dense-corpus
@@ -867,13 +876,15 @@ def simhash_near_dup_clusters(
     signatures) labels.  Both paths produce identical memberships at
     every scale both complete (differentially asserted).
     """
+    from kafka_streams_one_to_many_join_spark.functions.text import token_re
     from kafka_streams_one_to_many_join_spark.model import materialize
 
     sigs = materialize(
         simhash_buckets(
-            docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")),
+            docs.filter(F.lower(F.col(text_col)).rlike(token_re(token_mode))),
             text_col,
             id_col,
+            token_mode=token_mode,
         ).select(F.col("doc_id"), F.col("simhash"))
     )
     groups = sigs.groupBy("simhash").agg(
@@ -992,6 +1003,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking + exact Hamming verify.
 
@@ -1046,7 +1058,7 @@ def simhash_near_dup_pairs(
 
     Output: (doc_a < doc_b, hamming BIGINT ≤ max_hamming).
     """
-    band_rows = _simhash_band_rows(docs, text_col, id_col, max_hamming)
+    band_rows = _simhash_band_rows(docs, text_col, id_col, max_hamming, token_mode)
     buckets = (
         band_rows.groupBy("band", "bval")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))

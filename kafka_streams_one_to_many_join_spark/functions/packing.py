@@ -49,6 +49,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_size: int = 4096,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Doc-level packing assignment: (id, n_tokens, start_offset, seq_id).
 
@@ -62,7 +63,7 @@ def pack_sequences(
     # poison this doc's start_offset (_cum - n_tokens -> NULL -> a NULL
     # seq_id group), where the oracle's 1-PRECEDING window form gives it
     # a real offset — both engines treat a NULL text as a 0-token doc
-    n_tok = F.coalesce(F.size(tokens_expr(text_col)), F.lit(0)).cast("bigint")
+    n_tok = F.coalesce(F.size(tokens_expr(text_col, token_mode)), F.lit(0)).cast("bigint")
     base = docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -110,6 +111,7 @@ def token_chunks(
     stride: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Overlapping token-window chunking — the retrieval/context-window
     counterpart of ``pack_sequences`` (train side packs docs INTO windows;
@@ -147,7 +149,7 @@ def token_chunks(
 
     return (
         ensure_parallelism(docs)
-        .select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+        .select(F.col(id_col), tokens_expr(text_col, token_mode).alias("_toks"))
         .select(F.col(id_col), F.posexplode(F.expr(windows)).alias("chunk_no", "_w"))
         .select(
             F.col(id_col),
@@ -166,6 +168,7 @@ def packing_efficiency(
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Padded-batch accounting that makes the packing-strategy choice
     quantitative: (strategy, n_seqs, pad_frac) for three strategies over
@@ -205,7 +208,7 @@ def packing_efficiency(
     # 0.94 s vs 2.10 s at sf0.1)
     base = docs.select(
         F.col(id_col).alias("id"),
-        F.size(tokens_expr(text_col)).cast("bigint").alias("n"),
+        F.size(tokens_expr(text_col, token_mode)).cast("bigint").alias("n"),
     ).transform(lambda d: materialize(d, eager=False))  # tokenize once for all three branches
 
     def frac(pad_expr: "F.Column", cap_expr: "F.Column") -> "F.Column":

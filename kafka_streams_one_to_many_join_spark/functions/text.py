@@ -124,18 +124,23 @@ def text_stats(
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_mode: str = "ascii",
+) -> DataFrame:
     """Heuristic language ID: argmax over per-language stopword hit counts,
     'und' when no list scores > 0.  Deterministic tiebreak: language order
     en, fr, es, de (first max wins).
     """
-    toks = tokens_expr(text_col)
+    toks = tokens_expr(text_col, token_mode)
     scores = []
     for lang in ("en", "fr", "es", "de"):
         words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
         scores.append(
             F.size(F.expr(
-                f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0), "
+                f"filter(regexp_extract_all(lower({text_col}), '{token_re_sql(token_mode)}', 0), "
                 f"t -> array_contains(array({words}), t))"
             )).alias(f"score_{lang}")
         )
@@ -239,7 +244,9 @@ def doc_fingerprint(
     )
 
 
-def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", token_mode: str = "ascii"
+) -> DataFrame:
     """One BPE merge iteration over a corpus — the inner loop of
     byte-pair-encoding tokenizer training (Sennrich et al. 2016),
     structured the only way it survives 100 TB: the corpus collapses to a
@@ -266,7 +273,7 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``n_words`` is the number of distinct vocabulary words containing
     the pair at least once.
     """
-    toks = tokens_expr(text_col)
+    toks = tokens_expr(text_col, token_mode)
     vocab = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
@@ -401,6 +408,7 @@ def hashed_quality_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     slope: float = 8.0,
+    token_mode: str = "ascii",
 ) -> DataFrame:
     """Hashed linear quality classifier — the fasttext-style scoring
     stage of a pre-training curation pipeline (CCNet / LLaMA-recipe
@@ -427,7 +435,7 @@ def hashed_quality_score(
     documents pin score = 0.5 (the sigmoid midpoint — no evidence
     either way).
     """
-    toks = tokens_expr(text_col)
+    toks = tokens_expr(text_col, token_mode)
     per_tok = docs.select(
         F.col(id_col),
         F.explode_outer(toks).alias("_t"),

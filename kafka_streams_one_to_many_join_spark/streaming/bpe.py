@@ -36,7 +36,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def streaming_word_deltas(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def streaming_word_deltas(
+    docs: DataFrame, text_col: str = "text", token_mode: str = "ascii"
+) -> DataFrame:
     """Stage 1: (word, batch occurrence count, first-ever-seen flag) per
     micro-batch.  Keyed state = one flag per vocabulary word."""
     import pandas as pd
@@ -50,7 +52,7 @@ def streaming_word_deltas(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     from kafka_streams_one_to_many_join_spark.functions.text import tokens_expr
 
-    words = docs.select(F.explode(tokens_expr(text_col)).alias("w"))
+    words = docs.select(F.explode(tokens_expr(text_col, token_mode)).alias("w"))
 
     output_schema = StructType(
         [

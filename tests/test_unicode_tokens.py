@@ -410,3 +410,82 @@ def test_ngram_jaccard_unicode_codepoint(udocs):
     assert not {
         p for p in asc_pairs if p[0] in NON_LATIN_IDS or p[1] in NON_LATIN_IDS
     }
+
+
+def test_simhash_unicode_mode(udocs):
+    """SimHash in unicode mode signs non-Latin docs (ascii mode signs
+    none of them — the rlike prefilter and tokenizer agree per mode) and
+    finds the Cyrillic near-dup pair; the cluster face agrees with the
+    pair face on the same corpus."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        near_dup_clusters,
+        simhash_near_dup_pairs,
+        simhash_near_dup_clusters,
+    )
+
+    sdf, spark_df_src = udocs
+    non_latin = sdf.filter(F.col("doc_id").isin(*NON_LATIN_IDS))
+    asc = simhash_near_dup_pairs(non_latin, max_hamming=6)
+    assert asc.count() == 0  # ascii mode signs no non-Latin doc
+    # a 30-word pair differing in ONE word: 1/31 tokens flips few vote
+    # bits, landing inside the 60-bit scheme's max_hamming range (the
+    # 10-word fixture pair measures Hamming 10 — simhash needs longer
+    # docs than minhash for the same similarity, which is itself the
+    # documented threshold-vs-length tradeoff)
+    base = [f"слово{i}" for i in range(30)]
+    ru_long_a = " ".join(base)
+    ru_long_b = " ".join(base[:-1] + ["иное"])
+    spark = sdf.sparkSession
+    longs = spark.createDataFrame(
+        [(1, ru_long_a), (2, ru_long_b)], "doc_id int, text string"
+    )
+    both = non_latin.select("doc_id", "text").filter("doc_id > 2").unionByName(longs)
+    uni = simhash_near_dup_pairs(both, max_hamming=6, token_mode="unicode")
+    pairs = {(r.doc_a, r.doc_b) for r in uni.collect()}
+    assert (1, 2) in pairs
+    non_latin = both
+    via_pairs = {
+        (r.doc_id, r.cluster_id) for r in near_dup_clusters(uni).collect()
+    }
+    via_clusters = {
+        (r.doc_id, r.cluster_id)
+        for r in simhash_near_dup_clusters(
+            non_latin, max_hamming=6, token_mode="unicode"
+        ).collect()
+    }
+    assert via_pairs == via_clusters
+
+
+def test_packing_and_scoring_unicode_mode(udocs):
+    """Token-budget packing, chunking, and the hashed quality scorer all
+    see real token counts for non-Latin docs in unicode mode (ascii mode
+    routes them into the 0-token branch)."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import token_chunks
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        hashed_quality_score,
+        language_id,
+    )
+
+    sdf, _ = udocs
+    uni_chunks = token_chunks(sdf, budget=4, stride=2, token_mode="unicode")
+    per_doc = {
+        r.doc_id: r.n for r in uni_chunks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc.get(1, 0) > 1  # 10 Russian words, budget 4, stride 2
+    # ascii mode: every doc still appears (the empty-chunk policy from
+    # the degenerate sweep), but non-Latin docs get ONE zero-token chunk
+    asc_chunks = token_chunks(sdf, budget=4, stride=2)
+    asc_by_doc = {
+        r.doc_id: (r.chunk_no, r.n_chunk_tokens)
+        for r in asc_chunks.collect()
+        if r.doc_id in NON_LATIN_IDS
+    }
+    assert asc_by_doc == {d: (0, 0) for d in NON_LATIN_IDS}
+
+    uni_scores = {r.doc_id: r for r in hashed_quality_score(sdf, token_mode="unicode").collect()}
+    assert uni_scores[1].n_tokens == 10 and uni_scores[3].n_tokens == 1
+    asc_scores = {r.doc_id: r for r in hashed_quality_score(sdf).collect()}
+    assert asc_scores[1].n_tokens == 0 and asc_scores[1].score == 0.5
+
+    langs = {r.doc_id: r.lang_pred for r in language_id(sdf, token_mode="unicode").collect()}
+    assert langs[101] == "en" and langs[1] == "und"
