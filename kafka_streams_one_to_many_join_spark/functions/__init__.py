@@ -44,6 +44,7 @@ from kafka_streams_one_to_many_join_spark.functions.similarity import (
 )
 from kafka_streams_one_to_many_join_spark.functions.text import (
     bpe_pair_counts,
+    bpe_encode,
     bpe_train,
     doc_fingerprint,
     hashed_quality_score,
@@ -55,6 +56,7 @@ from kafka_streams_one_to_many_join_spark.functions.text import (
 __all__ = [
     "asset_metadata",
     "bpe_pair_counts",
+    "bpe_encode",
     "bpe_train",
     "brute_force_topk",
     "brute_force_topk_pandas",

@@ -403,6 +403,95 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_mode: str = "ascii",
+):
+    """Apply a learned BPE merge table (``bpe_train`` output) to a corpus
+    — the inference side of tokenizer training.  Output:
+    ``(doc_id, symbols ARRAY<STRING>, n_symbols BIGINT)``, one row per
+    document, symbols in reading order.
+
+    Scale shape — the Python work is VOCABULARY-bounded, never
+    corpus-bounded:
+
+      1. tokenize + posexplode (order witness travels as a column);
+      2. encode each DISTINCT word once in an Arrow-batched
+         ``mapInPandas`` (the merge table rides the closure — it is
+         ``num_merges`` rows by construction);
+      3. join the encoded vocabulary back to token occurrences (the
+         planner broadcasts the vocab side when it fits — the common
+         case) and reassemble per-doc symbol arrays with one
+         sort-in-aggregation-buffer groupBy (the sessionization
+         pattern: array_sort after collect_list, no extra exchange).
+
+    Merges are applied in RANK ORDER with the same greedy
+    left-to-right pass as training's fold, so ``bpe_encode`` over the
+    training corpus reproduces the training-end vocabulary state
+    exactly (test-pinned against the sequential reference).  The
+    min-rank-first encode loop (the GPT-2 formulation) is an equivalent
+    optimization for long merge lists; rank-order is kept because it is
+    definitionally identical to training.  Empty documents keep their
+    row with ``symbols = []``.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    if isinstance(merges, DataFrame):
+        merge_list = [
+            (r.left_sym, r.right_sym)
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        merge_list = [tuple(m) for m in merges]
+
+    per_tok = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens_expr(text_col, token_mode)).alias("pos", "_w"),
+    )
+    words = per_tok.filter(F.col("_w").isNotNull()).select(
+        F.col("_w").alias("w")
+    ).distinct()
+
+    def _encode_batches(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["w"]:
+                syms = list(w)
+                for left, right in merge_list:
+                    if len(syms) < 2:
+                        break
+                    merged, acc = left + right, []
+                    for s in syms:
+                        if acc and acc[-1] == left and s == right:
+                            acc[-1] = merged
+                        else:
+                            acc.append(s)
+                    syms = acc
+                out.append(syms)
+            yield pd.DataFrame({"w": pdf["w"], "_syms": out})
+
+    encoded = words.mapInPandas(
+        _encode_batches, schema="w string, _syms array<string>"
+    )
+    joined = per_tok.join(
+        encoded, per_tok["_w"] == encoded["w"], "left"
+    ).select(id_col, "pos", "_syms")
+    assembled = joined.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("_syms")))
+        ).alias("_ordered")
+    )
+    symbols = F.expr("flatten(transform(_ordered, x -> x._syms))")
+    return assembled.select(
+        F.col(id_col),
+        F.coalesce(symbols, F.expr("array()")).alias("symbols"),
+    ).withColumn("n_symbols", F.size("symbols").cast("bigint"))
+
+
 def hashed_quality_score(
     docs: DataFrame,
     text_col: str = "text",

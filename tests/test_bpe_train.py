@@ -141,3 +141,75 @@ def test_bpe_train_stops_when_pairs_dry_up(spark):
     got = _spark_merges(bpe_train(docs, num_merges=10))
     # 'ab' is the only multi-symbol word: one merge then dry
     assert got == [(1, "a", "b", 2)]
+
+
+def _seq_bpe_vocab(word_counts: dict[str, int], num_merges: int):
+    """Sequential reference again, returning the END-of-training vocab
+    state (word → symbol list) alongside the merges."""
+    vocab = {w: list(w) for w in word_counts}
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (left, right), _cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        for w, syms in vocab.items():
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == left and s == right:
+                    acc[-1] = merged
+                else:
+                    acc.append(s)
+            vocab[w] = acc
+    return vocab
+
+
+def test_bpe_encode_reproduces_training_state(spark, sf_dir):
+    """Encoding the training corpus with the learned merges must yield,
+    per document, the concatenation of each word's END-of-training
+    symbol sequence — and symbol concatenation must reconstruct the
+    original token stream (losslessness)."""
+    import __spark_entry__ as entry_mod
+    from kafka_streams_one_to_many_join_spark.functions.text import bpe_encode
+
+    docs = entry_mod.load_table(spark, sf_dir, "documents")
+    merges_df = bpe_train(docs, num_merges=16)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    counts: dict[str, int] = {}
+    tok = {}
+    for did, t in texts.items():
+        tok[did] = re.findall(r"[a-z0-9]+", (t or "").lower())
+        for w in tok[did]:
+            counts[w] = counts.get(w, 0) + 1
+    vocab = _seq_bpe_vocab(counts, 16)
+    got = {
+        r.doc_id: (list(r.symbols), r.n_symbols)
+        for r in bpe_encode(docs, merges_df).collect()
+    }
+    assert set(got) == set(texts)  # every doc keeps its row
+    for did, words in tok.items():
+        expected = [s for w in words for s in vocab[w]]
+        assert got[did][0] == expected, did
+        assert got[did][1] == len(expected)
+        assert "".join(got[did][0]) == "".join(words)  # lossless
+
+
+def test_bpe_encode_empty_and_unseen(spark):
+    """Docs with no tokens keep a row with symbols = []; words never
+    seen in training encode with whatever merges apply (including
+    none)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import bpe_encode
+
+    train = spark.createDataFrame([(1, "ab ab abc")], "doc_id int, text string")
+    merges = bpe_train(train, num_merges=2)  # learns (a,b) then (ab,c)
+    test = spark.createDataFrame(
+        [(1, "ab abc xyz"), (2, ""), (3, "...")], "doc_id int, text string"
+    )
+    got = {r.doc_id: list(r.symbols) for r in bpe_encode(test, merges).collect()}
+    assert got[1] == ["ab", "abc", "x", "y", "z"]
+    assert got[2] == [] and got[3] == []
