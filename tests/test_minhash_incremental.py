@@ -151,3 +151,29 @@ def test_events_hourly_consolidation_carries_both_grains(spark, sf_dir):
         assert r.hour is None and r.stddev_value is not None
     for r in hourly:
         assert r.hour is not None and r.median_value is None
+
+
+def test_index_evolution_across_two_nights(spark, sf_dir):
+    """The full nightly cycle: probe shard A against the frozen index,
+    APPEND A's band rows to the index (a unionByName — the index is its
+    own maintenance operation), then probe shard B against frozen ∪ A.
+    Night-2 pairs must equal the full recompute over (frozen ∪ A ∪ B)
+    restricted to pairs touching B — including B-vs-A pairs that exist
+    in neither night-1 output nor the original index."""
+    docs = load_table(spark, sf_dir, "documents")
+    frozen = docs.filter(F.col("doc_id") % 10 < 7)
+    shard_a = docs.filter(F.col("doc_id") % 10 == 7)
+    shard_b = docs.filter(F.col("doc_id") % 10 > 7)
+    index = minhash_band_index(frozen)
+
+    night1 = _pairs(minhash_lsh_pairs_incremental(shard_a, index, threshold=0.5))
+    full = minhash_lsh_pairs(docs.filter("doc_id % 10 <= 7"), threshold=0.5)
+    assert night1 == _pairs(full.filter("doc_a % 10 = 7 OR doc_b % 10 = 7"))
+
+    evolved = index.unionByName(minhash_band_index(shard_a))
+    night2 = _pairs(minhash_lsh_pairs_incremental(shard_b, evolved, threshold=0.5))
+    full_all = minhash_lsh_pairs(docs, threshold=0.5)
+    expected = _pairs(full_all.filter("doc_a % 10 > 7 OR doc_b % 10 > 7"))
+    assert night2 == expected
+    # and at least one night-2 pair touches shard A (the evolution is real)
+    assert any(a % 10 == 7 or b % 10 == 7 for a, b, _ in night2)

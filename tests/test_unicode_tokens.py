@@ -489,3 +489,46 @@ def test_packing_and_scoring_unicode_mode(udocs):
 
     langs = {r.doc_id: r.lang_pred for r in language_id(sdf, token_mode="unicode").collect()}
     assert langs[101] == "en" and langs[1] == "und"
+
+
+def test_multilingual_curation_pipeline_composes(udocs):
+    """The whole curation chain runs in unicode mode end-to-end on the
+    multilingual corpus — quality filter → near-dup dedup (codepoint
+    shingles) → canonical selection → sequence packing — with the
+    closed-form expectations a 3-stage pipeline admits.  In ascii mode
+    the same chain silently drops every non-Latin doc at stage 1; both
+    behaviors are pinned."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    sdf, _ = udocs
+    mode = dict(token_mode="unicode")
+    kept = gopher_quality(sdf, min_words=1, max_words=10**5,
+                          min_mean_word_len=0.0, max_mean_word_len=50.0,
+                          max_top_word_ratio=1.0, min_distinct_ratio=0.0,
+                          min_stopwords=0, **mode).filter("keep")
+    survivors = sdf.join(kept.select("doc_id"), "doc_id")
+    assert {r.doc_id for r in survivors.collect()} == set(range(1, 9)) | {101}
+
+    pairs = minhash_lsh_pairs(
+        survivors, threshold=0.4, shingle_unit="codepoint", **mode
+    )
+    clusters = near_dup_clusters(pairs)
+    drop = {r.doc_id for r in clusters.collect() if r.doc_id != r.cluster_id}
+    assert drop  # the RU and ZH near-dup pairs each lose one member
+    deduped = survivors.filter(~F.col("doc_id").isin(*drop))
+
+    packed = pack_sequences(deduped, budget=16, **mode)
+    got = {r.doc_id for r in packed.collect()}
+    assert got == {r.doc_id for r in deduped.collect()}
+    # ascii-mode stage 1 drops every non-Latin doc
+    asc_kept = gopher_quality(sdf, min_words=1, max_words=10**5,
+                              min_mean_word_len=0.0, max_mean_word_len=50.0,
+                              max_top_word_ratio=1.0, min_distinct_ratio=0.0,
+                              min_stopwords=0).filter("keep")
+    assert not {r.doc_id for r in asc_kept.collect()} & NON_LATIN_IDS
