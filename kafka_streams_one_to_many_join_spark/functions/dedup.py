@@ -485,6 +485,9 @@ def minhash_lsh_pairs_incremental(
     )
     cross = (
         new.join(old, on=join_keys)
+        # the caller contract is disjoint id spaces; the guard keeps a
+        # violated contract from manufacturing (x, x) "pairs" silently
+        .filter(F.col("_old_id") != F.col("_new_id"))
         .select(
             F.least("_old_id", "_new_id").alias("doc_a"),
             F.greatest("_old_id", "_new_id").alias("doc_b"),

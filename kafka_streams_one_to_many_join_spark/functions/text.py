@@ -57,6 +57,13 @@ def token_re(mode: str = "ascii") -> str:
         ) from None
 
 
+def nontoken_re(mode: str = "ascii") -> str:
+    """The complement class for ``mode`` (normalization / punctuation
+    stripping), validated like ``token_re``."""
+    token_re(mode)  # uniform ValueError on unknown modes
+    return NONTOKEN_MODES[mode]
+
+
 def token_re_sql(mode: str = "ascii") -> str:
     """The token regex escaped for embedding in a Spark SQL string
     literal (Spark's parser consumes one level of backslash escaping;
@@ -102,7 +109,7 @@ def text_stats(
     n_tok = F.size(toks).cast("bigint")
     n_char = F.length(F.col(text_col)).cast("bigint")
     alpha_chars = F.length(
-        F.regexp_replace(F.lower(F.col(text_col)), NONTOKEN_MODES[token_mode], "")
+        F.regexp_replace(F.lower(F.col(text_col)), nontoken_re(token_mode), "")
     ).cast("bigint")
     n_stop = F.size(F.expr(
         f"filter(regexp_extract_all(lower({text_col}), '{token_re_sql(token_mode)}', 0), "
@@ -181,7 +188,7 @@ def winnowing_fingerprints(
     expression engine recomputes per position, still one projection,
     no shuffle except the final distinct).
     """
-    nontok = NONTOKEN_MODES[token_mode][:-1] + " ]"  # keep spaces
+    nontok = nontoken_re(token_mode)[:-1] + " ]"  # keep spaces
     nontok_sql = nontok.replace("\\", "\\\\")
     norm = (
         f"trim(regexp_replace(regexp_replace(lower({text_col}), "
@@ -232,7 +239,7 @@ def doc_fingerprint(
     normalized = F.regexp_replace(
         F.regexp_replace(
             F.lower(F.col(text_col)),
-            NONTOKEN_MODES[token_mode][:-1] + " ]",
+            nontoken_re(token_mode)[:-1] + " ]",
             " ",
         ),
         " +",
