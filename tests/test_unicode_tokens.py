@@ -55,11 +55,12 @@ CORPUS = [
     (6, "это совсем другой русский документ про тёплое лето", "ru"),
     (7, "上海明天有大雨请大家记得带伞出门注意安全", "zh"),
     (8, "Смешанный text with английскими words 和中文 2024", "mixed"),
+    (9, "الطقس في القاهرة حار جدا في الصيف", "ar"),
     (101, "the quick brown fox jumps over the lazy dog again and again", "en"),
     (102, "", "empty"),
     (103, "!!! ... ——— 》》《《", "punct"),
 ]
-NON_LATIN_IDS = {1, 2, 3, 4, 5, 6, 7}
+NON_LATIN_IDS = {1, 2, 3, 4, 5, 6, 7, 9}
 
 
 @pytest.fixture(scope="module")
@@ -513,7 +514,7 @@ def test_multilingual_curation_pipeline_composes(udocs):
                           max_top_word_ratio=1.0, min_distinct_ratio=0.0,
                           min_stopwords=0, **mode).filter("keep")
     survivors = sdf.join(kept.select("doc_id"), "doc_id")
-    assert {r.doc_id for r in survivors.collect()} == set(range(1, 9)) | {101}
+    assert {r.doc_id for r in survivors.collect()} == set(range(1, 10)) | {101}
 
     pairs = minhash_lsh_pairs(
         survivors, threshold=0.4, shingle_unit="codepoint", **mode
