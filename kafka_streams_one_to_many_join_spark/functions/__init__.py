@@ -17,6 +17,8 @@ from kafka_streams_one_to_many_join_spark.functions.dedup import (
     minhash_lsh_pairs_incremental,
     minhash_signatures,
     near_dup_clusters,
+    segment_dedup_incremental,
+    segment_pairs,
     ngram_jaccard_pairs,
     simhash_buckets,
     with_bsig_hash,
@@ -80,6 +82,8 @@ __all__ = [
     "minhash_lsh_pairs_incremental",
     "minhash_signatures",
     "near_dup_clusters",
+    "segment_dedup_incremental",
+    "segment_pairs",
     "ngram_jaccard_pairs",
     "sample_frames_stub",
     "seeded_centroids",

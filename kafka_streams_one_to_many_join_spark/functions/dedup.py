@@ -1297,6 +1297,111 @@ def contamination_pairs(
     )
 
 
+def segment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 10,
+    token_mode: str = "ascii",
+) -> DataFrame:
+    """(doc_id, seg_h) — the persistable per-document segment index for
+    line-level dedup (one row per non-overlapping ``width``-token
+    segment; the full pipeline's own intermediate state, exposed like
+    ``minhash_band_index``).  Persist it (and optionally the derived
+    (seg_h, occ) counts) for the frozen corpus; dedup each new shard
+    with ``segment_dedup_incremental``."""
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_tokens(text_col, token_mode)).alias("_toks"),
+    ).select(
+        "doc_id", F.explode(F.expr(segment_hash_expr("_toks", width))).alias("seg_h")
+    )
+
+
+def _segment_fractions(pairs: DataFrame, occ: DataFrame) -> DataFrame:
+    """Per-doc duplicated-segment accounting from (doc_id, seg_h) pairs
+    and (seg_h, occ) global counts — the tail of the full pipeline,
+    shared by the incremental face."""
+    per_doc = (
+        pairs.join(occ, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("occ") >= 2).cast("bigint")).alias("n_dup_segments"),
+        )
+    )
+    frac = F.col("n_dup_segments").cast("double") / F.col("n_segments").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_dup_segments",
+        F.round(frac, 6).alias("dup_frac"),
+        (frac <= 0.5).alias("keep"),
+    )
+
+
+def segment_dedup_incremental(
+    new_docs: DataFrame,
+    doc_segs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 10,
+    token_mode: str = "ascii",
+) -> DataFrame:
+    """Incremental segment-level dedup with RETROACTIVE updates — the
+    batch face of the problem ``streaming.dedup``'s retroactive twin
+    solves per micro-batch: when a new shard repeats a segment the
+    frozen corpus saw only ONCE, the frozen owner's duplicated fraction
+    changes too, so "just score the shard" is wrong.
+
+    Inputs: the shard and the frozen corpus's persisted segment index
+    (``segment_pairs`` output — the frozen text itself is never re-read
+    or re-tokenized).  Output: the full pipeline's per-doc rows
+    (doc_id, n_segments, n_dup_segments, dup_frac, keep) for
+
+    - every shard document (scored against frozen ∪ shard occurrence
+      counts), and
+    - every AFFECTED frozen document — one owning at least one segment
+      whose occurrence count crossed 1 → ≥2 because of this shard (the
+      only transition that can change a frozen row: counts never
+      decrease, and a segment already at occ ≥ 2 stays duplicated).
+
+    Rows for unaffected frozen docs are bit-identical to their
+    frozen-only scores, so the union of (this output restricted to its
+    doc set) + (prior scores for everyone else) equals the full
+    recompute — differentially asserted in tests.  Work: shard
+    tokenization + three segment-hash-keyed aggregates + one join that
+    touches only the affected docs' index rows; O(|shard segments| +
+    |affected docs' segments|), corpus-size-independent.
+    """
+    from kafka_streams_one_to_many_join_spark.model import materialize
+
+    new_pairs = materialize(
+        segment_pairs(new_docs, text_col, id_col, width, token_mode)
+    )
+    delta = new_pairs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("_d"))
+    frozen_occ = doc_segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("_f"))
+    occ_all = materialize(
+        frozen_occ.join(delta, "seg_h", "full_outer").select(
+            "seg_h",
+            F.coalesce("_f", F.lit(0)).alias("_f"),
+            F.coalesce("_d", F.lit(0)).alias("_d"),
+            (F.coalesce("_f", F.lit(0)) + F.coalesce("_d", F.lit(0))).alias("occ"),
+        )
+    )
+    shard_rows = _segment_fractions(new_pairs, occ_all.select("seg_h", "occ"))
+    crossing = occ_all.filter((F.col("_f") == 1) & (F.col("_d") >= 1)).select("seg_h")
+    affected = (
+        doc_segs.join(crossing, "seg_h").select("doc_id").distinct()
+    )
+    affected_rows = _segment_fractions(
+        doc_segs.join(affected, "doc_id"), occ_all.select("seg_h", "occ")
+    )
+    return shard_rows.unionByName(affected_rows)
+
+
 def segment_hash_expr(toks_col: str, width: int = 10) -> str:
     """SQL expression: array of 32-bit md5 hashes of the non-overlapping
     ``width``-token segments of a token array — the line-dedup segmenter

@@ -177,3 +177,37 @@ def test_index_evolution_across_two_nights(spark, sf_dir):
     assert night2 == expected
     # and at least one night-2 pair touches shard A (the evolution is real)
     assert any(a % 10 == 7 or b % 10 == 7 for a, b, _ in night2)
+
+
+def test_segment_dedup_incremental_with_retroactive_updates(spark, sf_dir):
+    """The batch face of retroactive segment dedup: scoring a new shard
+    against the frozen corpus's persisted segment index must (a) score
+    every shard doc exactly as the full recompute does, and (b) emit
+    updated rows for exactly the frozen docs whose duplicated fraction
+    the shard changed (a frozen segment crossing occ 1 → ≥2) — no more,
+    no fewer — each equal to its full-recompute row."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_dedup_incremental,
+        segment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frozen_docs = docs.filter(F.col("doc_id") % 10 < 8)
+    shard = docs.filter(F.col("doc_id") % 10 >= 8)
+    full = {r.doc_id: tuple(r) for r in entry_mod._segment_dedup(docs).collect()}
+    frozen_only = {
+        r.doc_id: tuple(r)
+        for r in entry_mod._segment_dedup(frozen_docs).collect()
+    }
+    inc = {
+        r.doc_id: tuple(r)
+        for r in segment_dedup_incremental(shard, segment_pairs(frozen_docs)).collect()
+    }
+    for did, row in inc.items():
+        assert row == full[did], did
+    shard_scored = {d for d in full if d % 10 >= 8}
+    assert shard_scored <= set(inc)
+    affected = set(inc) - shard_scored
+    changed = {d for d in frozen_only if full[d] != frozen_only[d]}
+    assert affected == changed
+    assert changed, "fixture must exercise the retroactive path"
