@@ -1349,6 +1349,7 @@ def segment_dedup_incremental(
     id_col: str = "doc_id",
     width: int = 10,
     token_mode: str = "ascii",
+    seg_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental segment-level dedup with RETROACTIVE updates — the
     batch face of the problem ``streaming.dedup``'s retroactive twin
@@ -1382,7 +1383,13 @@ def segment_dedup_incremental(
         segment_pairs(new_docs, text_col, id_col, width, token_mode)
     )
     delta = new_pairs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("_d"))
-    frozen_occ = doc_segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("_f"))
+    # persisted (seg_h, occ) counts skip the per-probe re-aggregation of
+    # the whole index — persist them alongside doc_segs in the nightly
+    # layout (they are |distinct segments|-sized, far smaller)
+    if seg_counts is not None:
+        frozen_occ = seg_counts.select("seg_h", F.col("occ").alias("_f"))
+    else:
+        frozen_occ = doc_segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("_f"))
     occ_all = materialize(
         frozen_occ.join(delta, "seg_h", "full_outer").select(
             "seg_h",
