@@ -52,6 +52,8 @@ from kafka_streams_one_to_many_join_spark.functions.text import (
     hashed_quality_score,
     language_id,
     text_stats,
+    token_re,
+    token_re_sql,
     tokens_expr,
 )
 
@@ -91,6 +93,8 @@ __all__ = [
     "simhash_buckets",
     "with_bsig_hash",
     "text_stats",
+    "token_re",
+    "token_re_sql",
     "tokens_expr",
     "train_val_split",
 ]

@@ -213,3 +213,35 @@ def test_bpe_encode_empty_and_unseen(spark):
     got = {r.doc_id: list(r.symbols) for r in bpe_encode(test, merges).collect()}
     assert got[1] == ["ab", "abc", "x", "y", "z"]
     assert got[2] == [] and got[3] == []
+
+
+def test_bpe_random_corpus_sweep_matches_sequential(spark):
+    """A seeded 300-word random corpus over a 2-letter alphabet — the
+    collision-heavy regime where greedy-scan bugs live (every word is a
+    run pattern).  Training through the REAL operator (no re-derived
+    fold expression that could drift) must match the sequential
+    reference merge-for-merge, which transitively verifies the Spark
+    fold's application to every vocabulary word at every rank; encoding
+    must then reproduce the training-end state per word."""
+    import random
+
+    from kafka_streams_one_to_many_join_spark.functions.text import bpe_encode
+
+    rng = random.Random(13)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 10)))
+        for _ in range(300)
+    ]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    expected = _seq_bpe(counts, 6)
+    merges_df = bpe_train(docs, num_merges=6, materialize_every=2)
+    assert _spark_merges(merges_df) == expected
+    vocab = _seq_bpe_vocab(counts, 6)
+    got = {r.doc_id: list(r.symbols) for r in bpe_encode(docs, merges_df).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == vocab[w], (w, got[i])
