@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_one_to_many_join_spark.functions.text import TOKEN_RE, token_re_sql
+from kafka_streams_one_to_many_join_spark.functions.text import token_re_sql
 
 
 def _tokens(text_col: str, token_mode: str = "ascii") -> str:
