@@ -79,7 +79,15 @@ def _codepoint_shingles(n: int, s: str = "_n") -> str:
     n-grams degenerate; sliding codepoint n-grams over the
     space-joined token string restore sub-sentence granularity.
     ``substring``/``length`` are codepoint-indexed in both Spark and
-    DuckDB, so the oracle mirrors this expression verbatim."""
+    DuckDB, so the oracle mirrors this expression verbatim.
+
+    Saturation warning (measured, SCALE.md round 13): on corpora with
+    LOW codepoint diversity the trigram space saturates and LSH buckets
+    go hot — the synthetic sf1 twin (a ~30-word vocabulary) produced a
+    30,089-member bucket and 1.38e9 uncapped candidate pairs.  Real
+    multilingual text has orders more codepoint diversity, but ALWAYS
+    pair codepoint shingles with ``max_bucket_size`` at scale (cap 64
+    completes the same corpus in 5 s)."""
     return (
         f"case when length({s}) < {n} then array() "
         f"else array_distinct(transform(sequence(1, length({s}) - {n} + 1), "

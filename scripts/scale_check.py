@@ -48,6 +48,9 @@ SCALE_QUERIES = [
     ("posting_lists", "documents"),
     ("dedup_clusters", "documents"),
     ("hll_distinct", "events"),
+    # round 13
+    ("minhash_lsh_incremental", "documents"),
+    ("minhash_lsh_unicode_codepoint_cap64", "documents"),
     ("rolling_avg_value", "events"),
     # round-6 additions
     ("sequence_pack", "documents"),
@@ -130,6 +133,22 @@ def _variants() -> dict:
         ),
         "bloom_filter_xxh": lambda spark, d: entry_mod.q_bloom_filter(
             spark, d, hash_mode="xxhash64"
+        ),
+        # round 13: the multilingual configuration (roster
+        # minhash_lsh_incremental needs no variant — it is a queries()
+        # entry; scripts/incremental_bench.py measures its persisted-
+        # index form)
+        # CAPPED: on the synthetic twins the ~30-word vocabulary makes
+        # codepoint trigrams SATURATE (sf1: max bucket 30,089 members,
+        # 1.38e9 uncapped candidates — the ngram saturated-vocab regime,
+        # re-measured for the codepoint unit; SCALE.md round 13).  Real
+        # multilingual corpora have orders more codepoint diversity; the
+        # cap is the standing guard either way.
+        "minhash_lsh_unicode_codepoint_cap64": lambda spark, d: minhash_lsh_pairs(
+            load_table(spark, d, "documents"), num_hashes=16, bands=8,
+            threshold=0.7, shingle_n=3,
+            token_mode="unicode", shingle_unit="codepoint",
+            max_bucket_size=64,
         ),
     }
 
