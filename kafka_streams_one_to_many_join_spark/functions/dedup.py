@@ -601,17 +601,42 @@ def minhash_lsh_pairs(
         token_mode=token_mode,
         shingle_unit=shingle_unit,
     )
+    # hot-bucket guard BEFORE the members aggregate, not after (r13):
+    # filtering the BUILT bucket row caps only the pair explode —
+    # collect_list still ASSEMBLES every hot bucket, each member
+    # carrying its ~4·|shingles|-byte hset, so hot buckets consume
+    # aggregation-buffer memory proportional to their (corpus-linear)
+    # size — the class that OOMs first at real scale.  The pre-count is
+    # a map-side-combined count aggregate whose join back drops hot
+    # rows before ANY buffer assembles them: bounded agg state by
+    # construction, and measured faster on the codepoint-saturation
+    # twin (sf10: 104.4 s cap-after → 91.0 s cap-before; values
+    # identical).  The residual sf1→sf10 superlinearity there (3.4 →
+    # 91 s) is IN-CAP candidate density — a saturated corpus fills many
+    # buckets to just under the cap — so on such corpora the real
+    # controls remain the threshold and the shingle unit (SCALE.md
+    # round 13).  Semantics identical to the post-filter (drop whole
+    # oversized buckets).
+    if max_bucket_size is not None:
+        from kafka_streams_one_to_many_join_spark.model import materialize
+
+        # two consumers (sizes + the join) would re-run tokenize+sign
+        # per branch — pin the band rows once (the diamond rule)
+        band_rows = materialize(band_rows, eager=False)
+        sizes = band_rows.groupBy("band", "bsig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        band_rows = band_rows.join(
+            sizes.filter(
+                (F.col("_bn") > 1) & (F.col("_bn") <= max_bucket_size)
+            ).select("band", "bsig"),
+            ["band", "bsig"],
+        )
     buckets = (
         band_rows.groupBy("band", "bsig")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
         .filter(F.size("members") > 1)
     )
-    # hot-bucket guard BEFORE the quadratic pair expansion: a size
-    # predicate on the already-built bucket row — no extra shuffle, the
-    # aggregate above is unchanged (bucket memory stays linear in corpus;
-    # only the pair explode is capped)
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("members") <= max_bucket_size)
     # n_common/n_total are computed INSIDE the pair lambda, so the O(|hset|)
     # array_intersect runs exactly once per candidate pair.  Projecting the
     # sets out and intersecting downstream looks equivalent but is not:
