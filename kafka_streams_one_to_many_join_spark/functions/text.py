@@ -79,6 +79,10 @@ STOPWORDS = {
     "fr": ["le", "la", "et", "de", "un"],
     "es": ["el", "la", "y", "de", "un"],
     "de": ["der", "die", "und", "von", "ein"],
+    # reachable only in unicode token mode (ascii tokenization maps
+    # Cyrillic text to the empty array, so these score 0 there — adding
+    # the list is output-neutral for every ascii-mode caller)
+    "ru": ["и", "в", "не", "на", "что"],
 }
 
 
@@ -138,12 +142,20 @@ def language_id(
     token_mode: str = "ascii",
 ) -> DataFrame:
     """Heuristic language ID: argmax over per-language stopword hit counts,
-    'und' when no list scores > 0.  Deterministic tiebreak: language order
-    en, fr, es, de (first max wins).
+    'und' when no list scores > 0.  Deterministic tiebreak: STOPWORDS
+    declaration order (first max wins) — en, fr, es, de, ru.  The ru
+    list is only reachable in unicode token mode (r13): ascii
+    tokenization maps Cyrillic text to the empty array, which is exactly
+    why language ID for non-Latin corpora needed the unicode contract.
+    Space-free scripts (zh/ja) stay out of the stopword heuristic —
+    their unicode-mode "tokens" are whole sentence runs, so word-list
+    matching is structurally wrong there (a codepoint-n-gram classifier
+    is the right tool; 'und' is the honest answer).
     """
     toks = tokens_expr(text_col, token_mode)
+    langs = list(STOPWORDS)
     scores = []
-    for lang in ("en", "fr", "es", "de"):
+    for lang in langs:
         words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
         scores.append(
             F.size(F.expr(
@@ -152,19 +164,15 @@ def language_id(
             )).alias(f"score_{lang}")
         )
     scored = docs.select(F.col(id_col), toks.alias("_toks"), *scores)
-    best = (
-        F.when(
-            (F.col("score_en") >= F.col("score_fr"))
-            & (F.col("score_en") >= F.col("score_es"))
-            & (F.col("score_en") >= F.col("score_de"))
-            & (F.col("score_en") > 0),
-            F.lit("en"),
-        )
-        .when((F.col("score_fr") >= F.col("score_es")) & (F.col("score_fr") >= F.col("score_de")) & (F.col("score_fr") > 0), F.lit("fr"))
-        .when((F.col("score_es") >= F.col("score_de")) & (F.col("score_es") > 0), F.lit("es"))
-        .when(F.col("score_de") > 0, F.lit("de"))
-        .otherwise(F.lit("und"))
-    )
+    # first-max-wins in declaration order: build the when-chain from the
+    # LAST language backward so earlier languages override ties —
+    # equivalent to the former hand-written 4-way chain on its domain
+    max_s = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    best = F.lit("und")
+    for lang in reversed(langs):
+        best = F.when(
+            (F.col(f"score_{lang}") == max_s) & (max_s > 0), F.lit(lang)
+        ).otherwise(best)
     return scored.select(F.col(id_col), best.alias("lang_pred"))
 
 
