@@ -51,6 +51,7 @@ from kafka_streams_one_to_many_join_spark.functions.text import (
     doc_fingerprint,
     hashed_quality_score,
     language_id,
+    script_profile,
     text_stats,
     token_re,
     token_re_sql,
@@ -92,6 +93,7 @@ __all__ = [
     "seeded_planes",
     "simhash_buckets",
     "with_bsig_hash",
+    "script_profile",
     "text_stats",
     "token_re",
     "token_re_sql",

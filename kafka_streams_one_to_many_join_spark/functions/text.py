@@ -176,6 +176,55 @@ def language_id(
     return scored.select(F.col(id_col), best.alias("lang_pred"))
 
 
+# Literal BMP codepoint ranges, NOT \\p{script=...} classes: Java spells
+# scripts \\p{IsHan} while RE2 spells them \\p{Han}, so script classes
+# cannot be shared verbatim across engines — literal ranges can (the
+# pattern bytes are identical UTF-8 in both).  Good enough for routing;
+# a real script classifier would use full Unicode script data.
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "cyrillic": "Ѐ-ӿ",
+    "han": "一-鿿",
+    "kana": "぀-ヿ",
+    "arabic": "؀-ۿ",
+}
+
+
+def script_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode-script character counts plus a dominant
+    script — the routing stage a multilingual curation pipeline runs
+    BEFORE language ID and shingle-unit selection (space-free scripts →
+    codepoint shingles; Cyrillic/Latin → word shingles; see the r13
+    token contract).
+
+    Output: (doc_id, n_latin, n_cyrillic, n_han, n_kana, n_arabic,
+    script) with ``script`` the first-max-wins dominant ('und' when no
+    script characters at all).  Pure projections — one
+    count-by-removal regexp per script, no shuffle, engine-identical
+    literal codepoint ranges mirrored by the DuckDB oracle in
+    tests/test_unicode_tokens.py.
+    """
+    cols = []
+    for name, rng in SCRIPT_RANGES.items():
+        cols.append(
+            (
+                F.length(F.col(text_col))
+                - F.length(F.regexp_replace(F.col(text_col), f"[{rng}]", ""))
+            ).cast("bigint").alias(f"n_{name}")
+        )
+    scored = docs.select(F.col(id_col), *cols)
+    names = list(SCRIPT_RANGES)
+    max_s = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dominant = F.lit("und")
+    for name in reversed(names):
+        dominant = F.when(
+            (F.col(f"n_{name}") == max_s) & (max_s > 0), F.lit(name)
+        ).otherwise(dominant)
+    return scored.select(id_col, *[f"n_{n}" for n in names], dominant.alias("script"))
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     text_col: str = "text",

@@ -539,3 +539,40 @@ def test_multilingual_curation_pipeline_composes(udocs):
                               max_top_word_ratio=1.0, min_distinct_ratio=0.0,
                               min_stopwords=0).filter("keep")
     assert not {r.doc_id for r in asc_kept.collect()} & NON_LATIN_IDS
+
+
+def test_script_profile_parity_and_routing(udocs):
+    """script_profile: per-script char counts oracle-paired (literal
+    codepoint ranges are engine-identical pattern bytes, unlike
+    \\p{script=...} classes, which Java and RE2 spell differently), and
+    the dominant script routes the fixture corpus correctly."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_profile,
+    )
+
+    sdf, con = udocs
+    count_cols = ",\n".join(
+        f"(length(text) - length(regexp_replace(text, '[{rng}]', '', 'g')))::BIGINT AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    names = list(SCRIPT_RANGES)
+    greatest = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dominant = "CASE "
+    for n in names:
+        dominant += f"WHEN n_{n} = {greatest} AND {greatest} > 0 THEN '{n}' "
+    dominant += "ELSE 'und' END"
+    sql = f"""
+        WITH c AS (SELECT doc_id, {count_cols} FROM udocs)
+        SELECT doc_id, {', '.join('n_' + n for n in names)},
+               {dominant} AS script
+        FROM c
+    """
+    _compare(script_profile(sdf), con, sql, "script_profile")
+    got = {r.doc_id: r.script for r in script_profile(sdf).collect()}
+    assert got[1] == "cyrillic" and got[6] == "cyrillic"
+    assert got[3] == "han" and got[7] == "han"
+    assert got[5] == "kana"  # kana outnumbers the kanji in the ja doc
+    assert got[9] == "arabic"
+    assert got[101] == "latin"
+    assert got[102] == "und" and got[103] == "und"
