@@ -378,6 +378,16 @@ def minhash_band_index(
     of re-running the full corpus pipeline.  Index size: bands× rows per
     doc, each carrying the hset (~4·|shingles| bytes) — the same payload
     the full pipeline shuffles per band.
+
+    The construction parameters are STAMPED into the index as column
+    metadata on ``bsig`` (r14, ADVICE r13 low): StructField metadata
+    round-trips through parquet / ``saveAsTable``, so a months-old
+    persisted index still knows how it was built, and
+    ``minhash_lsh_pairs_incremental`` / ``minhash_band_index_apply``
+    refuse to probe or maintain it with mismatched parameters instead of
+    silently returning wrong (typically empty) pair sets.  Indexes
+    persisted before the stamp existed fall back to a per-row
+    ``assert_true(size(bsig) = num_hashes/bands)`` structural check.
     """
     rows = num_hashes // bands
     a, b = minhash_coeffs(num_hashes, seed)
@@ -406,7 +416,165 @@ def minhash_band_index(
                 f"named_struct('band', b, 'bsig', slice(sig, b * {rows} + 1, {rows})))"
             )
         ).alias("bs"),
-    ).select("doc_id", "hset", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    ).select(
+        "doc_id",
+        "hset",
+        F.col("bs.band").alias("band"),
+        F.col("bs.bsig").alias(
+            "bsig",
+            metadata=_index_params(
+                num_hashes, bands, shingle_n, seed, hash_mode, token_mode,
+                shingle_unit,
+            ),
+        ),
+    )
+
+
+def _index_params(
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    hash_mode: str,
+    token_mode: str,
+    shingle_unit: str,
+) -> dict:
+    """The construction-parameter dict stamped into a band index's
+    ``bsig`` column metadata (and checked back by
+    ``_check_index_params``)."""
+    return {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+        "hash_mode": hash_mode,
+        "token_mode": token_mode,
+        "shingle_unit": shingle_unit,
+    }
+
+
+def _check_index_params(index: DataFrame, expected: dict, op: str) -> bool:
+    """Validate a band index's stamped construction parameters against the
+    caller's (ADVICE r13 low): raise ``ValueError`` on any mismatch —
+    probing a months-old index with the wrong parameters silently
+    returns wrong (typically empty) pair sets otherwise.  Returns True
+    when the stamp was present and validated; False for pre-stamp
+    indexes (callers then fall back to the structural
+    ``assert_true(size(bsig))`` check, the only property recoverable
+    from the data alone)."""
+    meta = dict(index.schema["bsig"].metadata or {})
+    stamped = {k: meta[k] for k in expected if k in meta}
+    if not stamped:
+        return False
+    mismatched = {
+        k: (v, expected[k]) for k, v in stamped.items() if v != expected[k]
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{k}: index={iv!r} caller={cv!r}"
+            for k, (iv, cv) in sorted(mismatched.items())
+        )
+        raise ValueError(
+            f"{op}: band index was built with different parameters than the "
+            f"caller supplied ({detail}); results would be silently wrong — "
+            "rebuild the index or pass the parameters it was built with"
+        )
+    return True
+
+
+def _assert_bsig_width(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Structural fallback check for PRE-STAMP indexes (no parameter
+    metadata): embed ``assert_true(size(bsig) = num_hashes/bands)`` as a
+    pass-through filter, so probing with a mismatched band width fails
+    loudly AT EXECUTION instead of returning empty join output.  Costs
+    one size() comparison per row, adds no exchange, and runs no eager
+    job (the check rides the probe's own scan)."""
+    rows = num_hashes // bands
+    return index.filter(
+        F.assert_true(
+            F.size("bsig") == rows,
+            F.lit(
+                f"band index bsig width != num_hashes/bands = {rows}: the "
+                "index was built with different (num_hashes, bands) than "
+                "the caller supplied"
+            ),
+        ).isNull()
+    )
+
+
+def minhash_band_index_apply(
+    index: DataFrame,
+    upserts: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 11,
+    hash_mode: str = "md5",
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """Maintain a persisted MinHash band index under a MUTABLE corpus
+    (VERDICT r13 item 1): retract every band row of re-ingested
+    (``upserts``, a corrected-document DataFrame) and deleted
+    (``delete_ids``, a one-column id DataFrame) documents, then insert
+    the upserted documents' freshly-signed rows.  Append-only evolution
+    (r13's two-night test) leaves a corrected or deleted document's
+    STALE band rows in the index forever, silently manufacturing pairs
+    against text that no longer exists — the batch-index analog of the
+    reference's own N-side delete propagation (DemoApp.scala:224-230,
+    which removes a car's old store entry when its zone changes rather
+    than letting both zones claim it).
+
+    Output: the maintained index, row-for-row equal to
+    ``minhash_band_index(corrected corpus)`` (differentially asserted in
+    tests/test_minhash_incremental.py — probes over the maintained index
+    equal the full recompute on the corrected corpus, pair-for-pair).
+
+    Scale shape: the night's change set is orders smaller than the
+    index, so retraction is a BROADCAST anti-join on doc_id — the index
+    streams through exchange-free (plan-asserted), no re-tokenization of
+    any frozen document, and only the upserted docs are signed.  Cost is
+    one index scan + |changes|-sized work vs the full rebuild's
+    re-tokenize-and-sign of the whole corpus — measured in SCALE.md r14.
+    Persist the result via ``sources.bucketed.write_bucketed`` on
+    ``bsig_h`` (add ``with_bsig_hash`` if absent) to keep nightly probes
+    shuffle-free; upsert rows inherit the stamped construction
+    parameters, which are validated against the caller's before any
+    maintenance is applied."""
+    params = _index_params(
+        num_hashes, bands, shingle_n, seed, hash_mode, token_mode, shingle_unit
+    )
+    if not _check_index_params(index, params, "minhash_band_index_apply"):
+        index = _assert_bsig_width(index, num_hashes, bands)
+    retract = None
+    if delete_ids is not None:
+        retract = delete_ids.select(F.col(delete_ids.columns[0]).alias("doc_id"))
+    if upserts is not None:
+        up_ids = upserts.select(F.col(id_col).alias("doc_id"))
+        retract = up_ids if retract is None else retract.unionByName(up_ids)
+    out = index
+    if retract is not None:
+        out = out.join(F.broadcast(retract.distinct()), "doc_id", "left_anti")
+    if upserts is not None:
+        new_rows = minhash_band_index(
+            upserts,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            seed=seed,
+            hash_mode=hash_mode,
+            token_mode=token_mode,
+            shingle_unit=shingle_unit,
+        )
+        if "bsig_h" in index.columns:
+            new_rows = with_bsig_hash(new_rows)
+        out = out.unionByName(new_rows.select(*out.columns))
+    return out
 
 
 def with_bsig_hash(index: DataFrame) -> DataFrame:
@@ -433,6 +601,7 @@ def minhash_lsh_pairs_incremental(
     hash_mode: str = "md5",
     token_mode: str = "ascii",
     shingle_unit: str = "word",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: near-dup pairs TOUCHING a new shard,
     against a frozen corpus represented by its persisted band index
@@ -456,9 +625,37 @@ def minhash_lsh_pairs_incremental(
     shard.  The frozen corpus is never re-tokenized and, when bucketed,
     never re-shuffled; only index rows whose buckets the shard actually
     probes contribute join output.
+
+    ``max_bucket_size`` is the hot-bucket guard (ADVICE r13 medium — the
+    incremental twin of ``minhash_lsh_pairs``'s): a hot (band, bsig)
+    bucket in the frozen index fans the probe join out quadratically
+    with each row carrying its ~4·|shingles|-byte hset, and the
+    within-shard expansion is the same collect_list state the full
+    pipeline caps BEFORE aggregating.  Bucket sizes are counted over the
+    COMBINED index ∪ shard membership restricted to the buckets the
+    shard probes (unprobed buckets yield no shard-touching pairs), so a
+    capped incremental run equals the capped full recompute restricted
+    to the shard — the same drop-whole-bucket semantics, differentially
+    asserted in tests/test_minhash_incremental.py.  The pre-count
+    shuffles ONLY the probed buckets' key columns (never hsets), and
+    both the probe-key set and the surviving-bucket list are
+    shard-proportional, so they broadcast — the frozen index still
+    streams through exchange-free.  MANDATORY for
+    ``shingle_unit="codepoint"`` at scale (SCALE.md r13: a saturated
+    corpus grew one bucket to 30k members / 1.38e9 candidate pairs).
     """
     from kafka_streams_one_to_many_join_spark.model import materialize
 
+    validated = _check_index_params(
+        index,
+        _index_params(
+            num_hashes, bands, shingle_n, seed, hash_mode, token_mode,
+            shingle_unit,
+        ),
+        "minhash_lsh_pairs_incremental",
+    )
+    if not validated:
+        index = _assert_bsig_width(index, num_hashes, bands)
     new_rows = minhash_band_index(
         new_docs,
         text_col=text_col,
@@ -476,6 +673,30 @@ def minhash_lsh_pairs_incremental(
     # branch (the lesson minhash_lsh_pairs' docstring records), which
     # here means tokenizing + signing the shard twice.  Pin it once.
     new_rows = materialize(new_rows)
+    if max_bucket_size is not None:
+        # combined bucket sizes, probed buckets only: index membership is
+        # pruned to the shard's buckets with a broadcast semi-join (keys
+        # only — hsets never enter the count), then both row sets drop
+        # oversized buckets via a broadcast semi-join on the survivors.
+        probe_keys = new_rows.select("band", "bsig")
+        idx_keys = index.select("band", "bsig").join(
+            F.broadcast(probe_keys.distinct()), ["band", "bsig"], "left_semi"
+        )
+        sizes = (
+            idx_keys.unionByName(probe_keys)
+            .groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+        )
+        # (_bn > 1) mirrors the full pipeline's filter; size-1 buckets
+        # cannot pair, so dropping them here is output-neutral
+        ok = materialize(
+            sizes.filter(
+                (F.col("_bn") > 1) & (F.col("_bn") <= max_bucket_size)
+            ).select("band", "bsig"),
+            eager=False,
+        )
+        new_rows = new_rows.join(F.broadcast(ok), ["band", "bsig"], "left_semi")
+        index = index.join(F.broadcast(ok), ["band", "bsig"], "left_semi")
     if "bsig_h" in index.columns:
         new_rows = with_bsig_hash(new_rows)
         join_keys = ["bsig_h", "band", "bsig"]

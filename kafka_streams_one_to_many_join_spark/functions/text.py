@@ -39,11 +39,18 @@ TOKEN_MODES = {
     "unicode": r"[\p{L}\p{N}]+",
 }
 
-# Complement class per mode (normalization / punctuation stripping).
-NONTOKEN_MODES = {
-    "ascii": "[^a-z0-9]",
-    "unicode": r"[^\p{L}\p{N}]",
+# Inner character-set string per mode; the complement classes below are
+# RENDERED from these so variants (keep-space normalization) compose from
+# the set itself rather than by slicing a finished pattern — string
+# surgery on the rendered class silently corrupts any future mode whose
+# pattern doesn't end in ']' (ADVICE r13 low).
+TOKEN_CLASS_INNER = {
+    "ascii": "a-z0-9",
+    "unicode": r"\p{L}\p{N}",
 }
+
+# Complement class per mode (normalization / punctuation stripping).
+NONTOKEN_MODES = {m: f"[^{inner}]" for m, inner in TOKEN_CLASS_INNER.items()}
 
 
 def token_re(mode: str = "ascii") -> str:
@@ -57,10 +64,16 @@ def token_re(mode: str = "ascii") -> str:
         ) from None
 
 
-def nontoken_re(mode: str = "ascii") -> str:
+def nontoken_re(mode: str = "ascii", keep_space: bool = False) -> str:
     """The complement class for ``mode`` (normalization / punctuation
-    stripping), validated like ``token_re``."""
+    stripping), validated like ``token_re``.  ``keep_space=True`` adds
+    the space character to the kept set (fingerprint normalization:
+    strip punctuation but preserve word boundaries) — built from the
+    mode's inner character-set string, never by slicing the rendered
+    pattern (ADVICE r13 low)."""
     token_re(mode)  # uniform ValueError on unknown modes
+    if keep_space:
+        return f"[^{TOKEN_CLASS_INNER[mode]} ]"
     return NONTOKEN_MODES[mode]
 
 
@@ -245,7 +258,7 @@ def winnowing_fingerprints(
     expression engine recomputes per position, still one projection,
     no shuffle except the final distinct).
     """
-    nontok = nontoken_re(token_mode)[:-1] + " ]"  # keep spaces
+    nontok = nontoken_re(token_mode, keep_space=True)
     nontok_sql = nontok.replace("\\", "\\\\")
     norm = (
         f"trim(regexp_replace(regexp_replace(lower({text_col}), "
@@ -296,7 +309,7 @@ def doc_fingerprint(
     normalized = F.regexp_replace(
         F.regexp_replace(
             F.lower(F.col(text_col)),
-            nontoken_re(token_mode)[:-1] + " ]",
+            nontoken_re(token_mode, keep_space=True),
             " ",
         ),
         " +",

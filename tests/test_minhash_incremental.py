@@ -211,3 +211,322 @@ def test_segment_dedup_incremental_with_retroactive_updates(spark, sf_dir):
     changed = {d for d in frozen_only if full[d] != frozen_only[d]}
     assert affected == changed
     assert changed, "fixture must exercise the retroactive path"
+
+
+def test_incremental_max_bucket_size_equals_capped_full(spark):
+    """ADVICE r13 medium: the incremental path's hot-bucket guard must
+    match the full pipeline's drop-whole-bucket semantics — bucket sizes
+    counted over the COMBINED index ∪ shard membership — so a capped
+    incremental run equals the capped full recompute restricted to the
+    shard.  Engineered corpus: 4 identical frozen docs + 1 identical
+    shard doc form a size-5 bucket in every band (dropped at cap 4,
+    along with every pair they'd produce), while a clean frozen/shard
+    near-dup pair lives in size-2 buckets and must survive."""
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, hot) for i in range(1, 5)] + [
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, hot),
+        (12, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    frozen = docs.filter("doc_id < 10")
+    shard = docs.filter("doc_id >= 10")
+    index = minhash_band_index(frozen)
+    uncapped = _pairs(minhash_lsh_pairs_incremental(shard, index, threshold=0.4))
+    capped = _pairs(
+        minhash_lsh_pairs_incremental(
+            shard, index, threshold=0.4, max_bucket_size=4
+        )
+    )
+    full_capped = _pairs(
+        minhash_lsh_pairs(docs, threshold=0.4, max_bucket_size=4).filter(
+            "doc_a >= 10 OR doc_b >= 10"
+        )
+    )
+    assert capped == full_capped
+    # the cap is real: the hot doc's cross pairs vanish, the clean pair stays
+    assert {(a, b) for a, b, _ in capped} == {(5, 12)}
+    assert {(a, b) for a, b, _ in uncapped} == {
+        (1, 11), (2, 11), (3, 11), (4, 11), (5, 12),
+    }
+
+
+def test_incremental_max_bucket_size_on_sf_corpus(spark, sf_dir):
+    """Same differential on the fixture corpus densified with an
+    identical-text copy (doc_id + 100000) — fixture buckets max out at 2
+    members, so the copy manufactures the hot buckets the cap exists
+    for; the cap is then chosen from the observed combined distribution
+    so it provably bites."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    frozen = docs.filter(F.col("doc_id") % 10 != 7)
+    shard = docs.filter(F.col("doc_id") % 10 == 7)
+    index = minhash_band_index(frozen)
+    # choose the cap: the largest bucket the shard probes, minus one
+    shard_rows = minhash_band_index(shard).select("band", "bsig")
+    sizes = (
+        index.select("band", "bsig")
+        .unionByName(shard_rows)
+        .groupBy("band", "bsig")
+        .count()
+        .join(shard_rows.distinct(), ["band", "bsig"], "left_semi")
+    )
+    biggest = sizes.agg(F.max("count")).collect()[0][0]
+    assert biggest and biggest > 2, "fixture must have a multi-member bucket"
+    cap = biggest - 1
+    inc = _pairs(
+        minhash_lsh_pairs_incremental(
+            shard, index, threshold=0.5, max_bucket_size=cap
+        )
+    )
+    full = _pairs(
+        minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=cap).filter(
+            "doc_a % 10 = 7 OR doc_b % 10 = 7"
+        )
+    )
+    assert inc == full
+
+
+def test_index_params_stamped_and_validated(spark):
+    """ADVICE r13 low: the index carries its construction parameters as
+    bsig column metadata; probing or maintaining it with mismatched
+    parameters raises instead of silently returning wrong pairs."""
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    index = minhash_band_index(docs, num_hashes=16, bands=8)
+    meta = dict(index.schema["bsig"].metadata)
+    assert meta["num_hashes"] == 16 and meta["bands"] == 8
+    assert meta["hash_mode"] == "md5" and meta["shingle_unit"] == "word"
+    shard = spark.createDataFrame(
+        [(2, "alpha beta gamma delta zeta")], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="different parameters"):
+        minhash_lsh_pairs_incremental(shard, index, num_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="different parameters"):
+        minhash_lsh_pairs_incremental(shard, index, seed=99)
+    with pytest.raises(ValueError, match="minhash_band_index_apply"):
+        minhash_band_index_apply(index, upserts=shard, shingle_unit="codepoint")
+    # matching parameters probe fine
+    assert minhash_lsh_pairs_incremental(shard, index, threshold=0.4).count() == 1
+
+
+def test_index_params_survive_persistence(spark, tmp_path):
+    """The stamp must round-trip through saveAsTable/parquet — that is
+    the whole point (a months-old index still knows how it was built)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    index = with_bsig_hash(minhash_band_index(docs, num_hashes=8, bands=4))
+    index.write.mode("overwrite").option(
+        "path", str(tmp_path / "idx_meta")
+    ).saveAsTable("mh_idx_meta")
+    try:
+        import pytest
+
+        reloaded = spark.table("mh_idx_meta")
+        meta = dict(reloaded.schema["bsig"].metadata)
+        assert meta["num_hashes"] == 8 and meta["bands"] == 4
+        shard = spark.createDataFrame(
+            [(2, "alpha beta gamma delta zeta")], "doc_id int, text string"
+        )
+        with pytest.raises(ValueError, match="different parameters"):
+            minhash_lsh_pairs_incremental(shard, reloaded)  # defaults: 16/8
+        got = minhash_lsh_pairs_incremental(
+            shard, reloaded, num_hashes=8, bands=4, threshold=0.4
+        )
+        assert got.count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx_meta")
+
+
+def test_prestamp_index_width_assert_fires(spark):
+    """Indexes persisted before the stamp existed (no metadata) fall back
+    to the structural size(bsig) check: a mismatched band width fails
+    loudly at execution instead of returning empty join output."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    index = minhash_band_index(docs, num_hashes=16, bands=8)
+    # strip the metadata via a computed projection (identity transform)
+    stripped = index.select(
+        "doc_id", "hset", "band",
+        F.expr("transform(bsig, x -> x)").alias("bsig"),
+    )
+    assert not dict(stripped.schema["bsig"].metadata or {})
+    shard = spark.createDataFrame(
+        [(2, "alpha beta gamma delta zeta")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="bsig width"):
+        minhash_lsh_pairs_incremental(
+            shard, stripped, num_hashes=8, bands=4, threshold=0.4
+        ).collect()
+    # matching width passes the assert and probes correctly
+    assert (
+        minhash_lsh_pairs_incremental(shard, stripped, threshold=0.4).count()
+        == 1
+    )
+
+
+def _apply_kwargs(**kw):
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index_apply,
+    )
+
+    return minhash_band_index_apply(**kw)
+
+
+def test_band_index_apply_differential(spark, sf_dir):
+    """VERDICT r13 item 1's done-criterion: night-2 re-ingests corrected
+    docs and deletes others; probing the MAINTAINED index must equal the
+    full recompute on the corrected corpus, pair-for-pair — stale band
+    rows of corrected/deleted docs must stop manufacturing pairs against
+    text that no longer exists."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frozen = docs.filter(F.col("doc_id") % 10 != 3)
+    shard = docs.filter(F.col("doc_id") % 10 == 3)
+    index = minhash_band_index(frozen)
+    # night-2 changes: %10==6 docs re-ingested with corrected text,
+    # %10==9 docs retracted from the corpus entirely
+    corrected = frozen.filter(F.col("doc_id") % 10 == 6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" corrected edition"))
+    )
+    deletes = frozen.filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    maintained = _apply_kwargs(index=index, upserts=corrected, delete_ids=deletes)
+    got = _pairs(minhash_lsh_pairs_incremental(shard, maintained, threshold=0.5))
+    # ground truth: full recompute on the corrected corpus
+    corrected_corpus = (
+        docs.filter(F.col("doc_id") % 10 != 9)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 6,
+                F.concat(F.col("text"), F.lit(" corrected edition")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    full = minhash_lsh_pairs(corrected_corpus, threshold=0.5)
+    expected = _pairs(full.filter("doc_a % 10 = 3 OR doc_b % 10 = 3"))
+    assert got == expected
+    assert got, "fixture must have shard-touching pairs after maintenance"
+    # the maintenance changed the answer: the APPEND-ONLY (stale) index
+    # manufactures at least one pair the corrected corpus does not have
+    stale = _pairs(minhash_lsh_pairs_incremental(shard, index, threshold=0.5))
+    assert stale != got, "fixture must exercise retraction/correction"
+    # and the maintained index itself is row-equal to a fresh rebuild
+    rebuilt = minhash_band_index(
+        corrected_corpus.filter(F.col("doc_id") % 10 != 3)
+    )
+    key = lambda df: {  # noqa: E731
+        (r.doc_id, r.band, tuple(r.bsig), tuple(sorted(r.hset)))
+        for r in df.collect()
+    }
+    assert key(maintained) == key(rebuilt)
+
+
+def test_band_index_apply_delete_only_and_upsert_only(spark):
+    """Closed-form maintenance semantics: delete-only retracts every band
+    row of the deleted doc; upsert-only replaces (not duplicates) the
+    re-ingested doc's rows."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id int, text string",
+    )
+    index = minhash_band_index(docs)
+    only_del = minhash_band_index_apply(
+        index, delete_ids=docs.filter("doc_id = 2").select("doc_id")
+    )
+    assert {r.doc_id for r in only_del.select("doc_id").distinct().collect()} == {1}
+    up = docs.filter("doc_id = 1").withColumn(
+        "text", F.lit("totally new words now here")
+    )
+    only_up = minhash_band_index_apply(index, upserts=up)
+    fresh = minhash_band_index(
+        spark.createDataFrame(
+            [
+                (1, "totally new words now here"),
+                (2, "one two three four five six"),
+            ],
+            "doc_id int, text string",
+        )
+    )
+    norm = lambda df: {  # noqa: E731
+        (r.doc_id, r.band, tuple(r.bsig), tuple(sorted(r.hset)))
+        for r in df.collect()
+    }
+    assert norm(only_up) == norm(fresh)
+
+
+def test_band_index_apply_keeps_bucketed_probe_shuffle_free(spark, sf_dir, tmp_path):
+    """Maintenance must not break the pay-the-shuffle-once layout: the
+    maintained index (broadcast anti-join + union of freshly-signed
+    upsert rows) probed after a bucketed rewrite still reads
+    exchange-free, and the maintenance plan itself adds no exchange on
+    the index side (broadcast retraction)."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index_apply,
+    )
+    from kafka_streams_one_to_many_join_spark.sources.bucketed import (
+        BUCKETED_READ_CONFS,
+        SUBSET_KEY_JOIN_CONFS,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frozen = docs.filter(F.col("doc_id") % 10 != 3)
+    shard = docs.filter(F.col("doc_id") % 10 == 3)
+    corrected = frozen.filter(F.col("doc_id") % 10 == 6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" corrected edition"))
+    )
+    deletes = frozen.filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    confs = {**BUCKETED_READ_CONFS, **SUBSET_KEY_JOIN_CONFS}
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        write_bucketed(
+            with_bsig_hash(minhash_band_index(frozen)),
+            "mh_idx_n1", 8, "bsig_h", path=str(tmp_path / "n1"),
+        )
+        night1 = spark.table("mh_idx_n1")
+        maintained = minhash_band_index_apply(
+            night1, upserts=corrected, delete_ids=deletes
+        )
+        # the retraction reads the bucketed index without an exchange:
+        # maintenance adds broadcast joins only (anti + the upsert union)
+        plan = maintained._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        write_bucketed(maintained, "mh_idx_n2", 8, "bsig_h", path=str(tmp_path / "n2"))
+        probe = minhash_lsh_pairs_incremental(
+            shard, spark.table("mh_idx_n2"), threshold=0.5
+        )
+        plain_probe = minhash_lsh_pairs_incremental(
+            shard, maintained.drop("bsig_h"), threshold=0.5
+        )
+        assert plans.count_shuffles(probe) < plans.count_shuffles(plain_probe)
+        assert _pairs(probe) == _pairs(plain_probe)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in ("mh_idx_n1", "mh_idx_n2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
