@@ -367,9 +367,13 @@ def test_prestamp_index_width_assert_fires(spark):
     shard = spark.createDataFrame(
         [(2, "alpha beta gamma delta zeta")], "doc_id int, text string"
     )
+    # num_hashes=8 / bands=2 → width 4 ≠ the index's width 2 (16/8).
+    # (A same-width mismatch like 8/4 is invisible to the structural
+    # check — that is exactly why the metadata stamp is the primary
+    # defense and this assert only the pre-stamp fallback.)
     with pytest.raises(Exception, match="bsig width"):
         minhash_lsh_pairs_incremental(
-            shard, stripped, num_hashes=8, bands=4, threshold=0.4
+            shard, stripped, num_hashes=8, bands=2, threshold=0.4
         ).collect()
     # matching width passes the assert and probes correctly
     assert (
