@@ -286,3 +286,33 @@ def test_bench_canary_watchlist_is_on_the_roster():
     import bench
 
     assert set(bench.CANARY_WATCHLIST) <= set(entrymod.queries())
+
+
+def test_bench_delta_notes_stamp_declared_consolidations():
+    """VERDICT r13 item 6: a >1.5x deltas_vs_prior row that is the
+    declared cost of a roster consolidation carries a one-line
+    delta_notes stamp; undeclared rows and sub-threshold declared rows
+    stay bare, and the note survives _bounded_line trimming."""
+    import json
+
+    import bench
+
+    declared = next(iter(bench.DECLARED_DELTAS))
+    deltas = {declared: 1.7, "pareto_customers": 1.6, "ann_topk": 0.4}
+    notes = bench._delta_notes(deltas)
+    assert set(notes) == {declared}
+    assert "consolidation" in notes[declared]
+    # below the reporting bar: no note even though declared
+    assert bench._delta_notes({declared: 1.4}) == {}
+    out = {
+        "metric": "total_suite_seconds",
+        "value": 50.0,
+        "unit": "sec",
+        "queries": {n: 0.5 for n in sorted(entrymod.queries())},
+        "sf": 0.1,
+        "deltas_vs_prior": deltas,
+        "delta_notes": notes,
+    }
+    line = bench._bounded_line(out)
+    parsed = json.loads(line[-2000:])
+    assert parsed["delta_notes"] == notes
