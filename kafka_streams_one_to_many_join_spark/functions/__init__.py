@@ -52,6 +52,7 @@ from kafka_streams_one_to_many_join_spark.functions.text import (
     hashed_quality_score,
     language_id,
     script_profile,
+    shingle_unit_for_script,
     text_stats,
     token_re,
     token_re_sql,
@@ -94,6 +95,7 @@ __all__ = [
     "simhash_buckets",
     "with_bsig_hash",
     "script_profile",
+    "shingle_unit_for_script",
     "text_stats",
     "token_re",
     "token_re_sql",

@@ -154,16 +154,26 @@ def language_id(
     id_col: str = "doc_id",
     token_mode: str = "ascii",
 ) -> DataFrame:
-    """Heuristic language ID: argmax over per-language stopword hit counts,
-    'und' when no list scores > 0.  Deterministic tiebreak: STOPWORDS
-    declaration order (first max wins) — en, fr, es, de, ru.  The ru
-    list is only reachable in unicode token mode (r13): ascii
-    tokenization maps Cyrillic text to the empty array, which is exactly
-    why language ID for non-Latin corpora needed the unicode contract.
-    Space-free scripts (zh/ja) stay out of the stopword heuristic —
-    their unicode-mode "tokens" are whole sentence runs, so word-list
-    matching is structurally wrong there (a codepoint-n-gram classifier
-    is the right tool; 'und' is the honest answer).
+    """Heuristic language ID: argmax over per-language stopword hit counts
+    with a SCRIPT fallback for the space-free scripts (r14, VERDICT r13
+    item 4).  Deterministic stopword tiebreak: STOPWORDS declaration
+    order (first max wins) — en, fr, es, de, ru.  The ru list is only
+    reachable in unicode token mode (r13): ascii tokenization maps
+    Cyrillic text to the empty array, which is exactly why language ID
+    for non-Latin corpora needed the unicode contract.
+
+    Space-free scripts (zh/ja/ko) cannot go through the stopword
+    heuristic — their unicode-mode "tokens" are whole sentence runs, so
+    word-list matching is structurally wrong there.  When NO stopword
+    list scores, the dominant script (the same first-max-wins routing
+    ``script_profile`` computes, token-mode-independent by construction)
+    decides: hangul → ko, kana-bearing han/kana → ja, han alone → zh.
+    Other dominant scripts stay 'und' — honestly: Devanagari spans
+    hi/mr/ne/sa and a dominant-script guess would be a coin flip, and
+    Latin/Cyrillic text without stopword hits is genuinely ambiguous.
+    Mixed documents whose dominant script is NOT han/kana/hangul never
+    enter the fallback (a Cyrillic document quoting three hanzi must not
+    come back 'zh').
     """
     toks = tokens_expr(text_col, token_mode)
     langs = list(STOPWORDS)
@@ -176,12 +186,36 @@ def language_id(
                 f"t -> array_contains(array({words}), t))"
             )).alias(f"score_{lang}")
         )
-    scored = docs.select(F.col(id_col), toks.alias("_toks"), *scores)
+    script_names = list(SCRIPT_RANGES)
+    script_counts = [
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), f"[{rng}]", ""))
+        ).cast("bigint").alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES.items()
+    ]
+    scored = docs.select(F.col(id_col), toks.alias("_toks"), *scores, *script_counts)
+    # script fallback: dominant script via the same first-max-wins chain
+    # as script_profile, mapped to a language only where script ≈ language
+    max_n = F.greatest(*[F.col(f"n_{n}") for n in script_names])
+    dominant = F.lit("und")
+    for name in reversed(script_names):
+        dominant = F.when(
+            (F.col(f"n_{name}") == max_n) & (max_n > 0), F.lit(name)
+        ).otherwise(dominant)
+    fallback = (
+        F.when(dominant == "hangul", F.lit("ko"))
+        .when(
+            dominant.isin("han", "kana"),
+            F.when(F.col("n_kana") > 0, F.lit("ja")).otherwise(F.lit("zh")),
+        )
+        .otherwise(F.lit("und"))
+    )
     # first-max-wins in declaration order: build the when-chain from the
     # LAST language backward so earlier languages override ties —
     # equivalent to the former hand-written 4-way chain on its domain
     max_s = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    best = F.lit("und")
+    best = fallback
     for lang in reversed(langs):
         best = F.when(
             (F.col(f"score_{lang}") == max_s) & (max_s > 0), F.lit(lang)
@@ -197,10 +231,44 @@ def language_id(
 SCRIPT_RANGES = {
     "latin": "A-Za-z",
     "cyrillic": "Ѐ-ӿ",
-    "han": "一-鿿",
+    # han spans four literal ranges (r14, VERDICT r13 item 4): the BMP
+    # URO, Extension A, and the supplementary-plane extensions (B..I,
+    # then G..H) — supplementary literals work identically in Java
+    # regex and RE2 (both treat class literals as code points; Spark's
+    # length() and DuckDB's length() both count code points, so the
+    # count-by-removal arithmetic stays engine-identical)
+    "han": "一-鿿㐀-䶿\U00020000-\U0002ee5d\U00030000-\U000323af",
     "kana": "぀-ヿ",
     "arabic": "؀-ۿ",
+    "hangul": "가-힣",
+    "devanagari": "ऀ-ॿ",
+    "thai": "฀-๿",
 }
+
+# Shingle-unit routing per dominant script (the stage a multilingual
+# dedup pipeline runs after script_profile): space-separated scripts
+# shingle by word; space-free Han/Kana text has no word boundaries for
+# the tokenizer to find, so it shingles by codepoint (the r13 token
+# contract).  Hangul and Devanagari write with spaces → word; Thai is
+# routed per VERDICT r13 item 4's prescription (note: Thai orthography
+# omits inter-word spaces, so a caller optimizing Thai recall may
+# prefer overriding to codepoint — the dict is the override point).
+SCRIPT_SHINGLE_UNIT = {
+    "latin": "word",
+    "cyrillic": "word",
+    "arabic": "word",
+    "hangul": "word",
+    "devanagari": "word",
+    "thai": "word",
+    "han": "codepoint",
+    "kana": "codepoint",
+}
+
+
+def shingle_unit_for_script(script: str) -> str:
+    """Dominant script (a ``script_profile`` ``script`` value) → the
+    shingle unit its near-dup dedup should use; unknown/'und' → word."""
+    return SCRIPT_SHINGLE_UNIT.get(script, "word")
 
 
 def script_profile(
@@ -410,26 +478,32 @@ def bpe_train(
          |vocab|-sized frame, never the corpus (asserted by
          ``test_bpe_train_corpus_scanned_once`` via the plan-audit hook);
       2. the FULL pair aggregate runs ONCE to seed the maintained
-         ``pairs`` state (left_sym, right_sym, pair_count);
-      3. per iteration: argmax the maintained pair table (count desc,
-         then lexicographic (left, right) — the deterministic tiebreak
-         the sequential reference mirrors, ONE driver-side row), then
-         update state from ONLY the touched words — each contributes
-         its old adjacent pairs negatively and its re-folded pairs
-         positively; untouched words (the growing majority as merges
-         specialize) are never re-exploded or re-folded, so the
-         per-iteration data cost is O(|touched| · avg_word_len), not
-         O(|vocab| · avg_word_len), and drops as the touched-word
-         fraction shrinks (measured ladder: SCALE.md r14);
-      4. both state frames re-``materialize`` every
-         ``materialize_every`` iterations so lineage (and the
-         re-executed delta chain) stays bounded.
+         pair-count state — which then lives ON THE DRIVER as a dict
+         (the pair table is vocabulary-bounded: ≤ Σ|word|-1 over the
+         distinct vocabulary, the same bound that already justified the
+         per-merge argmax collect; a driver dict makes the argmax a
+         FREE in-memory max instead of a per-merge Spark job, and
+         Python's code-point string comparison equals Spark's UTF-8
+         binary ordering — UTF-8 is order-preserving — so the
+         (count desc, lexicographic) tiebreak is bit-identical);
+      3. per iteration: argmax in memory, then collect the DELTA from
+         ONLY the touched words — each contributes its old adjacent
+         pairs negatively and its re-folded pairs positively; untouched
+         words (the growing majority as merges specialize) are never
+         re-exploded or re-folded, so the per-iteration data cost is
+         O(|touched| · avg_word_len), not O(|vocab| · avg_word_len),
+         and drops as the touched-word fraction shrinks (measured
+         ladder: SCALE.md r14);
+      4. the vocabulary re-``materialize``s every ``materialize_every``
+         iterations so the conditional-fold lineage the delta job
+         re-executes stays bounded.
 
-    Remaining cost floor (documented per ADVICE r13): one argmax
-    ``collect`` round-trip per merge — per-iteration job scheduling
-    (~0.05-0.15 s on local[32]) dominates once the touched fraction is
-    small, so a 32k-merge production train is bounded by merge count,
-    never by corpus size (100 TB of text changes stage 1 only).
+    Remaining cost floor (documented per ADVICE r13): one delta
+    ``collect`` round-trip per merge (down from r13's argmax over a
+    full re-aggregate) — per-iteration job scheduling (~0.05-0.15 s on
+    local[32]) dominates once the touched fraction is small, so a
+    32k-merge production train is bounded by merge count, never by
+    corpus size (100 TB of text changes stage 1 only).
 
     ``stats``: bench instrumentation — pass a list to receive one
     ``(rank, seconds, touched_words)`` tuple per merge (adds one count
@@ -453,8 +527,9 @@ def bpe_train(
         )
     )
     vocab = materialize(vocab)
-    # seed the maintained pair-count state: the one full aggregate
-    pairs = (
+    # seed the maintained pair-count state: the one full aggregate,
+    # collected to a driver dict (vocabulary-bounded by construction)
+    seed = (
         vocab.filter(F.size("syms") >= 2)
         .select(
             "c",
@@ -469,38 +544,49 @@ def bpe_train(
         .groupBy("left_sym", "right_sym")
         .agg(F.sum("c").alias("pair_count"))
     )
-    pairs = materialize(pairs)
+    pair_counts: dict[tuple[str, str], int] = {
+        (r.left_sym, r.right_sym): r.pair_count for r in seed.collect()
+    }
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         _t0 = _time.perf_counter()
-        best = pairs.orderBy(
-            F.col("pair_count").desc(), "left_sym", "right_sym"
-        ).limit(1).collect()
-        if not best:
+        if not pair_counts:
             break
-        left, right, cnt = best[0].left_sym, best[0].right_sym, best[0].pair_count
+        # argmax: count desc, then lexicographic (left, right) — Python
+        # min on (-count, left, right); code-point order == Spark's
+        # UTF-8 binary order, so the tiebreak matches orderBy exactly
+        best_key = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        left, right = best_key
+        cnt = pair_counts[best_key]
         merges.append((rank, left, right, int(cnt)))
         ql, qr = left.replace("'", "''"), right.replace("'", "''")
         # a word is touched iff it contains the merged pair ADJACENTLY;
-        # touched words have size(syms) >= 2 by construction, so the
-        # exists() lambda never probes element_at(syms, 0)
-        contains = (
-            "case when size(syms) < 2 then false else "
-            "exists(sequence(1, size(syms) - 1), i -> "
-            f"element_at(syms, i) = '{ql}' and element_at(syms, i + 1) = '{qr}') "
-            "end"
-        )
-        # greedy left-to-right merge fold: acc[-1]==left and s==right →
+        # touched words have size >= 2 by construction, so the exists()
+        # lambda never probes element_at(_, 0).  Both templates take the
+        # symbol-array EXPRESSION as a parameter so the conditional
+        # vocab update below can route it through a lambda variable.
+        def contains(s: str) -> str:
+            return (
+                f"case when size({s}) < 2 then false else "
+                f"exists(sequence(1, size({s}) - 1), i -> "
+                f"element_at({s}, i) = '{ql}' and element_at({s}, i + 1) = '{qr}') "
+                "end"
+            )
+
+        # greedy left-to-right merge fold: acc[-1]==left and x==right →
         # replace acc's tail with the merged symbol, else append.  Equal
         # to the classic non-overlapping regex replace on "aaa"-style
         # runs (the sequential property test sweeps those).
-        fold = (
-            "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
-            f"case when size(acc) > 0 and element_at(acc, -1) = '{ql}' "
-            f"and s = '{qr}' "
-            f"then concat(slice(acc, 1, size(acc) - 1), array('{ql}{qr}')) "
-            "else concat(acc, array(s)) end)"
-        )
+        def fold(s: str) -> str:
+            return (
+                f"aggregate({s}, cast(array() as array<string>), (acc, x) -> "
+                f"case when size(acc) > 0 and element_at(acc, -1) = '{ql}' "
+                f"and x = '{qr}' "
+                f"then concat(slice(acc, 1, size(acc) - 1), array('{ql}{qr}')) "
+                "else concat(acc, array(x)) end)"
+            )
         # delta from the touched words only: old adjacent pairs count
         # negatively, the re-folded word's pairs positively.  The old
         # side never needs a size guard (touched ⇒ size >= 2); the new
@@ -517,8 +603,8 @@ def bpe_train(
             f"else {pair_structs.format(s='_new_syms', sign='')} end"
         )
         delta = (
-            vocab.filter(F.expr(contains))
-            .select("c", F.expr(fold).alias("_new_syms"), "syms")
+            vocab.filter(F.expr(contains("syms")))
+            .select("c", F.expr(fold("syms")).alias("_new_syms"), "syms")
             .select(F.explode(F.expr(f"concat({old_arr}, {new_arr})")).alias("p"))
             .groupBy(
                 F.col("p.left_sym").alias("left_sym"),
@@ -526,19 +612,33 @@ def bpe_train(
             )
             .agg(F.sum("p.w").alias("pair_count"))
         )
-        pairs = (
-            pairs.unionByName(delta)
-            .groupBy("left_sym", "right_sym")
-            .agg(F.sum("pair_count").alias("pair_count"))
-            .filter(F.col("pair_count") > 0)
-        )
-        # fold ONLY the touched rows; untouched syms pass through untouched
+        # the one Spark job of the iteration: the touched-words delta,
+        # folded into the driver-side state (pairs at 0 drop out so the
+        # in-memory argmax never picks an extinct pair)
+        for r in delta.collect():
+            key = (r.left_sym, r.right_sym)
+            new_count = pair_counts.get(key, 0) + r.pair_count
+            if new_count > 0:
+                pair_counts[key] = new_count
+            else:
+                pair_counts.pop(key, None)
+        # fold ONLY the touched rows; untouched syms pass through
+        # untouched.  The update is routed through a transform() lambda
+        # variable so each level references the previous level's syms
+        # EXACTLY ONCE: a naive `case when contains(syms) then fold(syms)
+        # else syms end` references it three times, and Catalyst's
+        # projection collapse inlines the whole prior-level expression
+        # into every reference — 3^k tree growth between checkpoints
+        # (measured: 1.5 s → 11 s → 54 s per merge before this fix).
         vocab = vocab.select(
-            "c", F.expr(f"case when {contains} then {fold} else syms end").alias("syms")
+            "c",
+            F.expr(
+                "element_at(transform(array(syms), s -> "
+                f"case when {contains('s')} then {fold('s')} else s end), 1)"
+            ).alias("syms"),
         )
         if rank % materialize_every == 0:
             vocab = materialize(vocab)
-            pairs = materialize(pairs)
         if stats is not None:
             touched = vocab.filter(
                 F.expr(f"array_contains(syms, '{ql}{qr}')")

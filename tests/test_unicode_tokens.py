@@ -490,10 +490,11 @@ def test_packing_and_scoring_unicode_mode(udocs):
 
     langs = {r.doc_id: r.lang_pred for r in language_id(sdf, token_mode="unicode").collect()}
     # the capability the mode unlocks: Russian docs are identifiable by
-    # Cyrillic stopwords ("и" occurs in docs 1/2); space-free scripts
-    # honestly stay 'und' (word-list matching is structurally wrong for
-    # whole-run "tokens"); ascii mode sees no Cyrillic tokens at all
-    assert langs[101] == "en" and langs[1] == "ru" and langs[3] == "und"
+    # Cyrillic stopwords ("и" occurs in docs 1/2); space-free scripts go
+    # through the r14 dominant-script fallback (word-list matching is
+    # structurally wrong for whole-run "tokens" — han alone → zh);
+    # ascii mode sees no Cyrillic tokens at all
+    assert langs[101] == "en" and langs[1] == "ru" and langs[3] == "zh"
     asc_langs = {r.doc_id: r.lang_pred for r in language_id(sdf).collect()}
     assert asc_langs[1] == "und"
 
@@ -576,3 +577,158 @@ def test_script_profile_parity_and_routing(udocs):
     assert got[9] == "arabic"
     assert got[101] == "latin"
     assert got[102] == "und" and got[103] == "und"
+
+
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 item 4): widened script routing — Hangul, Devanagari,
+# Thai, supplementary-plane Han — and the language_id script fallback.
+# Separate fixture so the closed-form expectations above stay intact.
+# ---------------------------------------------------------------------------
+EXT_CORPUS = [
+    (21, "서울의 겨울은 춥고 눈이 많이 내립니다 사람들은 따뜻한 옷을 입습니다", "ko"),
+    (22, "दिल्ली में गर्मी बहुत तेज होती है लोग ठंडी जगह जाते हैं", "hi"),
+    (23, "อากาศในกรุงเทพร้อนมากในฤดูร้อนผู้คนชอบกินอาหารเผ็ด", "th"),
+    # CJK Extension B — every char above U+20000 (astral plane)
+    (24, "𠜎𠜱𠝹𠱓𠱸𠲖𠳏𠳕𠴕𠵼𠵿𠸎𠸏𠹷𠺝𠺢𠻗", "zh-ext"),
+    (25, "日本語のテキストです。形態素解析はしません。", "ja"),
+    (26, ZH_A, "zh"),
+    (27, "the quick brown fox jumps over the lazy dog", "en"),
+    (28, RU_A, "ru"),
+    # mixed, Cyrillic-dominant, NO ru stopwords, a few hanzi — must NOT
+    # enter the han fallback (dominant-script gate)
+    (29, "Смешанный документ про лето 和中文", "mixed"),
+]
+
+
+@pytest.fixture(scope="module")
+def xdocs(spark, tmp_path_factory):
+    pdf = pd.DataFrame(EXT_CORPUS, columns=["doc_id", "text", "source"])
+    path = str(tmp_path_factory.mktemp("ext_scripts") / "xdocs.parquet")
+    pdf.to_parquet(path, index=False)
+    sdf = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW xdocs AS SELECT * FROM '{path}'")
+    return sdf, con
+
+
+def test_extended_script_profile_parity_and_routing(xdocs):
+    """The widened SCRIPT_RANGES: per-script counts oracle-paired on the
+    extended fixture (supplementary-plane Han literals included — Java
+    regex and RE2 both treat class literals as code points, and both
+    engines' length() counts code points), dominant-script routing
+    correct, and shingle_unit_for_script maps each routed script to its
+    dedup shingle unit."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_profile,
+        shingle_unit_for_script,
+    )
+
+    sdf, con = xdocs
+    count_cols = ",\n".join(
+        f"(length(text) - length(regexp_replace(text, '[{rng}]', '', 'g')))::BIGINT AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    names = list(SCRIPT_RANGES)
+    greatest = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dominant = "CASE "
+    for n in names:
+        dominant += f"WHEN n_{n} = {greatest} AND {greatest} > 0 THEN '{n}' "
+    dominant += "ELSE 'und' END"
+    sql = f"""
+        WITH c AS (SELECT doc_id, {count_cols} FROM xdocs)
+        SELECT doc_id, {', '.join('n_' + n for n in names)},
+               {dominant} AS script
+        FROM c
+    """
+    _compare(script_profile(sdf), con, sql, "ext_script_profile")
+    prof = {r.doc_id: r for r in script_profile(sdf).collect()}
+    expected = {
+        21: "hangul", 22: "devanagari", 23: "thai", 24: "han",
+        25: "kana", 26: "han", 27: "latin", 28: "cyrillic", 29: "cyrillic",
+    }
+    assert {d: r.script for d, r in prof.items()} == expected
+    # the astral-plane chars are COUNTED (17 Ext-B chars, one each)
+    assert prof[24].n_han == 17
+    # routing: spaced scripts shingle by word, space-free Han by codepoint
+    assert shingle_unit_for_script("hangul") == "word"
+    assert shingle_unit_for_script("devanagari") == "word"
+    assert shingle_unit_for_script("thai") == "word"
+    assert shingle_unit_for_script("han") == "codepoint"
+    assert shingle_unit_for_script("kana") == "codepoint"
+    assert shingle_unit_for_script("und") == "word"
+
+
+def _language_id_sql(mode: str) -> str:
+    """DuckDB mirror of language_id: stopword argmax (first-max-wins in
+    STOPWORDS order) with the dominant-script fallback — built from the
+    SAME definition sites (STOPWORDS, SCRIPT_RANGES) as the engine."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        SCRIPT_RANGES,
+        STOPWORDS,
+    )
+
+    tok = _tok_sql(mode)
+    langs = list(STOPWORDS)
+    score_cols = ",\n".join(
+        "len(list_filter({tok}, t -> list_contains([{ws}], t)))::BIGINT AS score_{lang}".format(
+            tok=tok,
+            ws=", ".join(f"'{w}'" for w in STOPWORDS[lang]),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    count_cols = ",\n".join(
+        f"(length(text) - length(regexp_replace(text, '[{rng}]', '', 'g')))::BIGINT AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    names = list(SCRIPT_RANGES)
+    max_s = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    max_n = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dominant = "CASE "
+    for n in names:
+        dominant += f"WHEN n_{n} = {max_n} AND {max_n} > 0 THEN '{n}' "
+    dominant += "ELSE 'und' END"
+    stopword_pick = "CASE "
+    for lang in langs:
+        stopword_pick += f"WHEN score_{lang} = {max_s} THEN '{lang}' "
+    stopword_pick += "END"
+    return f"""
+        WITH s AS (SELECT doc_id, {score_cols}, {count_cols} FROM xdocs),
+        d AS (SELECT *, {dominant} AS dom FROM s)
+        SELECT doc_id,
+               CASE WHEN {max_s} > 0 THEN {stopword_pick}
+                    WHEN dom = 'hangul' THEN 'ko'
+                    WHEN dom IN ('han', 'kana') THEN
+                         CASE WHEN n_kana > 0 THEN 'ja' ELSE 'zh' END
+                    ELSE 'und' END AS lang_pred
+        FROM d
+    """
+
+
+@pytest.mark.parametrize("mode", ["ascii", "unicode"])
+def test_language_id_script_fallback_parity(xdocs, mode):
+    """language_id's script fallback, oracle-paired in BOTH token modes:
+    hangul → ko, kana-bearing → ja, han alone → zh (including
+    supplementary-plane Han), dominant-gated so a Cyrillic doc quoting
+    hanzi stays out of the fallback.  The script counts are
+    token-mode-independent, so ko/ja/zh are now identified even in
+    ascii mode (where stopword scores are structurally zero)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import language_id
+
+    sdf, con = xdocs
+    got = {
+        r.doc_id: r.lang_pred
+        for r in language_id(sdf, token_mode=mode).collect()
+    }
+    oracle = dict(con.execute(_language_id_sql(mode)).fetchall())
+    assert got == oracle, mode
+    assert got[21] == "ko" and got[25] == "ja"
+    assert got[26] == "zh" and got[24] == "zh"  # incl. astral-plane Han
+    # honest 'und': Devanagari spans hi/mr/ne/sa; Thai has no mapping yet
+    assert got[22] == "und" and got[23] == "und"
+    # dominant-script gate: Cyrillic doc quoting hanzi is NOT 'zh'
+    assert got[29] == "und"
+    # stopword path unaffected: en always; ru only where Cyrillic tokenizes
+    assert got[27] == "en"
+    assert got[28] == ("ru" if mode == "unicode" else "und")
