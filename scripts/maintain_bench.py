@@ -47,7 +47,7 @@ def _index_checksum(df):
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("doc_id") * (F.col("band") + 1)).alias("s"),
-        F.sum(F.xxhash64("band", "bsig")).alias("h"),
+        F.sum(F.pmod(F.xxhash64("band", "bsig"), F.lit(1000000007))).alias("h"),
         F.sum(F.size("hset")).alias("hs"),
     ).collect()[0]
     return (row.n, int(row.s or 0), int(row.h or 0), int(row.hs or 0))

@@ -54,11 +54,11 @@ def main() -> None:
     tag = os.path.basename(args.dir.rstrip("/"))
 
     # the full-recompute control once per corpus variant (frozen∪shard
-    # is the whole corpus whichever mod splits it)
-    t0 = time.perf_counter()
+    # is the whole corpus whichever mod splits it): timed as ONE pass to
+    # the checksum aggregate — no checkpoint write in the timed window
+    _checksum(entry_mod._segment_dedup(docs))  # session warm-up pass
+    # untimed pinned copy for the per-row equality assertions below
     full = materialize(entry_mod._segment_dedup(docs))
-    full.count()
-    t_full = time.perf_counter() - t0
 
     for mod in (int(m) for m in args.mods.split(",")):
         frozen = docs.filter(F.col("doc_id") % mod != 7)
@@ -77,12 +77,24 @@ def main() -> None:
         occ = spark.read.parquet(occ_path)
         t_index = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        inc = materialize(
-            segment_dedup_incremental(shard, idx, seg_counts=occ)
-        )
-        inc_sum = _checksum(inc)
-        t_probe = time.perf_counter() - t0
+        _checksum(segment_dedup_incremental(shard, idx, seg_counts=occ))  # warm
+        # interleaved median-of-3: the host has minute-scale 2-4x CPU
+        # bursts, so full/probe pairs are timed back-to-back (a burst
+        # hits both sides of the ratio) and the medians reported
+        fulls, probes = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _checksum(entry_mod._segment_dedup(docs))
+            fulls.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            inc_sum = _checksum(
+                segment_dedup_incremental(shard, idx, seg_counts=occ)
+            )
+            probes.append(time.perf_counter() - t0)
+        t_full = sorted(fulls)[1]
+        t_probe = sorted(probes)[1]
+        # untimed re-run for the per-row equality assertion
+        inc = materialize(segment_dedup_incremental(shard, idx, seg_counts=occ))
 
         # equality: every emitted row equals its full-recompute row
         full_match = _checksum(full.join(inc.select("doc_id"), "doc_id"))
