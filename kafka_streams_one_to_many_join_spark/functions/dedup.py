@@ -1626,40 +1626,86 @@ def segment_dedup_incremental(
     Rows for unaffected frozen docs are bit-identical to their
     frozen-only scores, so the union of (this output restricted to its
     doc set) + (prior scores for everyone else) equals the full
-    recompute — differentially asserted in tests.  Work: shard
-    tokenization + three segment-hash-keyed aggregates + one join that
-    touches only the affected docs' index rows; O(|shard segments| +
-    |affected docs' segments|), corpus-size-independent.
+    recompute — differentially asserted in tests.
+
+    Scale shape (reworked r14 after the crossover measurement —
+    SCALE.md r14 found the old probe FLOORED at ~0.5× full because it
+    built and MATERIALIZED an index-sized (seg_h, occ) union via a
+    full-outer join): every index-sized input is now SCAN-ONLY.  The
+    frozen occurrence lookups are restricted to the segments the probe
+    actually needs — the shard's segments and the affected docs'
+    segments, both probe-proportional — via broadcast inner joins
+    against the index/counts scan, so NO index-sized shuffle, no
+    index-sized checkpoint, and no full-outer join exist on any path;
+    the only corpus-proportional work left is column-pruned scans of
+    (doc_id, seg_h) / (seg_h, occ).  Work: shard tokenization +
+    probe-proportional aggregates + 2-4 index scans;
+    corpus-size-independent beyond those scans.
     """
     from kafka_streams_one_to_many_join_spark.model import materialize
 
     new_pairs = materialize(
         segment_pairs(new_docs, text_col, id_col, width, token_mode)
     )
-    delta = new_pairs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("_d"))
-    # persisted (seg_h, occ) counts skip the per-probe re-aggregation of
-    # the whole index — persist them alongside doc_segs in the nightly
-    # layout (they are |distinct segments|-sized, far smaller)
-    if seg_counts is not None:
-        frozen_occ = seg_counts.select("seg_h", F.col("occ").alias("_f"))
-    else:
-        frozen_occ = doc_segs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("_f"))
-    occ_all = materialize(
-        frozen_occ.join(delta, "seg_h", "full_outer").select(
+    delta = materialize(
+        new_pairs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("_d")),
+        eager=False,
+    )
+
+    def frozen_occ_for(keys: DataFrame) -> DataFrame:
+        """(seg_h, _f) frozen occurrence counts for EXACTLY the given
+        (small) key set: restrict the big side with a broadcast inner
+        join first — the index/counts table is scanned, never shuffled
+        (a direct keys-left-outer-big join would shuffle the big side;
+        broadcast left-outer only supports building the right) — then
+        re-attach misses as NULL _f via a small×small left join."""
+        if seg_counts is not None:
+            found = seg_counts.select(
+                "seg_h", F.col("occ").alias("_f")
+            ).join(F.broadcast(keys.select("seg_h")), "seg_h")
+        else:
+            # no persisted counts: aggregate the index's matching rows
+            # only (scan + broadcast semi-restriction + small agg)
+            found = (
+                doc_segs.join(F.broadcast(keys.select("seg_h")), "seg_h")
+                .groupBy("seg_h")
+                .agg(F.count(F.lit(1)).alias("_f"))
+            )
+        return keys.join(F.broadcast(found), "seg_h", "left")
+
+    # occurrence counts restricted to the shard's segments (shard rows
+    # only ever look their own segments up)
+    occ_sh = materialize(
+        frozen_occ_for(delta).select(
             "seg_h",
             F.coalesce("_f", F.lit(0)).alias("_f"),
-            F.coalesce("_d", F.lit(0)).alias("_d"),
-            (F.coalesce("_f", F.lit(0)) + F.coalesce("_d", F.lit(0))).alias("occ"),
+            "_d",
+            (F.coalesce("_f", F.lit(0)) + F.col("_d")).alias("occ"),
+        ),
+        eager=False,
+    )
+    shard_rows = _segment_fractions(new_pairs, occ_sh.select("seg_h", "occ"))
+    # the retroactive trigger: frozen-once segments the shard repeats
+    crossing = occ_sh.filter((F.col("_f") == 1) & (F.col("_d") >= 1)).select("seg_h")
+    affected = (
+        doc_segs.join(F.broadcast(crossing), "seg_h").select("doc_id").distinct()
+    )
+    aff_segs = materialize(
+        doc_segs.join(F.broadcast(affected), "doc_id"), eager=False
+    )
+    # occurrence counts restricted to the affected docs' segments: their
+    # frozen counts plus whatever the shard added
+    occ_aff = (
+        frozen_occ_for(aff_segs.select("seg_h").distinct())
+        .join(F.broadcast(delta), "seg_h", "left")
+        .select(
+            "seg_h",
+            (
+                F.coalesce("_f", F.lit(0)) + F.coalesce("_d", F.lit(0))
+            ).alias("occ"),
         )
     )
-    shard_rows = _segment_fractions(new_pairs, occ_all.select("seg_h", "occ"))
-    crossing = occ_all.filter((F.col("_f") == 1) & (F.col("_d") >= 1)).select("seg_h")
-    affected = (
-        doc_segs.join(crossing, "seg_h").select("doc_id").distinct()
-    )
-    affected_rows = _segment_fractions(
-        doc_segs.join(affected, "doc_id"), occ_all.select("seg_h", "occ")
-    )
+    affected_rows = _segment_fractions(aff_segs, occ_aff)
     return shard_rows.unionByName(affected_rows)
 
 
