@@ -1640,7 +1640,11 @@ def segment_dedup_incremental(
     the only corpus-proportional work left is column-pruned scans of
     (doc_id, seg_h) / (seg_h, occ).  Work: shard tokenization +
     probe-proportional aggregates + 2-4 index scans;
-    corpus-size-independent beyond those scans.
+    corpus-size-independent beyond those scans.  Caveat: the
+    restriction broadcasts (the shard's distinct segments, the affected
+    doc ids) are probe-proportional — the right cost model for nightly
+    shards; a shard approaching corpus size should run the full
+    pipeline instead (measured crossover: SCALE.md r14).
     """
     from kafka_streams_one_to_many_join_spark.model import materialize
 
