@@ -482,6 +482,38 @@ def _check_index_params(index: DataFrame, expected: dict, op: str) -> bool:
     return True
 
 
+# library defaults for the MinHash construction — single definition site
+# for the stamp/resolve machinery below
+_INDEX_DEFAULTS = {
+    "num_hashes": 16,
+    "bands": 8,
+    "shingle_n": 3,
+    "seed": 11,
+    "hash_mode": "md5",
+    "token_mode": "ascii",
+    "shingle_unit": "word",
+}
+
+
+def _resolve_index_params(index: DataFrame, given: dict, op: str):
+    """Resolve the construction parameters an index consumer should use
+    (r14): explicitly-given values (non-None) win and are VALIDATED
+    against the stamp; unspecified ones come from the stamp when
+    present (so ``minhash_lsh_pairs_incremental(shard, index)`` just
+    works against any stamped index, whatever it was built with), else
+    from the library defaults.  Returns (params, validated) where
+    ``validated`` is False only for pre-stamp indexes — callers then
+    arm the structural size(bsig) assert."""
+    meta = dict(index.schema["bsig"].metadata or {})
+    stamped = {k: meta[k] for k in _INDEX_DEFAULTS if k in meta}
+    explicit = {k: v for k, v in given.items() if v is not None}
+    params = {**_INDEX_DEFAULTS, **stamped, **explicit}
+    if stamped:
+        _check_index_params(index, params, op)
+        return params, True
+    return params, False
+
+
 def _assert_bsig_width(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Structural fallback check for PRE-STAMP indexes (no parameter
     metadata): embed ``assert_true(size(bsig) = num_hashes/bands)`` as a
@@ -508,13 +540,13 @@ def minhash_band_index_apply(
     delete_ids: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 8,
-    shingle_n: int = 3,
-    seed: int = 11,
-    hash_mode: str = "md5",
-    token_mode: str = "ascii",
-    shingle_unit: str = "word",
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_n: int | None = None,
+    seed: int | None = None,
+    hash_mode: str | None = None,
+    token_mode: str | None = None,
+    shingle_unit: str | None = None,
 ) -> DataFrame:
     """Maintain a persisted MinHash band index under a MUTABLE corpus
     (VERDICT r13 item 1): retract every band row of re-ingested
@@ -541,14 +573,22 @@ def minhash_band_index_apply(
     re-tokenize-and-sign of the whole corpus — measured in SCALE.md r14.
     Persist the result via ``sources.bucketed.write_bucketed`` on
     ``bsig_h`` (add ``with_bsig_hash`` if absent) to keep nightly probes
-    shuffle-free; upsert rows inherit the stamped construction
-    parameters, which are validated against the caller's before any
-    maintenance is applied."""
-    params = _index_params(
-        num_hashes, bands, shingle_n, seed, hash_mode, token_mode, shingle_unit
+    shuffle-free.  Construction parameters default to the index's own
+    STAMP (``minhash_band_index_apply(index, upserts=...)`` just works
+    whatever the index was built with); explicitly-passed values are
+    validated against the stamp and a mismatch raises instead of
+    silently inserting rows signed under a different scheme."""
+    params, validated = _resolve_index_params(
+        index,
+        dict(
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            seed=seed, hash_mode=hash_mode, token_mode=token_mode,
+            shingle_unit=shingle_unit,
+        ),
+        "minhash_band_index_apply",
     )
-    if not _check_index_params(index, params, "minhash_band_index_apply"):
-        index = _assert_bsig_width(index, num_hashes, bands)
+    if not validated:
+        index = _assert_bsig_width(index, params["num_hashes"], params["bands"])
     retract = None
     if delete_ids is not None:
         retract = delete_ids.select(F.col(delete_ids.columns[0]).alias("doc_id"))
@@ -563,13 +603,7 @@ def minhash_band_index_apply(
             upserts,
             text_col=text_col,
             id_col=id_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
-            seed=seed,
-            hash_mode=hash_mode,
-            token_mode=token_mode,
-            shingle_unit=shingle_unit,
+            **params,
         )
         if "bsig_h" in index.columns:
             new_rows = with_bsig_hash(new_rows)
@@ -593,14 +627,14 @@ def minhash_lsh_pairs_incremental(
     index: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.5,
-    shingle_n: int = 3,
-    seed: int = 11,
-    hash_mode: str = "md5",
-    token_mode: str = "ascii",
-    shingle_unit: str = "word",
+    shingle_n: int | None = None,
+    seed: int | None = None,
+    hash_mode: str | None = None,
+    token_mode: str | None = None,
+    shingle_unit: str | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: near-dup pairs TOUCHING a new shard,
@@ -643,30 +677,31 @@ def minhash_lsh_pairs_incremental(
     streams through exchange-free.  MANDATORY for
     ``shingle_unit="codepoint"`` at scale (SCALE.md r13: a saturated
     corpus grew one bucket to 30k members / 1.38e9 candidate pairs).
+
+    Construction parameters default to the index's own STAMP — probing
+    a stamped index needs no parameter bookkeeping at the call site;
+    explicitly-passed values are validated against the stamp and a
+    mismatch raises (r14, closing the ADVICE r13 operational trap from
+    both directions).
     """
     from kafka_streams_one_to_many_join_spark.model import materialize
 
-    validated = _check_index_params(
+    params, validated = _resolve_index_params(
         index,
-        _index_params(
-            num_hashes, bands, shingle_n, seed, hash_mode, token_mode,
-            shingle_unit,
+        dict(
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            seed=seed, hash_mode=hash_mode, token_mode=token_mode,
+            shingle_unit=shingle_unit,
         ),
         "minhash_lsh_pairs_incremental",
     )
     if not validated:
-        index = _assert_bsig_width(index, num_hashes, bands)
+        index = _assert_bsig_width(index, params["num_hashes"], params["bands"])
     new_rows = minhash_band_index(
         new_docs,
         text_col=text_col,
         id_col=id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-        seed=seed,
-        hash_mode=hash_mode,
-        token_mode=token_mode,
-        shingle_unit=shingle_unit,
+        **params,
     )
     # the band rows feed BOTH the index join and the within-shard bucket
     # expansion — a DataFrame diamond re-executes its common subtree per
@@ -1688,7 +1723,14 @@ def segment_dedup_incremental(
         ),
         eager=False,
     )
-    shard_rows = _segment_fractions(new_pairs, occ_sh.select("seg_h", "occ"))
+    # the occ frames below are probe-proportional, so their fraction
+    # joins broadcast DETERMINISTICALLY (without the hint the initial
+    # plan sort-merge-joins checkpointed frames whose sizes AQE only
+    # learns at runtime; the full pipeline's _segment_fractions call
+    # stays unhinted — ITS occ side is corpus-sized)
+    shard_rows = _segment_fractions(
+        new_pairs, F.broadcast(occ_sh.select("seg_h", "occ"))
+    )
     # the retroactive trigger: frozen-once segments the shard repeats
     crossing = occ_sh.filter((F.col("_f") == 1) & (F.col("_d") >= 1)).select("seg_h")
     affected = (
@@ -1709,7 +1751,7 @@ def segment_dedup_incremental(
             ).alias("occ"),
         )
     )
-    affected_rows = _segment_fractions(aff_segs, occ_aff)
+    affected_rows = _segment_fractions(aff_segs, F.broadcast(occ_aff))
     return shard_rows.unionByName(affected_rows)
 
 

@@ -338,8 +338,14 @@ def test_index_params_survive_persistence(spark, tmp_path):
         shard = spark.createDataFrame(
             [(2, "alpha beta gamma delta zeta")], "doc_id int, text string"
         )
+        # unspecified parameters AUTO-RESOLVE from the stamp (r14): the
+        # probe needs no parameter bookkeeping against a stamped index
+        got = minhash_lsh_pairs_incremental(shard, reloaded, threshold=0.4)
+        assert got.count() == 1
+        # an explicitly-passed value that contradicts the stamp raises
         with pytest.raises(ValueError, match="different parameters"):
-            minhash_lsh_pairs_incremental(shard, reloaded)  # defaults: 16/8
+            minhash_lsh_pairs_incremental(shard, reloaded, num_hashes=16)
+        # matching explicit values still probe fine
         got = minhash_lsh_pairs_incremental(
             shard, reloaded, num_hashes=8, bands=4, threshold=0.4
         )
@@ -534,3 +540,35 @@ def test_band_index_apply_keeps_bucketed_probe_shuffle_free(spark, sf_dir, tmp_p
                 spark.conf.set(k, v)
         for t in ("mh_idx_n1", "mh_idx_n2"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_segment_probe_plan_is_scan_only_on_index(spark, sf_dir):
+    """r14 rework (SCALE.md: the 0.5x floor's cause): the incremental
+    segment probe must not shuffle, checkpoint, or full-outer-join any
+    index-sized input — every join is broadcast and the index/counts
+    tables appear only as scans.  Pinned on the executed plan of every
+    stage (the materialize audit hook captures pre-checkpoint plans)."""
+    from kafka_streams_one_to_many_join_spark import model
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_dedup_incremental,
+        segment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frozen_docs = docs.filter(F.col("doc_id") % 10 < 8)
+    shard = docs.filter(F.col("doc_id") % 10 >= 8)
+    idx = segment_pairs(frozen_docs)
+    counts = idx.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
+    sink: list = []
+    old = model._PLAN_AUDIT_SINK
+    model._PLAN_AUDIT_SINK = sink
+    try:
+        out = segment_dedup_incremental(shard, idx, seg_counts=counts)
+        frames = sink + [out]
+        for f in frames:
+            plan = f._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" not in plan, plan
+            assert "FullOuter" not in plan, plan
+        assert out.count() > 0
+    finally:
+        model._PLAN_AUDIT_SINK = old
