@@ -13,7 +13,7 @@ tokenizes every non-Latin document to the empty array — a real
 multilingual pre-training corpus (the 100 TB use case) would route all
 CJK/Cyrillic/Arabic text into the degenerate "token-free doc" branch of
 every quality filter and dedup operator.  ``token_mode="unicode"``
-switches the token class to Unicode letters+digits (``[\\p{L}\\p{N}]+``
+switches the token class to Unicode letters+marks+digits (``[\\p{L}\\p{M}\\p{N}]+``
 — supported identically by Spark's Java regex engine and DuckDB's RE2,
 so oracle parity holds in both modes).  ASCII stays the default
 everywhere: the driver fixtures are Latin-only and the pinned roster
@@ -36,7 +36,14 @@ TOKEN_RE = "[a-z0-9]+"
 # token_re_sql() below.
 TOKEN_MODES = {
     "ascii": TOKEN_RE,
-    "unicode": r"[\p{L}\p{N}]+",
+    # \p{M} keeps combining marks inside the word (r14): Devanagari
+    # matras, Thai vowel signs, and Arabic diacritics are category M,
+    # not L — without it every Indic word fragments at its first vowel
+    # sign ("में" → "म"), silently breaking stopword matching and word
+    # shingles for those scripts.  Java regex and RE2 both implement
+    # the one-letter general categories, verified identical on a
+    # Devanagari+Thai fixture (tests/test_unicode_tokens.py).
+    "unicode": r"[\p{L}\p{M}\p{N}]+",
 }
 
 # Inner character-set string per mode; the complement classes below are
@@ -46,7 +53,7 @@ TOKEN_MODES = {
 # pattern doesn't end in ']' (ADVICE r13 low).
 TOKEN_CLASS_INNER = {
     "ascii": "a-z0-9",
-    "unicode": r"\p{L}\p{N}",
+    "unicode": r"\p{L}\p{M}\p{N}",
 }
 
 # Complement class per mode (normalization / punctuation stripping).
@@ -96,6 +103,10 @@ STOPWORDS = {
     # Cyrillic text to the empty array, so these score 0 there — adding
     # the list is output-neutral for every ascii-mode caller)
     "ru": ["и", "в", "не", "на", "что"],
+    # Devanagari writes with spaces, so the stopword heuristic applies
+    # (unlike the space-free scripts routed through the r14 dominant-
+    # script fallback); like ru, unicode-mode-only by construction
+    "hi": ["है", "में", "की", "से", "और"],
 }
 
 
