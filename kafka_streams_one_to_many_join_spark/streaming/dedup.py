@@ -133,6 +133,18 @@ def streaming_minhash_lsh_pairs(
     back pairs already emitted before the bucket crossed the cap.
     Capped-stream emissions are always a SUBSET of the unbounded batch
     pair set (test-pinned); default None = batch-exact.
+
+    Re-ingest/retraction (r14): a re-seen doc_id is deliberately
+    IGNORED (the idempotent-replay guard) — an upsert here could only
+    replace the doc's entry in buckets its NEW signature still hashes
+    into, leaving stale entries in every bucket the correction moved it
+    out of, i.e. pairs verified against a mix of old and new text.
+    Mutable-corpus semantics belong to the batch maintenance operator
+    (``functions.dedup.minhash_band_index_apply`` — retract + re-sign
+    with a global view of the index); the production topology is this
+    stream for intra-day arrivals + nightly index maintenance, the same
+    division the reference draws between its in-flight join and its
+    store upserts/deletes (DemoApp.scala:224-230).
     """
     import pandas as pd
     from pyspark.sql import functions as F
