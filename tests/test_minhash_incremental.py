@@ -572,3 +572,50 @@ def test_segment_probe_plan_is_scan_only_on_index(spark, sf_dir):
         assert out.count() > 0
     finally:
         model._PLAN_AUDIT_SINK = old
+
+
+def test_maintained_index_composes_with_bucket_cap(spark, sf_dir):
+    """Composition: probing a MAINTAINED index with the hot-bucket cap
+    equals the capped full recompute on the corrected corpus restricted
+    to the shard — the two r14 features don't interact destructively."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index_apply,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # densified corpus (identical-text copies) so the cap provably bites
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    frozen = docs.filter(F.col("doc_id") % 10 != 3)
+    shard = docs.filter(F.col("doc_id") % 10 == 3)
+    corrected = frozen.filter(F.col("doc_id") % 10 == 6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" corrected edition"))
+    )
+    deletes = frozen.filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    maintained = minhash_band_index_apply(
+        minhash_band_index(frozen), upserts=corrected, delete_ids=deletes
+    )
+    corrected_corpus = docs.filter(F.col("doc_id") % 10 != 9).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 6,
+            F.concat(F.col("text"), F.lit(" corrected edition")),
+        ).otherwise(F.col("text")),
+    )
+    capped = _pairs(
+        minhash_lsh_pairs_incremental(
+            shard, maintained, threshold=0.5, max_bucket_size=3
+        )
+    )
+    full_capped = _pairs(
+        minhash_lsh_pairs(
+            corrected_corpus, threshold=0.5, max_bucket_size=3
+        ).filter("doc_a % 10 = 3 OR doc_b % 10 = 3")
+    )
+    assert capped == full_capped
+    assert capped, "fixture must keep some pairs under the cap"
+    uncapped = _pairs(
+        minhash_lsh_pairs_incremental(shard, maintained, threshold=0.5)
+    )
+    assert capped != uncapped, "the cap must bite on the densified corpus"
