@@ -577,21 +577,61 @@ def minhash_band_index_apply(
     STAMP (``minhash_band_index_apply(index, upserts=...)`` just works
     whatever the index was built with); explicitly-passed values are
     validated against the stamp and a mismatch raises instead of
-    silently inserting rows signed under a different scheme."""
+    silently inserting rows signed under a different scheme.  A PRE-STAMP
+    index (no parameter metadata — persisted before r14's stamping)
+    REFUSES to default (ADVICE r14 low): every construction parameter
+    must be passed explicitly, because inserting rows signed under
+    library defaults into an index built with a same-width but different
+    config (e.g. 32 hashes/16 bands probed as 16/8 — both width 2 — or
+    a different seed/shingle_n) passes the structural width check and
+    silently corrupts the index.  One-time migration: rebuild once with
+    ``minhash_band_index`` (output is stamped; stamps survive parquet
+    round-trips in column metadata), or keep passing the full original
+    parameter set.
+
+    DELETE PRECEDENCE (ADVICE r14 medium): a doc_id appearing in BOTH
+    ``upserts`` and ``delete_ids`` ends DELETED — deletes are applied
+    LAST (the upsert's fresh rows are anti-joined against the delete
+    set too).  The nightly change feed where a doc is corrected and
+    then deleted the same day must not resurrect it; asserted by the
+    overlap differential test in tests/test_minhash_incremental.py."""
+    given = dict(
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        seed=seed, hash_mode=hash_mode, token_mode=token_mode,
+        shingle_unit=shingle_unit,
+    )
     params, validated = _resolve_index_params(
-        index,
-        dict(
-            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-            seed=seed, hash_mode=hash_mode, token_mode=token_mode,
-            shingle_unit=shingle_unit,
-        ),
-        "minhash_band_index_apply",
+        index, given, "minhash_band_index_apply"
     )
     if not validated:
+        missing = sorted(k for k, v in given.items() if v is None)
+        if missing:
+            raise ValueError(
+                "minhash_band_index_apply: the index carries no "
+                "construction-parameter stamp and "
+                f"{missing} were not passed explicitly; maintaining a "
+                "pre-stamp index under defaulted parameters can silently "
+                "insert rows signed under a different scheme (a same-ratio "
+                "config passes the width check).  Pass every construction "
+                "parameter the index was built with, or rebuild it once "
+                "with minhash_band_index to stamp it"
+            )
         index = _assert_bsig_width(index, params["num_hashes"], params["bands"])
-    retract = None
+    del_ids = None
     if delete_ids is not None:
-        retract = delete_ids.select(F.col(delete_ids.columns[0]).alias("doc_id"))
+        if id_col in delete_ids.columns:
+            del_col = id_col
+        elif len(delete_ids.columns) == 1:
+            del_col = delete_ids.columns[0]
+        else:
+            raise ValueError(
+                "minhash_band_index_apply: delete_ids must be a one-column "
+                f"id DataFrame or carry {id_col!r}; got columns "
+                f"{delete_ids.columns} — retracting on an arbitrary first "
+                "column would silently delete the wrong documents"
+            )
+        del_ids = delete_ids.select(F.col(del_col).alias("doc_id")).distinct()
+    retract = del_ids
     if upserts is not None:
         up_ids = upserts.select(F.col(id_col).alias("doc_id"))
         retract = up_ids if retract is None else retract.unionByName(up_ids)
@@ -605,6 +645,11 @@ def minhash_band_index_apply(
             id_col=id_col,
             **params,
         )
+        if del_ids is not None:
+            # deletes win over same-day upserts: without this anti-join
+            # the union below would re-insert the corrected-then-deleted
+            # doc's fresh rows, losing the delete
+            new_rows = new_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
         if "bsig_h" in index.columns:
             new_rows = with_bsig_hash(new_rows)
         out = out.unionByName(new_rows.select(*out.columns))
@@ -1655,8 +1700,13 @@ def segment_dedup_incremental(
       counts), and
     - every AFFECTED frozen document — one owning at least one segment
       whose occurrence count crossed 1 → ≥2 because of this shard (the
-      only transition that can change a frozen row: counts never
-      decrease, and a segment already at occ ≥ 2 stays duplicated).
+      only transition that can change a frozen row WITHIN a nightly
+      window: a shard only ADDS occurrences, and a segment already at
+      occ ≥ 2 stays duplicated.  Counts DECREASE only through
+      ``segment_index_apply`` — deletes/corrections retract rows and
+      decrement counts BETWEEN windows, after which this premise holds
+      again; the maintain-then-probe composition is differentially
+      asserted in tests/test_segment_maintenance.py).
 
     Rows for unaffected frozen docs are bit-identical to their
     frozen-only scores, so the union of (this output restricted to its
@@ -1753,6 +1803,136 @@ def segment_dedup_incremental(
     )
     affected_rows = _segment_fractions(aff_segs, F.broadcast(occ_aff))
     return shard_rows.unionByName(affected_rows)
+
+
+def segment_index_apply(
+    doc_segs: DataFrame,
+    seg_counts: DataFrame | None = None,
+    upserts: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 10,
+    token_mode: str = "ascii",
+) -> tuple[DataFrame, DataFrame | None]:
+    """Maintain the persisted segment-dedup state under a MUTABLE corpus
+    (VERDICT r14 item 1 — the segment twin of
+    ``minhash_band_index_apply``): retract every (doc_id, seg_h) row of
+    re-ingested (``upserts``) and deleted (``delete_ids``) documents,
+    insert the upserted documents' freshly-segmented rows, and — when
+    the persisted (seg_h, occ) counts are passed — DECREMENT/increment
+    them to match.  Returns ``(maintained_pairs, maintained_counts)``
+    (``maintained_counts`` is None when ``seg_counts`` was None).
+
+    Why it exists: the grow-only state bakes "counts never decrease"
+    into the probe, so a frozen document whose duplicate partner is
+    deleted can never see its ``dup_frac`` DECREASE — it keeps paying a
+    boilerplate penalty for text that no longer exists (the same stale-
+    state failure mode the band-index maintenance fixed in r14, and the
+    batch analog of the reference's N-side delete propagation,
+    DemoApp.scala:224-230).  After maintenance the probe's
+    never-decrease premise holds again WITHIN each nightly window;
+    decreases happen only through this operator.  Differentially
+    asserted in tests/test_segment_maintenance.py: scoring the
+    maintained state equals the full recompute on the corrected corpus
+    in both directions — dup_frac increase (upsert creates a dup) and
+    DECREASE (delete removes the only partner).
+
+    DELETE PRECEDENCE matches the band operator (ADVICE r14 medium): a
+    doc_id in BOTH upserts and delete_ids ends DELETED — the upsert's
+    fresh rows are anti-joined against the delete set too, so a
+    corrected-then-deleted doc cannot be resurrected.  ``delete_ids``
+    must be a one-column frame or carry ``id_col``.
+
+    Scale shape: the change set is orders smaller than the state, so
+    every state-sized input is SCAN-ONLY — retraction is a broadcast
+    anti-join on doc_id (the pairs stream through exchange-free), the
+    count decrement reads the retracted docs' rows via a broadcast
+    inner join against the same pairs scan, and the count update is a
+    broadcast left join of the |changes|-sized delta against the counts
+    scan (plan-asserted: no state-sized exchange on any path; 2 counts
+    scans + 2 pairs scans + |changes|-sized work total).  Persist both
+    outputs via ``sources.bucketed.write_bucketed`` — pairs on
+    ``doc_id``, counts on ``seg_h`` — to keep rewrites and nightly
+    probes shuffle-free (measured in SCALE.md r15)."""
+    del_ids = None
+    if delete_ids is not None:
+        if id_col in delete_ids.columns:
+            del_col = id_col
+        elif len(delete_ids.columns) == 1:
+            del_col = delete_ids.columns[0]
+        else:
+            raise ValueError(
+                "segment_index_apply: delete_ids must be a one-column id "
+                f"DataFrame or carry {id_col!r}; got columns "
+                f"{delete_ids.columns} — retracting on an arbitrary first "
+                "column would silently delete the wrong documents"
+            )
+        del_ids = delete_ids.select(F.col(del_col).alias("doc_id")).distinct()
+    retract = del_ids
+    if upserts is not None:
+        up_ids = upserts.select(F.col(id_col).alias("doc_id")).distinct()
+        retract = up_ids if retract is None else retract.unionByName(up_ids).distinct()
+    fresh = None
+    if upserts is not None:
+        fresh = segment_pairs(upserts, text_col, id_col, width, token_mode)
+        if del_ids is not None:
+            # deletes win over same-day upserts (the band precedent)
+            fresh = fresh.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    out_pairs = doc_segs
+    if retract is not None:
+        out_pairs = out_pairs.join(F.broadcast(retract), "doc_id", "left_anti")
+    if fresh is not None:
+        out_pairs = out_pairs.unionByName(fresh.select(*out_pairs.columns))
+    if seg_counts is None:
+        return out_pairs, None
+    # count maintenance: per-seg_h delta = fresh insertions minus the
+    # retracted docs' occurrences.  The retracted rows come off the SAME
+    # pairs scan via a broadcast inner join (|changes|-proportional
+    # output); the delta is |changes|-sized, so it broadcasts — the
+    # counts table is scanned, never shuffled.
+    from kafka_streams_one_to_many_join_spark.model import materialize
+
+    parts = []
+    if retract is not None:
+        parts.append(
+            doc_segs.join(F.broadcast(retract), "doc_id").select(
+                "seg_h", F.lit(-1).cast("bigint").alias("_d")
+            )
+        )
+    if fresh is not None:
+        parts.append(fresh.select("seg_h", F.lit(1).cast("bigint").alias("_d")))
+    if not parts:
+        return out_pairs, seg_counts
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    delta = materialize(
+        delta.groupBy("seg_h").agg(F.sum("_d").alias("_d")), eager=False
+    )
+    # existing keys update in-scan; keys NEW to the counts (only fresh
+    # segments can be new — retracted ones were counted when inserted)
+    # are found by semi-restricting the counts scan to the delta's keys
+    # (small output) and anti-joining the delta against that — the
+    # frozen_occ_for trick: the big side is never on the left of an
+    # outer join, so it is never shuffled.
+    updated = (
+        seg_counts.join(F.broadcast(delta), "seg_h", "left")
+        .select(
+            "seg_h",
+            (F.col("occ") + F.coalesce(F.col("_d"), F.lit(0))).alias("occ"),
+        )
+        .filter(F.col("occ") > 0)
+    )
+    present = seg_counts.select("seg_h").join(
+        F.broadcast(delta.select("seg_h")), "seg_h", "left_semi"
+    )
+    brand_new = (
+        delta.filter(F.col("_d") > 0)
+        .join(F.broadcast(present), "seg_h", "left_anti")
+        .select("seg_h", F.col("_d").alias("occ"))
+    )
+    return out_pairs, updated.unionByName(brand_new)
 
 
 def segment_hash_expr(toks_col: str, width: int = 10) -> str:

@@ -633,6 +633,16 @@ def bpe_train(
                 pair_counts[key] = new_count
             else:
                 pair_counts.pop(key, None)
+        # instrumentation: count the touched set with the SAME
+        # contains('syms') predicate the delta filter used, on the
+        # PRE-update vocab (ADVICE r14 low — the former post-update
+        # array_contains(merged) probe over-counted whenever the merged
+        # string collided with a symbol reachable by a different merge
+        # path, e.g. ('a','bc') and ('ab','c') both yielding 'abc', or
+        # when a word already contained it — skewing the SCALE.md
+        # ladder's touched_words column)
+        if stats is not None:
+            touched = vocab.filter(F.expr(contains("syms"))).count()
         # fold ONLY the touched rows; untouched syms pass through
         # untouched.  The update is routed through a transform() lambda
         # variable so each level references the previous level's syms
@@ -651,9 +661,6 @@ def bpe_train(
         if rank % materialize_every == 0:
             vocab = materialize(vocab)
         if stats is not None:
-            touched = vocab.filter(
-                F.expr(f"array_contains(syms, '{ql}{qr}')")
-            ).count()
             stats.append((rank, round(_time.perf_counter() - _t0, 4), touched))
     return spark.createDataFrame(
         merges,

@@ -619,3 +619,120 @@ def test_maintained_index_composes_with_bucket_cap(spark, sf_dir):
         minhash_lsh_pairs_incremental(shard, maintained, threshold=0.5)
     )
     assert capped != uncapped, "the cap must bite on the densified corpus"
+
+
+def test_band_index_apply_delete_wins_over_same_day_upsert(spark):
+    """ADVICE r14 medium: a doc_id in BOTH upserts and delete_ids must end
+    DELETED (corrected then deleted the same day) — the former
+    union-then-reinsert dataflow silently resurrected it.  Differential:
+    maintained == rebuild on the corpus with the doc gone."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "red orange yellow green blue indigo"),
+        ],
+        "doc_id int, text string",
+    )
+    index = minhash_band_index(docs)
+    # doc 2 is corrected AND deleted in the same nightly feed
+    upserts = spark.createDataFrame(
+        [(2, "corrected text that is then retracted")], "doc_id int, text string"
+    )
+    deletes = spark.createDataFrame([(2,)], "doc_id int")
+    maintained = minhash_band_index_apply(
+        index, upserts=upserts, delete_ids=deletes
+    )
+    assert {
+        r.doc_id for r in maintained.select("doc_id").distinct().collect()
+    } == {1, 3}
+    rebuilt = minhash_band_index(docs.filter("doc_id != 2"))
+    norm = lambda df: {  # noqa: E731
+        (r.doc_id, r.band, tuple(r.bsig), tuple(sorted(r.hset)))
+        for r in df.collect()
+    }
+    assert norm(maintained) == norm(rebuilt)
+
+
+def test_band_index_apply_prestamp_refuses_to_default(spark):
+    """ADVICE r14 low: maintaining a PRE-STAMP index (no construction
+    metadata) with any parameter defaulted raises — a same-ratio config
+    (32/16 vs 16/8, both width 2) passes the structural width check, so
+    defaulted inserts would silently corrupt the index.  Passing the
+    full original parameter set still works (the structural check stays
+    armed)."""
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        _INDEX_DEFAULTS,
+        minhash_band_index_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string"
+    )
+    index = minhash_band_index(docs, num_hashes=16, bands=8)
+    stripped = index.select(
+        "doc_id", "hset", "band",
+        F.expr("transform(bsig, x -> x)").alias("bsig"),
+    )
+    assert not dict(stripped.schema["bsig"].metadata or {})
+    up = spark.createDataFrame(
+        [(2, "one two three four five six")], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="no construction-parameter stamp"):
+        minhash_band_index_apply(stripped, upserts=up)
+    with pytest.raises(ValueError, match="no construction-parameter stamp"):
+        # even one missing parameter refuses
+        minhash_band_index_apply(
+            stripped, upserts=up,
+            **{k: v for k, v in _INDEX_DEFAULTS.items() if k != "seed"},
+        )
+    full = minhash_band_index_apply(stripped, upserts=up, **_INDEX_DEFAULTS)
+    assert {
+        r.doc_id for r in full.select("doc_id").distinct().collect()
+    } == {1, 2}
+    # the stamped path is unaffected: no parameters needed
+    assert minhash_band_index_apply(index, upserts=up).count() > 0
+
+
+def test_band_index_apply_delete_ids_column_contract(spark):
+    """ADVICE r14 low: delete_ids must be a one-column frame or carry
+    id_col — a multi-column frame without it raises instead of silently
+    retracting on its first column; with id_col present that column is
+    used regardless of position."""
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id int, text string",
+    )
+    index = minhash_band_index(docs)
+    with pytest.raises(ValueError, match="delete_ids"):
+        minhash_band_index_apply(
+            index,
+            delete_ids=spark.createDataFrame(
+                [(9, 2)], "other_id int, something int"
+            ),
+        )
+    # a full doc frame carrying doc_id retracts on doc_id, wherever it is
+    maintained = minhash_band_index_apply(
+        index,
+        delete_ids=spark.createDataFrame(
+            [("irrelevant", 2)], "text string, doc_id int"
+        ),
+    )
+    assert {
+        r.doc_id for r in maintained.select("doc_id").distinct().collect()
+    } == {1}
