@@ -40,7 +40,7 @@ from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     asset_metadata,
     extract_audio_features,
     extract_image_features,
-    sample_frames_stub,
+    sample_frames,
 )
 from kafka_streams_one_to_many_join_spark.functions.similarity import (
     brute_force_topk,
@@ -1039,7 +1039,9 @@ def q_minhash_lsh_maintained(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _synth_assets(spark: SparkSession, sf: str, media_type: str) -> DataFrame:
-    """Per-document REAL binary payloads (WAV/PCM16 or PPM), synthesized
+    """Per-document REAL binary payloads (WAV/PCM16, PPM, or PNG —
+    ``media_type`` "png" synthesizes PNG bytes stored under media_type
+    "image" so the decode stage's image filter admits them), synthesized
     deterministically from doc_id in a first mapInPandas stage so the
     decode stage receives genuine container bytes through Arrow — the
     same two-hop (producer → binary column → decoder) shape a real
@@ -1047,12 +1049,17 @@ def _synth_assets(spark: SparkSession, sf: str, media_type: str) -> DataFrame:
     import pandas as pd
 
     from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        synth_png_payload,
         synth_ppm_payload,
         synth_wav_payload,
     )
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
-    synth = synth_wav_payload if media_type == "audio" else synth_ppm_payload
+    synth, stored_type = {
+        "audio": (synth_wav_payload, "audio"),
+        "image": (synth_ppm_payload, "image"),
+        "png": (synth_png_payload, "image"),
+    }[media_type]
     docs = load_table(spark, sf, "documents").select("doc_id")
 
     def gen(batches):
@@ -1062,7 +1069,7 @@ def _synth_assets(spark: SparkSession, sf: str, media_type: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
-                    "media_type": media_type,
+                    "media_type": stored_type,
                     "payload": [synth(int(d)) for d in pdf["doc_id"]],
                 }
             )
@@ -1707,12 +1714,39 @@ def q_top_token_zipf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL image decode: binary-PPM (P6) payloads synthesized per doc
-    (genuine header + RGB plane, closed-form bytes), then parsed by the
-    stdlib PPM decoder in a second mapInPandas stage.  The oracle
-    computes width/height/byte-count and exact per-channel sums from the
-    closed-form formula in SQL."""
-    return extract_image_features(_synth_assets(spark, sf, "image"))
+    """REAL image decode, BOTH container formats as a format-tagged bag
+    union (r15 — the PNG face is VERDICT r14 item 4; no roster slot
+    consumed, the new surface rides the existing key the events_hourly
+    way):
+
+    - ``format='ppm'`` — binary-PPM (P6) payloads synthesized per doc
+      (genuine header + RGB plane, closed-form bytes), parsed by the
+      stdlib PPM decoder — every column of the former image_features
+      rows, hash-pinned;
+    - ``format='png'`` — genuine PNG payloads (signature + IHDR + zlib
+      IDAT, per-row filters cycling all five PNG filter types),
+      inflated and unfiltered by the stdlib PNG decoder
+      (functions/multimodal.py:decode_png).  ``n_bytes`` is NULL on
+      this face: the zlib-compressed payload size is not a closed-form
+      function of doc_id, and an unpinnable column does not belong in a
+      hash-compared result (the byte-level witness is the channel sums,
+      which only match if inflate + all five filter inversions are
+      exact).
+
+    Both faces run through the SAME extract_image_features operator —
+    one mapInPandas decode stage dispatching per payload by signature —
+    so the oracle agreeing on both proves the dispatch too."""
+    ppm = extract_image_features(_synth_assets(spark, sf, "image")).select(
+        F.lit("ppm").alias("format"),
+        "asset_id", "width", "height", "n_bytes", "sum_r", "sum_g", "sum_b",
+    )
+    png = extract_image_features(_synth_assets(spark, sf, "png")).select(
+        F.lit("png").alias("format"),
+        "asset_id", "width", "height",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        "sum_r", "sum_g", "sum_b",
+    )
+    return ppm.unionByName(png)
 
 
 def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -1724,7 +1758,7 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("video").alias("media_type"),
         F.encode(F.expr("repeat(text, 40)"), "UTF-8").alias("payload"),
     )
-    return sample_frames_stub(assets, every_nth=10).select("asset_id", "frame_no")
+    return sample_frames(assets, every_nth=10).select("asset_id", "frame_no")
 
 
 def q_asset_metadata(spark: SparkSession, sf: str) -> DataFrame:
@@ -2523,23 +2557,49 @@ def q_pareto_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_token_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    """Overlapping budget-32/stride-24 token chunks with deterministic
-    chunk ids — the RAG/context-window counterpart of sequence packing
-    (functions/packing.py:token_chunks).  Pure sequence/slice/posexplode
-    over the token array: one scan, no UDF, no shuffle (plan-asserted)."""
-    return token_chunks(
-        load_table(spark, sf, "documents"), budget=32, stride=24
+    """The packing/chunking surface, BOTH faces as a face-tagged bag
+    union (r15 consolidation funding the ``segment_dedup_maintained``
+    roster slot, the same grain-tag pattern as events_hourly and
+    embedding_near_dup):
+
+    - ``face='chunks'`` — overlapping budget-32/stride-24 token chunks
+      with deterministic chunk ids, the RAG/context-window counterpart
+      of sequence packing (functions/packing.py:token_chunks; pure
+      sequence/slice/posexplode, one scan, no UDF, no shuffle) — every
+      column of the former token_chunks rows;
+    - ``face='efficiency'`` — padded-batch accounting across three
+      packing strategies at budget 512
+      (functions/packing.py:packing_efficiency; quantifies the choice
+      sequence_pack made) — every column of the former
+      packing_efficiency rows.
+
+    Both constituents stay hash-pinned; the union is append-only."""
+    docs = load_table(spark, sf, "documents")
+    nulls = F.lit(None).cast("string")
+    nullb = F.lit(None).cast("bigint")
+    chunks = token_chunks(docs, budget=32, stride=24).select(
+        F.lit("chunks").alias("face"),
+        "doc_id",
+        "chunk_no",
+        "n_chunk_tokens",
+        "chunk_md5",
+        "chunk_id",
+        nulls.alias("strategy"),
+        nullb.alias("n_seqs"),
+        F.lit(None).cast("double").alias("pad_frac"),
     )
-
-
-def q_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
-    """Padded-batch accounting across packing strategies at budget 512:
-    (strategy, n_seqs, pad_frac) for concat-and-chunk (splits, near-zero
-    pad), pad-each-doc (the no-packing upper bound), and the
-    first-fit-decreasing surrogate over length-sorted ids built on the
-    same prefix-sum skeleton (functions/packing.py:packing_efficiency).
-    Quantifies the choice sequence_pack made."""
-    return packing_efficiency(load_table(spark, sf, "documents"), budget=512)
+    eff = packing_efficiency(docs, budget=512).select(
+        F.lit("efficiency").alias("face"),
+        nullb.alias("doc_id"),
+        nullb.alias("chunk_no"),
+        nullb.alias("n_chunk_tokens"),
+        nulls.alias("chunk_md5"),
+        nulls.alias("chunk_id"),
+        "strategy",
+        "n_seqs",
+        "pad_frac",
+    )
+    return chunks.unionByName(eff)
 
 
 def q_sequence_pack_text(spark: SparkSession, sf: str) -> DataFrame:
@@ -3305,6 +3365,52 @@ def _segment_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_segment_dedup_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutable-corpus nightly SEGMENT dedup (functions/dedup.py
+    segment_index_apply, r15 — VERDICT r14 item 1, the segment twin of
+    minhash_lsh_maintained): the frozen corpus's persisted segment state
+    — (doc_id, seg_h) pairs AND (seg_h, occ) counts — is MAINTAINED, not
+    just appended: docs with doc_id % 10 = 6 are re-ingested with
+    corrected text (their rows retracted, counts decremented, fresh rows
+    inserted) and docs with doc_id % 10 = 9 are deleted outright — the
+    retraction the grow-only state structurally excluded (a frozen doc's
+    dup_frac can now DECREASE when its duplicate partner is deleted).
+    Then the night's shard (doc_id % 10 = 3) is probed with
+    segment_dedup_incremental against the maintained state.
+
+    Output == the full segment-dedup recompute on the CORRECTED corpus
+    restricted to the probe's doc set: shard docs plus the frozen docs
+    whose row the shard changed (the oracle IS that restriction over a
+    corrected-corpus CTE — a frozen row changes iff its n_dup_segments
+    differs from the frozen-only recompute, which is exactly the
+    occ 1 → ≥2 crossing the probe detects).  This is the batch-state
+    analog of the reference's N-side delete propagation
+    (DemoApp.scala:224-230), applied to the segment index the way r14
+    applied it to the band index.  At scale both maintenance and probe
+    are scan-only on the state (broadcast retraction/delta — plan-
+    asserted in tests/test_segment_maintenance.py); maintain-vs-rebuild
+    and the bucketed-counts layout are measured in SCALE.md r15."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_dedup_incremental,
+        segment_index_apply,
+        segment_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    frozen = docs.filter(F.col("doc_id") % 10 != 3)
+    shard = docs.filter(F.col("doc_id") % 10 == 3)
+    pairs = segment_pairs(frozen)
+    counts = pairs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
+    corrected = frozen.filter(F.col("doc_id") % 10 == 6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" corrected edition"))
+    )
+    deletes = frozen.filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    pairs2, counts2 = segment_index_apply(
+        pairs, counts, upserts=corrected, delete_ids=deletes
+    )
+    return segment_dedup_incremental(shard, pairs2, seg_counts=counts2)
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document unigram-LM mean log-probability — the classic
     perplexity-proxy quality filter (low mean log-prob = off-distribution
@@ -3667,27 +3773,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # immediately preceding round rotate to the back, where falling past
     # the cap loses nothing.  Rotate per round.
     #
-    # r14 state: steady-state rotation, window 4.  r13 checked the first
-    # 50 entries of the r13 order — all green (CORRECTNESS_r13 50/50),
-    # so the r12∪r13 union covers the whole 100-query roster with zero
-    # overlap.  Due now: the 50 entries whose newest green row is r12 —
-    # the r13 back block, promoted to the front in its r12 order, PLUS
+    # r15 state: steady-state rotation, window 4.  r14 checked the first
+    # 50 entries of the r14 order — all green (CORRECTNESS_r14 50/50),
+    # so the r13∪r14 union covers the whole 100-query roster with zero
+    # overlap.  Due now: the 50 entries whose newest green row is r13 —
+    # the r14 back block, promoted to the front in its r13 order, PLUS
     # the one declared deviation (the standing funded-swap pattern,
-    # VERDICT r13 item 3 executed as r12's was): the new
-    # ``minhash_lsh_maintained`` entry (never checked — first of all) is
-    # funded by consolidating ``embedding_near_dup_lsh`` into
-    # ``embedding_near_dup`` (bag-union with a method tag, every
-    # original column still hash-pinned — both were r12-green due-window
-    # members, so the swap stays inside the due window and the driver
-    # re-checks the changed composite this round).  front-50 ==
-    # (CORRECTNESS_r12 keys − {embedding_near_dup_lsh}) ∪
-    # {minhash_lsh_maintained}.  After this round every roster member's
-    # newest green row is r13 or r14.  Keep the total AT 100: every
-    # future addition must be matched by a consolidation.
+    # VERDICT r14 item 1 executed as r13's was): the new
+    # ``segment_dedup_maintained`` entry (never checked — first of all)
+    # is funded by consolidating ``packing_efficiency`` into
+    # ``token_chunks`` (bag-union with a face tag, every original column
+    # still hash-pinned — both were r13-green due-window members, so the
+    # swap stays inside the due window and the driver re-checks the
+    # changed composite this round).  front-50 ==
+    # (CORRECTNESS_r13 keys − {packing_efficiency}) ∪
+    # {segment_dedup_maintained}.  After this round every roster
+    # member's newest green row is r14 or r15.  Keep the total AT 100:
+    # every future addition must be matched by a consolidation.
     return {
         # --- never checked: new this round ---
+        "segment_dedup_maintained": q_segment_dedup_maintained,
+        # --- newest green row is r13 (due now: the r14 back block) ---
+        "minhash_lsh_incremental": q_minhash_lsh_incremental,
+        "simhash_clusters": q_simhash_clusters,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_recall": q_ann_recall,
+        "audio_features": q_audio_features,
+        "image_features": q_image_features,
+        "brand_price_rank": q_brand_price_rank,
+        "bpe_merge_step": q_bpe_merge_step,
+        "quality_classifier": q_quality_classifier,
+        "source_overlap": q_source_overlap,
+        "gopher_quality": q_gopher_quality,
+        "weighted_sample": q_weighted_sample,
+        "doc_repetition": q_doc_repetition,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "events_hourly": q_events_hourly,  # r13 composite: + event_type_stats
+        "sessionization": q_sessionization,  # r11 composite: + session_paths
+        "rolling_avg_value": q_rolling_avg_value,
+        "segment_dedup": q_segment_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "bloom_filter": q_bloom_filter,
+        "pii_redaction": q_pii_redaction,
+        "embedding_normalize": q_embedding_normalize,
+        "split_leakage": q_split_leakage,
+        "returnflag_grouping": q_returnflag_grouping,
+        "customer_order_presence": q_customer_order_presence,
+        "top_token_zipf": q_top_token_zipf,
+        "promo_q19_revenue": q_promo_q19_revenue,
+        "segment_order_matrix": q_segment_order_matrix,
+        "doc_profile": q_doc_profile,
+        "customer_features": q_customer_features,
+        "corpus_stats": q_corpus_stats,
+        "props_surface": q_props_surface,
+        "click_purchase_segments": q_click_purchase_segments,
+        "sample_splits": q_sample_splits,
+        "monthly_orders_growth": q_monthly_orders_growth,
+        "union_filter": q_union_filter,
+        "token_chunks": q_token_chunks,  # r15 composite: + efficiency face
+        "curation_funnel": q_curation_funnel,
+        "quantile_sketch": q_quantile_sketch,
+        "dedup_exact": q_dedup_exact,
+        "volume_shipping": q_volume_shipping,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "wealthy_low_activity": q_wealthy_low_activity,
+        "linestatus_priority": q_linestatus_priority,
+        "pareto_customers": q_pareto_customers,
+        "asof_prior_purchase": q_asof_prior_purchase,
+        "zone_pollution_full": q_zone_pollution_full,
+        "max_order_per_customer": q_max_order_per_customer,
+        # --- green in r14 (past the cap loses nothing) = r16's due list ---
         "minhash_lsh_maintained": q_minhash_lsh_maintained,
-        # --- newest green row is r12 (due now: the r13 back block) ---
         "ann_topk_pandas": q_ann_topk_pandas,
         "embedding_near_dup": q_embedding_near_dup,  # r14 composite: + lsh face
         "asset_metadata": q_asset_metadata,
@@ -3737,57 +3894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrive_leave": q_arrive_leave,
         "zone_occupancy": q_zone_occupancy,
         "incremental_snapshot": q_incremental_snapshot,
-        # --- green in r13 (past the cap loses nothing) = r15's due list ---
-        "minhash_lsh_incremental": q_minhash_lsh_incremental,
-        "simhash_clusters": q_simhash_clusters,
-        "simhash_near_dup": q_simhash_near_dup,
-        "ann_recall": q_ann_recall,
-        "audio_features": q_audio_features,
-        "image_features": q_image_features,
-        "brand_price_rank": q_brand_price_rank,
-        "bpe_merge_step": q_bpe_merge_step,
-        "quality_classifier": q_quality_classifier,
-        "source_overlap": q_source_overlap,
-        "gopher_quality": q_gopher_quality,
-        "weighted_sample": q_weighted_sample,
-        "doc_repetition": q_doc_repetition,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "events_hourly": q_events_hourly,  # r13 composite: + event_type_stats
-        "sessionization": q_sessionization,  # r11 composite: + session_paths
-        "rolling_avg_value": q_rolling_avg_value,
-        "segment_dedup": q_segment_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "bloom_filter": q_bloom_filter,
-        "pii_redaction": q_pii_redaction,
-        "embedding_normalize": q_embedding_normalize,
-        "split_leakage": q_split_leakage,
-        "returnflag_grouping": q_returnflag_grouping,
-        "customer_order_presence": q_customer_order_presence,
-        "top_token_zipf": q_top_token_zipf,
-        "promo_q19_revenue": q_promo_q19_revenue,
-        "segment_order_matrix": q_segment_order_matrix,
-        "doc_profile": q_doc_profile,
-        "customer_features": q_customer_features,
-        "corpus_stats": q_corpus_stats,
-        "props_surface": q_props_surface,
-        "click_purchase_segments": q_click_purchase_segments,
-        "sample_splits": q_sample_splits,
-        "monthly_orders_growth": q_monthly_orders_growth,
-        "union_filter": q_union_filter,
-        "token_chunks": q_token_chunks,
-        "packing_efficiency": q_packing_efficiency,
-        "curation_funnel": q_curation_funnel,
-        "quantile_sketch": q_quantile_sketch,
-        "dedup_exact": q_dedup_exact,
-        "volume_shipping": q_volume_shipping,
-        "customer_distribution": q_customer_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "wealthy_low_activity": q_wealthy_low_activity,
-        "linestatus_priority": q_linestatus_priority,
-        "pareto_customers": q_pareto_customers,
-        "asof_prior_purchase": q_asof_prior_purchase,
-        "zone_pollution_full": q_zone_pollution_full,
-        "max_order_per_customer": q_max_order_per_customer,
     }
 
 
@@ -4568,14 +4674,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
     }
+    # r15 format-tagged composite: the PNG face's sums only match if the
+    # stdlib decoder's zlib inflate + five-filter unfiltering are exact
+    # (n_bytes is NULL there — compressed size is not closed-form)
     d["image_features"] = """
         WITH m AS (
             SELECT doc_id AS asset_id,
                    (4 + doc_id % 13)::INTEGER AS width,
                    (3 + doc_id % 7)::INTEGER AS height
             FROM documents
+        ), png AS (
+            SELECT doc_id AS asset_id,
+                   (4 + doc_id % 11)::INTEGER AS width,
+                   (3 + doc_id % 5)::INTEGER AS height
+            FROM documents
         )
-        SELECT asset_id, width, height,
+        SELECT 'ppm' AS format, asset_id, width, height,
                (3 + length(width::VARCHAR) + 1 + length(height::VARCHAR) + 1
                 + 4 + width * height * 3)::BIGINT AS n_bytes,
                list_sum(list_transform(range(width * height),
@@ -4585,6 +4699,16 @@ def oracle_sql() -> dict[str, str]:
                list_sum(list_transform(range(width * height),
                    p -> (asset_id * 31 + (3 * p + 2) * 7) % 256))::BIGINT AS sum_b
         FROM m
+        UNION ALL
+        SELECT 'png' AS format, asset_id, width, height,
+               NULL::BIGINT AS n_bytes,
+               list_sum(list_transform(range(width * height),
+                   p -> (asset_id * 37 + (3 * p + 0) * 11) % 256))::BIGINT AS sum_r,
+               list_sum(list_transform(range(width * height),
+                   p -> (asset_id * 37 + (3 * p + 1) * 11) % 256))::BIGINT AS sum_g,
+               list_sum(list_transform(range(width * height),
+                   p -> (asset_id * 37 + (3 * p + 2) * 11) % 256))::BIGINT AS sum_b
+        FROM png
     """
     d["frame_sample"] = """
         SELECT asset_id,
@@ -5110,6 +5234,8 @@ def oracle_sql() -> dict[str, str]:
                      / lag(revenue) OVER w * 100.0, 6) AS pct_change
         FROM monthly WINDOW w AS (ORDER BY o_year, o_month)
     """
+    # r15 composite (face-tagged bag union funding the
+    # segment_dedup_maintained slot; constituents stay hash-pinned)
     d["token_chunks"] = f"""
         WITH t AS (
             SELECT doc_id, {tok} AS toks FROM documents
@@ -5118,26 +5244,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(toks) <= 32 THEN 1
                         ELSE (len(toks) - 32 + 24 - 1) // 24 + 1 END AS n_chunks
             FROM t
-        )
-        SELECT doc_id, (k - 1)::BIGINT AS chunk_no,
-               len(list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32))::BIGINT
-                   AS n_chunk_tokens,
-               -- coalesce: DuckDB's array_to_string of an EMPTY slice is
-               -- NULL (Spark's concat_ws is ''), so an empty document's
-               -- single empty chunk must pin md5('') in both engines
-               md5(coalesce(array_to_string(
-                   list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32), ' '), ''))
-                   AS chunk_md5,
-               md5(doc_id::VARCHAR || ':' || (k - 1)::VARCHAR) AS chunk_id
-        FROM c, unnest(generate_series(1, n_chunks)) AS u(k)
-    """
-    d["packing_efficiency"] = f"""
-        WITH t AS (
-            SELECT doc_id AS id, len({tok})::BIGINT AS n FROM documents
+        ), tl AS (
+            SELECT doc_id AS id, len(toks)::BIGINT AS n FROM t
         ), tot AS (
             SELECT sum(n)::BIGINT AS total,
                    sum(greatest(1, (n + 511) // 512))::BIGINT AS ped_seqs
-            FROM t
+            FROM tl
         ), cc AS (
             SELECT 'concat_chunk' AS strategy,
                    greatest(1, (total + 511) // 512)::BIGINT AS n_seqs,
@@ -5154,7 +5266,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(n) OVER (ORDER BY n DESC, id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0)::BIGINT AS start
-            FROM t
+            FROM tl
         ), seqs AS (
             SELECT (start // 512) AS seq, sum(n)::BIGINT AS seq_tokens
             FROM sp0 GROUP BY 1
@@ -5163,8 +5275,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(greatest(0, 512 - seq_tokens))::DOUBLE
                          / (count(*) * 512), 6) AS pad_frac
             FROM seqs
+        ), eff AS (
+            SELECT * FROM cc UNION ALL SELECT * FROM ped UNION ALL SELECT * FROM sp
         )
-        SELECT * FROM cc UNION ALL SELECT * FROM ped UNION ALL SELECT * FROM sp
+        SELECT 'chunks' AS face, doc_id, (k - 1)::BIGINT AS chunk_no,
+               len(list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32))::BIGINT
+                   AS n_chunk_tokens,
+               -- coalesce: DuckDB's array_to_string of an EMPTY slice is
+               -- NULL (Spark's concat_ws is ''), so an empty document's
+               -- single empty chunk must pin md5('') in both engines
+               md5(coalesce(array_to_string(
+                   list_slice(toks, (k - 1) * 24 + 1, (k - 1) * 24 + 32), ' '), ''))
+                   AS chunk_md5,
+               md5(doc_id::VARCHAR || ':' || (k - 1)::VARCHAR) AS chunk_id,
+               NULL::VARCHAR AS strategy, NULL::BIGINT AS n_seqs,
+               NULL::DOUBLE AS pad_frac
+        FROM c, unnest(generate_series(1, n_chunks)) AS u(k)
+        UNION ALL
+        SELECT 'efficiency' AS face, NULL::BIGINT AS doc_id,
+               NULL::BIGINT AS chunk_no, NULL::BIGINT AS n_chunk_tokens,
+               NULL::VARCHAR AS chunk_md5, NULL::VARCHAR AS chunk_id,
+               strategy, n_seqs, pad_frac
+        FROM eff
     """
     d["union_filter"] = f"""
         SELECT seq, zone_id, value, side FROM (
@@ -5175,28 +5307,52 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_ZONE_EV_SQL})
         ) WHERE value IS NOT NULL AND value > 100.0
     """
-    d["segment_dedup"] = f"""
-        WITH t AS (
-            SELECT doc_id, {tok} AS toks FROM documents
-        ),
-        segs AS (
-            SELECT doc_id,
-                   unnest(list_transform(range(0, cast(floor((len(toks) + 9) / 10) as int)),
-                       i -> {_duck_md5_prefix32("array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')")}::BIGINT
-                   )) AS seg_h
-            FROM t WHERE len(toks) > 0
-        ),
-        occ AS (SELECT seg_h, count(*) AS occ FROM segs GROUP BY 1),
-        per_doc AS (
-            SELECT s.doc_id, count(*)::BIGINT AS n_segments,
-                   sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments
-            FROM segs s JOIN occ o USING (seg_h)
-            GROUP BY 1
+    # segment scoring as a nestable subquery (no WITH — it is inlined
+    # several times inside the maintained oracle's CTE tree)
+    def _seg_scores_sql(table: str) -> str:
+        segs = (
+            "SELECT doc_id, "
+            "unnest(list_transform(range(0, cast(floor((len(toks) + 9) / 10) as int)), "
+            f"""i -> {_duck_md5_prefix32("array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')")}::BIGINT"""
+            f")) AS seg_h FROM (SELECT doc_id, {tok} AS toks FROM {table}) "
+            "WHERE len(toks) > 0"
         )
-        SELECT doc_id, n_segments, n_dup_segments,
-               round(n_dup_segments::DOUBLE / n_segments::DOUBLE, 6) AS dup_frac,
-               (n_dup_segments::DOUBLE / n_segments::DOUBLE) <= 0.5 AS keep
-        FROM per_doc
+        return f"""
+            SELECT doc_id, n_segments, n_dup_segments,
+                   round(n_dup_segments::DOUBLE / n_segments::DOUBLE, 6) AS dup_frac,
+                   (n_dup_segments::DOUBLE / n_segments::DOUBLE) <= 0.5 AS keep
+            FROM (
+                SELECT s.doc_id, count(*)::BIGINT AS n_segments,
+                       sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END)::BIGINT
+                           AS n_dup_segments
+                FROM ({segs}) s
+                JOIN (SELECT seg_h, count(*) AS occ FROM ({segs}) GROUP BY 1) o
+                     USING (seg_h)
+                GROUP BY 1
+            )
+        """
+
+    d["segment_dedup"] = _seg_scores_sql("documents")
+    # the maintained-state probe == full recompute on the CORRECTED
+    # corpus restricted to the probe's doc set: shard docs plus frozen
+    # docs whose n_dup_segments the shard changed (exactly the
+    # occ 1 → ≥2 crossing the probe detects — n_segments of a frozen
+    # doc cannot change, and within a window counts only increase)
+    d["segment_dedup_maintained"] = f"""
+        WITH corrected AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 6
+                        THEN text || ' corrected edition'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 10 != 9
+        ),
+        frozen AS (SELECT * FROM corrected WHERE doc_id % 10 != 3),
+        full_scores AS ({_seg_scores_sql("corrected")}),
+        frozen_scores AS ({_seg_scores_sql("frozen")})
+        SELECT f.doc_id, f.n_segments, f.n_dup_segments, f.dup_frac, f.keep
+        FROM full_scores f
+        LEFT JOIN frozen_scores z USING (doc_id)
+        WHERE f.doc_id % 10 = 3 OR z.n_dup_segments != f.n_dup_segments
     """
     d["unigram_logprob"] = f"""
         WITH pairs AS (

@@ -171,14 +171,13 @@ BENCH_QUERIES = [
 BENCH_QUERIES = [n for n in BENCH_QUERIES if n in entry_mod.queries()]
 BENCH_QUERIES += sorted(set(entry_mod.queries()) - set(BENCH_QUERIES))
 
-# Canary watch (VERDICT r13 item 5): r13's canaries read confirmatory
-# (0.84-1.17) for every r12-flagged row EXCEPT ann_topk_pandas, whose
-# number moved against the grain two rounds running (1.64 single-shot,
-# then 1.58) — keep it until it reads < 1.3x so a creeping pandas-path
-# regression can't hide under "host noise" three rounds in a row.
-CANARY_WATCHLIST = [
-    "ann_topk_pandas",
-]
+# Canary watch (VERDICT r13 item 5): pruned to empty in r15 —
+# ann_topk_pandas exits after three rounds of canaries plus the direct
+# r14 experiment (SCALE.md "the ann_topk_pandas canary — a null
+# finding": no age effect, no drift, warm repeats spread ±40% on a ~1 s
+# query, and the r14 recorded canary read 1.09).  VERDICT r14 item 2
+# asked for exactly this prune.
+CANARY_WATCHLIST: list[str] = []
 
 # Declared consolidation costs (VERDICT r13 item 6): when a roster slot
 # is funded by folding one query into another, the composite's first
@@ -188,9 +187,12 @@ CANARY_WATCHLIST = [
 # without a SURVEY cross-reference.  Prune entries after their first
 # recorded round (the next prior already includes the absorbed cost).
 DECLARED_DELTAS = {
-    "embedding_near_dup": (
-        "r14 consolidation: absorbed embedding_near_dup_lsh (full-corpus "
-        "LSH face) as a method-tagged union funding minhash_lsh_maintained"
+    # embedding_near_dup's r14 entry pruned (VERDICT r14 item 2): the
+    # r15 prior (BENCH_r14) already includes the absorbed LSH-face cost.
+    "token_chunks": (
+        "r15 consolidation: absorbed packing_efficiency (padded-batch "
+        "strategy accounting) as a face-tagged union funding "
+        "segment_dedup_maintained"
     ),
 }
 

@@ -166,6 +166,15 @@ def main() -> None:
     spark = get_session("scale", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries = {**entry_mod.queries(), **_variants()}
+    # roster consolidations retire names (embedding_near_dup_lsh → the
+    # method-tagged embedding_near_dup composite in r14,
+    # packing_efficiency → the face-tagged token_chunks composite in
+    # r15); skip retired rows instead of KeyError-ing so the curated
+    # measurement list survives rotations
+    missing = [n for n, _ in scale_queries if n not in queries]
+    if missing:
+        print(f"  skipping retired queries: {missing}", file=sys.stderr)
+        scale_queries = [q for q in scale_queries if q[0] in queries]
 
     results: dict[str, dict[str, float]] = {}
     for d in dirs:

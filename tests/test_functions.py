@@ -22,7 +22,7 @@ from kafka_streams_one_to_many_join_spark.functions.multimodal import (
     encode_wav_pcm16,
     extract_audio_features,
     extract_image_features,
-    sample_frames_stub,
+    sample_frames,
 )
 from kafka_streams_one_to_many_join_spark.functions.similarity import (
     brute_force_topk,
@@ -380,9 +380,175 @@ def test_resize_images_permissive_corrupt_channel(spark):
 
 
 def test_sample_frames_only_video(spark):
-    out = sample_frames_stub(_assets(spark), every_nth=10).collect()
+    out = sample_frames(_assets(spark), every_nth=10).collect()
     assert len(out) >= 1
     assert all(r.frame_no % 10 == 0 for r in out)
+
+
+def test_png_roundtrip_every_filter_type():
+    """encode_png → _parse_png reproduces the exact pixel plane under
+    each of the five PNG filter types individually and under a mixed
+    per-row cycle — the decoder's unfiltering is exact, not approximate."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        _parse_png,
+        encode_png,
+    )
+
+    w, h = 6, 5
+    px = bytes((i * 29 + 3) % 256 for i in range(w * h * 3))
+    for f in range(5):
+        assert _parse_png(encode_png(w, h, px, row_filters=[f])) == (w, h, px), f
+    assert _parse_png(encode_png(w, h, px, row_filters=[0, 1, 2, 3, 4])) == (
+        w, h, px,
+    )
+
+
+def test_png_decode_error_channel():
+    """Stable ValueError messages for every malformed-input class (the
+    permissive decode channel surfaces them as decode_error)."""
+    import struct
+
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_image,
+        decode_png,
+        synth_png_payload,
+    )
+
+    with pytest.raises(ValueError, match="NULL payload"):
+        decode_png(None)
+    with pytest.raises(ValueError, match="not a PNG payload"):
+        decode_png(b"P6\n1 1\n255\nabc")
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(PNG_SIG + b"\x00\x00")
+    p = synth_png_payload(5)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(p[:-6])
+    corrupt = bytearray(p)
+    corrupt[45] ^= 0xFF  # inside IDAT → crc mismatch
+    with pytest.raises(ValueError, match="bad PNG chunk crc|corrupt PNG"):
+        decode_png(bytes(corrupt))
+    gray = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="only 8-bit RGB PNG supported"):
+        decode_png(gray)
+    interlaced = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced PNG not supported"):
+        decode_png(interlaced)
+    # dispatch: garbage that is neither format keeps the PPM reason, so
+    # the corrupt-asset sweep's predicted errors are unchanged
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_image(b"garbage")
+
+
+def test_extract_image_features_dispatches_png_and_ppm(spark):
+    """One decode stage, two container formats: a mixed asset frame of
+    real PPM and real PNG payloads decodes to the closed-form dims and
+    channel sums of each format's generation rule."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        extract_image_features,
+        synth_png_payload,
+        synth_ppm_payload,
+    )
+
+    def png_expected(did):
+        w, h = 4 + did % 11, 3 + did % 5
+        sums = [0, 0, 0]
+        for idx in range(w * h * 3):
+            sums[idx % 3] += (did * 37 + idx * 11) % 256
+        return (w, h, *sums)
+
+    def ppm_expected(did):
+        w, h = 4 + did % 13, 3 + did % 7
+        sums = [0, 0, 0]
+        for idx in range(w * h * 3):
+            sums[idx % 3] += (did * 31 + idx * 7) % 256
+        return (w, h, *sums)
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(synth_ppm_payload(1)), None),
+            (2, "image", bytearray(synth_png_payload(2)), None),
+            (3, "image", bytearray(synth_png_payload(3)), None),
+        ],
+        "asset_id long, media_type string, payload binary, meta_json string",
+    )
+    got = {
+        r.asset_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in extract_image_features(assets).collect()
+    }
+    assert got == {
+        1: ppm_expected(1),
+        2: png_expected(2),
+        3: png_expected(3),
+    }
+
+
+def test_extract_image_features_permissive_corrupt_png(spark):
+    """Corrupt PNG payloads flow through the permissive channel with
+    their stable reasons, alongside healthy rows (row count preserved)."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        extract_image_features,
+        synth_png_payload,
+    )
+
+    good = synth_png_payload(7)
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good), None),
+            (2, "image", bytearray(good[:-6]), None),
+            (3, "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\x00"), None),
+        ],
+        "asset_id long, media_type string, payload binary, meta_json string",
+    )
+    out = {
+        r.asset_id: r
+        for r in extract_image_features(assets, on_error="permit").collect()
+    }
+    assert len(out) == 3
+    assert out[1].decode_error is None and out[1].sum_r is not None
+    assert out[2].decode_error == "truncated PNG chunk" and out[2].width is None
+    assert out[3].decode_error == "truncated PNG chunk"
+
+
+def test_sample_frames_payloads_decode_downstream(spark):
+    """The upgraded frame sampler emits REAL PNG frames: every payload
+    decodes via decode_png to the 8×4 raster whose pixel plane is the
+    video payload's bytes at the frame offset (zero-padded tail) — the
+    channel sums equal direct byte arithmetic on the source payload, and
+    the index arithmetic matches the stub's oracle-pinned rule."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        decode_png,
+        sample_frames,
+    )
+
+    video = bytes((i * 13 + 5) % 256 for i in range(2500))
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(video), None), (2, "audio", b"x", None)],
+        "asset_id long, media_type string, payload binary, meta_json string",
+    )
+    rows = sample_frames(assets, every_nth=2).collect()
+    # frame count = len // (1024*2) + 1 = 2, frame_no = 0, 2
+    assert sorted((r.asset_id, r.frame_no) for r in rows) == [(1, 0), (1, 2)]
+    for r in rows:
+        w, h, sr, sg, sb = decode_png(bytes(r.frame_payload))
+        assert (w, h) == (8, 4)
+        window = video[r.frame_no * 1024 : r.frame_no * 1024 + 96]
+        window = window + bytes(96 - len(window))
+        exp = [0, 0, 0]
+        for i, b in enumerate(window):
+            exp[i % 3] += b
+        assert [sr, sg, sb] == exp, r.frame_no
 
 
 def test_embedding_near_dup_exact(spark):

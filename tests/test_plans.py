@@ -529,21 +529,27 @@ def test_doc_profile_single_scan_single_shuffle(spark, sf_dir):
     assert plans.count_shuffles(df) <= 2, plan
 
 
-def test_token_chunks_no_shuffle(spark, sf_dir):
-    """Chunking is a pure generate/projection: the only allowed exchange
-    is the round-robin input spread for the single-row-group test file."""
+def test_token_chunks_composite_plan(spark, sf_dir):
+    """The r15 composite (chunks face ∪ efficiency face): the chunks face
+    stays a pure generate/projection — no join anywhere near it — and
+    the efficiency face's FFD-surrogate branch joins the tiny per-length
+    base offsets back by broadcast; doc-level rows never join-shuffle
+    (no SortMergeJoin on the whole plan)."""
+    from kafka_streams_one_to_many_join_spark.functions.packing import (
+        token_chunks,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    chunks_face = token_chunks(
+        load_table(spark, sf_dir, "documents"), budget=32, stride=24
+    )
+    cplan = plans.formatted_plan(chunks_face)
+    assert plans.count_shuffles(chunks_face) <= 1, cplan
+    assert "Join" not in cplan, cplan
     df = entry_mod.q_token_chunks(spark, sf_dir)
     plan = plans.formatted_plan(df)
-    assert plans.count_shuffles(df) <= 1, plan
-    assert "Join" not in plan, plan
-
-
-def test_packing_efficiency_broadcasts_length_offsets(spark, sf_dir):
-    """The FFD-surrogate branch joins the tiny per-length base offsets
-    back by broadcast; doc-level rows never join-shuffle."""
-    df = entry_mod.q_packing_efficiency(spark, sf_dir)
-    plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_segment_dedup_shuffles_hashes_not_text(spark, sf_dir):
@@ -766,7 +772,7 @@ def test_roster_wide_plan_hygiene(spark, sf_dir):
         "kmeans_step", "contamination_check", "mixture_weights",
         "unigram_logprob", "top_token_zipf", "bloom_filter",
         "promo_q19_revenue", "zone_occupancy", "curation_funnel",
-        "packing_efficiency", "sequence_pack", "sequence_pack_text",
+        "token_chunks", "sequence_pack", "sequence_pack_text",
         "click_purchase_funnel", "corpus_stats", "quantile_sketch",
         "cms_token_counts", "hll_distinct", "vocab_growth",
         # 1-row scalar-threshold attaches (corpus totals, z-score cuts,
