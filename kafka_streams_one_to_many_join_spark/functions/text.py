@@ -468,6 +468,8 @@ def bpe_train(
     token_mode: str = "ascii",
     materialize_every: int = 4,
     stats: list | None = None,
+    max_pair_state: int = 50_000_000,
+    speculate: int = 1,
 ):
     """Full BPE tokenizer training (Sennrich et al. 2016) on top of the
     ``bpe_pair_counts`` design: learn ``num_merges`` merges and return the
@@ -517,8 +519,50 @@ def bpe_train(
     corpus size (100 TB of text changes stage 1 only).
 
     ``stats``: bench instrumentation — pass a list to receive one
-    ``(rank, seconds, touched_words)`` tuple per merge (adds one count
-    job per iteration; leave ``None`` in production).
+    ``(rank, seconds, touched_words, n_pair_state)`` tuple per merge
+    (adds one count job per iteration; leave ``None`` in production).
+
+    ``speculate`` (VERDICT r14 item 6 — attack the one-job-per-merge
+    floor): with ``speculate=K > 1``, each round picks the argmax pair
+    PLUS up to K−1 next-best candidates whose symbols are pairwise
+    DISJOINT, computes all K sequential per-step deltas in ONE Spark job
+    (a chained fold that keeps every intermediate state — disjointness
+    makes each candidate's count invariant under the earlier folds, and
+    folding never creates adjacency between pre-existing symbols, so
+    one adjacency filter on the original syms captures the whole
+    chain's touched set), then VALIDATES each speculated step on the
+    driver: step k is accepted only if, after applying deltas 1..k−1,
+    the exact argmax (count desc, lexicographic) still equals candidate
+    k.  A rejected step truncates the round — the remaining deltas are
+    discarded and the vocabulary folds only the accepted prefix — so
+    the merge table is SEQUENTIAL-EXACT by construction (hash-matched
+    against speculate=1 on every fixture, including the seeded
+    collision-heavy corpus), and the only thing speculation changes is
+    the job count: jobs/merge = 1/(mean accepted prefix).  The chain
+    size is ADAPTIVE (AIMD: double on full acceptance, drop to the
+    accepted prefix on truncation, probe upward every 8th round) —
+    measured (SCALE.md r15): at the data-bound HEAD of a train
+    freshly-minted pairs outrank the speculated next-best almost every
+    round, so a FIXED K=8 read 1.77x slower than sequential while the
+    adaptive chain stays ~sequential there and only batches where
+    acceptance is real (the scheduling-bound tail the feature exists
+    for).  Default 1 = the unspeculated path, plan-identical to r14.
+
+    ``max_pair_state`` bounds the driver-resident dict (VERDICT r14
+    item 5): the state holds DISTINCT (left, right) symbol pairs — it
+    seeds at ≤ |alphabet|² entries and grows as merges mint new symbols,
+    asymptotically bounded by Σ(|word|−1) over the distinct vocabulary.
+    Measured (scripts/bpe_state_rss.py, r15): ~238 bytes/pair
+    all-in (dict slot + key tuple + the two symbol strings + int), flat
+    from 1M to 10M synthetic pairs (232 at 10M); a REAL 477k-word zipf
+    train seeds at 288 entries (hex alphabet²) and peaks at only 12,266
+    after 100 merges — state grows with MINTED symbols, so real trains
+    sit orders below the asymptotic.  The default 50M-pair cap is
+    ~13 GB of driver heap — generous for the 128 GiB driver here, and a
+    10M-distinct-word worst case (Σ|word|−1 ≈ 80M pairs ≈ 21 GB) is the
+    scale where a raise beats an OOM mid-train.  On breach the train
+    raises with the measured arithmetic instead of dying; lower the cap
+    for small drivers or shard the corpus.
     """
     import time as _time
 
@@ -558,7 +602,177 @@ def bpe_train(
     pair_counts: dict[tuple[str, str], int] = {
         (r.left_sym, r.right_sym): r.pair_count for r in seed.collect()
     }
+
+    def _check_pair_state() -> None:
+        if len(pair_counts) > max_pair_state:
+            raise ValueError(
+                f"bpe_train: pair-count state grew to {len(pair_counts):,} "
+                f"entries, past max_pair_state={max_pair_state:,} (~"
+                f"{max_pair_state * 238 / 1e9:.1f} GB at the measured ~238 "
+                "bytes/pair — scripts/bpe_state_rss.py).  Raise the cap if "
+                "the driver has the heap, or train on a corpus shard"
+            )
+
+    _check_pair_state()
     merges: list[tuple[int, str, str, int]] = []
+
+    def _argmax():
+        return min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+
+    if speculate > 1:
+        import heapq
+        from collections import defaultdict
+
+        q = lambda s: s.replace("'", "''")  # noqa: E731
+        struct_t = (
+            "array<struct<step:int,left_sym:string,right_sym:string,w:bigint>>"
+        )
+        rank = 0
+        # AIMD chain sizing (measured, SCALE.md r15): at the data-bound
+        # HEAD of a train, freshly-minted pairs outrank the speculated
+        # next-best almost every round (mean accepted ~1.2 of 8 on the
+        # 477k-word ladder), so a fixed K pays K-chain fold work for ~1
+        # merge — measured 1.77x SLOWER than sequential.  Acceptance is
+        # a property of the count landscape, so adapt: double the chain
+        # on full acceptance, drop to the observed accepted prefix on
+        # truncation, and probe upward every 8th round from the floor.
+        cur_k = min(2, speculate)
+        rounds_at_floor = 0
+        while rank < num_merges and pair_counts:
+            _t0 = _time.perf_counter()
+            if cur_k == 1 and rounds_at_floor >= 8:
+                cur_k, rounds_at_floor = min(2, speculate), 0
+            k_round = min(cur_k, speculate, num_merges - rank)
+            # chain: argmax + next-best candidates with pairwise-DISJOINT
+            # symbols, in exact (count desc, lexicographic) order — a
+            # widened window is scanned because disjointness skips some
+            window = heapq.nsmallest(
+                max(16, 8 * k_round),
+                pair_counts.items(),
+                key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+            )
+            chain: list[tuple[str, str]] = []
+            used: set[str] = set()
+            for (cl, cr), _cnt in window:
+                if cl in used or cr in used:
+                    continue
+                chain.append((cl, cr))
+                used.update((cl, cr))
+                if len(chain) == k_round:
+                    break
+            kk = len(chain)
+            merge_arr = "array(" + ", ".join(
+                f"named_struct('l', '{q(l)}', 'r', '{q(r)}')" for l, r in chain
+            ) + ")"
+            # all K+1 sequential states in ONE aggregate — every repeated
+            # reference below is to a LAMBDA VARIABLE (acc/st/m), which
+            # Catalyst never inline-expands (the 3^k lesson applies to
+            # projection aliases, not lambda bindings)
+            fold_m = (
+                "aggregate(element_at(acc, -1), cast(array() as array<string>), "
+                "(a2, x) -> case when size(a2) > 0 and element_at(a2, -1) = m.l "
+                "and x = m.r then concat(slice(a2, 1, size(a2) - 1), "
+                "array(concat(m.l, m.r))) else concat(a2, array(x)) end)"
+            )
+            states = (
+                f"aggregate({merge_arr}, array({{s}}), (acc, m) -> "
+                "concat(acc, array(case when size(element_at(acc, -1)) >= 2 and "
+                "exists(sequence(1, size(element_at(acc, -1)) - 1), i -> "
+                "element_at(element_at(acc, -1), i) = m.l and "
+                "element_at(element_at(acc, -1), i + 1) = m.r) "
+                f"then {fold_m} else element_at(acc, -1) end)))"
+            )
+            # touched(chain) on the ORIGINAL syms is exact: disjoint folds
+            # neither create nor destroy another candidate's adjacencies
+            contains_any = " or ".join(
+                "(case when size(syms) < 2 then false else "
+                "exists(sequence(1, size(syms) - 1), i -> "
+                f"element_at(syms, i) = '{q(l)}' and "
+                f"element_at(syms, i + 1) = '{q(r)}') end)"
+                for l, r in chain
+            )
+            pair_structs = (
+                "transform(sequence(1, size({a}) - 1), i -> named_struct("
+                "'step', k, 'left_sym', element_at({a}, i), "
+                "'right_sym', element_at({a}, i + 1), 'w', cast({sign}c as bigint)))"
+            )
+            old_a = pair_structs.format(a="element_at(st, k)", sign="-")
+            new_a = (
+                f"case when size(element_at(st, k + 1)) < 2 then cast(array() as {struct_t}) "
+                f"else {pair_structs.format(a='element_at(st, k + 1)', sign='')} end"
+            )
+            delta_expr = (
+                f"flatten(transform(array({states.format(s='syms')}), st -> "
+                f"flatten(transform(sequence(1, {kk}), k -> "
+                "case when element_at(st, k) = element_at(st, k + 1) then "
+                f"cast(array() as {struct_t}) "
+                f"else concat({old_a}, {new_a}) end))))"
+            )
+            delta = (
+                vocab.filter(F.expr(contains_any))
+                .select(F.explode(F.expr(delta_expr)).alias("p"))
+                .groupBy(
+                    F.col("p.step").alias("step"),
+                    F.col("p.left_sym").alias("left_sym"),
+                    F.col("p.right_sym").alias("right_sym"),
+                )
+                .agg(F.sum("p.w").alias("pair_count"))
+            )
+            if stats is not None:
+                touched = vocab.filter(F.expr(contains_any)).count()
+            by_step: dict[int, list] = defaultdict(list)
+            # the ONE Spark job of the round
+            for r in delta.collect():
+                by_step[r.step].append((r.left_sym, r.right_sym, r.pair_count))
+            accepted = 0
+            for k in range(1, kk + 1):
+                cand = chain[k - 1]
+                if not pair_counts or _argmax() != cand:
+                    break  # speculation miss: truncate the round here
+                merges.append(
+                    (rank + k, cand[0], cand[1], int(pair_counts[cand]))
+                )
+                for lsym, rsym, w in by_step[k]:
+                    key = (lsym, rsym)
+                    new_count = pair_counts.get(key, 0) + w
+                    if new_count > 0:
+                        pair_counts[key] = new_count
+                    else:
+                        pair_counts.pop(key, None)
+                accepted = k
+            _check_pair_state()
+            if accepted == k_round:
+                cur_k = min(speculate, max(2, k_round * 2))
+                rounds_at_floor = 0
+            else:
+                cur_k = max(1, accepted)
+                rounds_at_floor = rounds_at_floor + 1 if cur_k == 1 else 0
+            acc_arr = "array(" + ", ".join(
+                f"named_struct('l', '{q(l)}', 'r', '{q(r)}')"
+                for l, r in chain[:accepted]
+            ) + ")"
+            acc_states = states.replace(merge_arr, acc_arr, 1)
+            vocab = vocab.select(
+                "c",
+                F.expr(
+                    f"element_at({acc_states.format(s='syms')}, -1)"
+                ).alias("syms"),
+            )
+            new_rank = rank + accepted
+            if new_rank // materialize_every > rank // materialize_every:
+                vocab = materialize(vocab)
+            if stats is not None:
+                dt = round((_time.perf_counter() - _t0) / max(accepted, 1), 4)
+                for k in range(1, accepted + 1):
+                    stats.append((rank + k, dt, touched, len(pair_counts)))
+            rank = new_rank
+        return spark.createDataFrame(
+            merges,
+            "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
+        )
+
     for rank in range(1, num_merges + 1):
         _t0 = _time.perf_counter()
         if not pair_counts:
@@ -633,6 +847,7 @@ def bpe_train(
                 pair_counts[key] = new_count
             else:
                 pair_counts.pop(key, None)
+        _check_pair_state()
         # instrumentation: count the touched set with the SAME
         # contains('syms') predicate the delta filter used, on the
         # PRE-update vocab (ADVICE r14 low — the former post-update
@@ -661,7 +876,14 @@ def bpe_train(
         if rank % materialize_every == 0:
             vocab = materialize(vocab)
         if stats is not None:
-            stats.append((rank, round(_time.perf_counter() - _t0, 4), touched))
+            stats.append(
+                (
+                    rank,
+                    round(_time.perf_counter() - _t0, 4),
+                    touched,
+                    len(pair_counts),
+                )
+            )
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",

