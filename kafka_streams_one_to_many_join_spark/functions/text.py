@@ -663,6 +663,25 @@ def bpe_train(
                 if len(chain) == k_round:
                     break
             kk = len(chain)
+            # lean single-merge expressions when the adaptive chain sits
+            # at the floor — the chained-states machinery costs a
+            # measurably larger per-job constant (regime-B measurement,
+            # SCALE.md r15), and at kk=1 it buys nothing
+            l1, r1 = chain[0]
+            ql1, qr1 = q(l1), q(r1)
+            contains1 = (
+                "case when size({s}) < 2 then false else "
+                "exists(sequence(1, size({s}) - 1), i -> "
+                f"element_at({{s}}, i) = '{ql1}' and "
+                f"element_at({{s}}, i + 1) = '{qr1}') end"
+            )
+            fold1 = (
+                "aggregate({s}, cast(array() as array<string>), (acc, x) -> "
+                f"case when size(acc) > 0 and element_at(acc, -1) = '{ql1}' "
+                f"and x = '{qr1}' "
+                f"then concat(slice(acc, 1, size(acc) - 1), array('{ql1}{qr1}')) "
+                "else concat(acc, array(x)) end)"
+            )
             merge_arr = "array(" + ", ".join(
                 f"named_struct('l', '{q(l)}', 'r', '{q(r)}')" for l, r in chain
             ) + ")"
@@ -710,16 +729,43 @@ def bpe_train(
                 f"cast(array() as {struct_t}) "
                 f"else concat({old_a}, {new_a}) end))))"
             )
-            delta = (
-                vocab.filter(F.expr(contains_any))
-                .select(F.explode(F.expr(delta_expr)).alias("p"))
-                .groupBy(
-                    F.col("p.step").alias("step"),
-                    F.col("p.left_sym").alias("left_sym"),
-                    F.col("p.right_sym").alias("right_sym"),
+            if kk == 1:
+                ps1 = (
+                    "transform(sequence(1, size({a}) - 1), i -> named_struct("
+                    "'left_sym', element_at({a}, i), "
+                    "'right_sym', element_at({a}, i + 1), 'w', {sign}c))"
                 )
-                .agg(F.sum("p.w").alias("pair_count"))
-            )
+                new1 = (
+                    "case when size(_new_syms) < 2 then cast(array() as "
+                    "array<struct<left_sym:string,right_sym:string,w:bigint>>) "
+                    f"else {ps1.format(a='_new_syms', sign='')} end"
+                )
+                delta = (
+                    vocab.filter(F.expr(contains1.format(s="syms")))
+                    .select("c", F.expr(fold1.format(s="syms")).alias("_new_syms"), "syms")
+                    .select(
+                        F.explode(
+                            F.expr(f"concat({ps1.format(a='syms', sign='-')}, {new1})")
+                        ).alias("p")
+                    )
+                    .groupBy(
+                        F.lit(1).alias("step"),
+                        F.col("p.left_sym").alias("left_sym"),
+                        F.col("p.right_sym").alias("right_sym"),
+                    )
+                    .agg(F.sum("p.w").alias("pair_count"))
+                )
+            else:
+                delta = (
+                    vocab.filter(F.expr(contains_any))
+                    .select(F.explode(F.expr(delta_expr)).alias("p"))
+                    .groupBy(
+                        F.col("p.step").alias("step"),
+                        F.col("p.left_sym").alias("left_sym"),
+                        F.col("p.right_sym").alias("right_sym"),
+                    )
+                    .agg(F.sum("p.w").alias("pair_count"))
+                )
             if stats is not None:
                 touched = vocab.filter(F.expr(contains_any)).count()
             by_step: dict[int, list] = defaultdict(list)
@@ -749,17 +795,29 @@ def bpe_train(
             else:
                 cur_k = max(1, accepted)
                 rounds_at_floor = rounds_at_floor + 1 if cur_k == 1 else 0
-            acc_arr = "array(" + ", ".join(
-                f"named_struct('l', '{q(l)}', 'r', '{q(r)}')"
-                for l, r in chain[:accepted]
-            ) + ")"
-            acc_states = states.replace(merge_arr, acc_arr, 1)
-            vocab = vocab.select(
-                "c",
-                F.expr(
-                    f"element_at({acc_states.format(s='syms')}, -1)"
-                ).alias("syms"),
-            )
+            if accepted == 1:
+                # lean single-fold update (the transform() lambda-variable
+                # routing from the sequential path — one reference/level)
+                vocab = vocab.select(
+                    "c",
+                    F.expr(
+                        "element_at(transform(array(syms), s -> "
+                        f"case when {contains1.format(s='s')} "
+                        f"then {fold1.format(s='s')} else s end), 1)"
+                    ).alias("syms"),
+                )
+            else:
+                acc_arr = "array(" + ", ".join(
+                    f"named_struct('l', '{q(l)}', 'r', '{q(r)}')"
+                    for l, r in chain[:accepted]
+                ) + ")"
+                acc_states = states.replace(merge_arr, acc_arr, 1)
+                vocab = vocab.select(
+                    "c",
+                    F.expr(
+                        f"element_at({acc_states.format(s='syms')}, -1)"
+                    ).alias("syms"),
+                )
             new_rank = rank + accepted
             if new_rank // materialize_every > rank // materialize_every:
                 vocab = materialize(vocab)
