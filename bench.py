@@ -194,6 +194,16 @@ DECLARED_DELTAS = {
         "strategy accounting) as a face-tagged union funding "
         "segment_dedup_maintained"
     ),
+    "image_features": (
+        "r15: added the oracle-paired PNG face (VERDICT r14 item 4) — a "
+        "second synth+decode pass with real zlib inflate + unfiltering "
+        "per asset, format-tagged union with the PPM face"
+    ),
+    "frame_sample": (
+        "r15: the frame sampler now emits REAL PNG frame payloads "
+        "(encode per sampled frame) instead of the former NULL-payload "
+        "stub; index arithmetic and oracle unchanged"
+    ),
 }
 
 

@@ -630,7 +630,9 @@ def minhash_band_index_apply(
                 f"{delete_ids.columns} — retracting on an arbitrary first "
                 "column would silently delete the wrong documents"
             )
-        del_ids = delete_ids.select(F.col(del_col).alias("doc_id")).distinct()
+        # no .distinct() — anti-join semantics don't need it, and the
+        # retract union below dedups once for its own broadcast
+        del_ids = delete_ids.select(F.col(del_col).alias("doc_id"))
     retract = del_ids
     if upserts is not None:
         up_ids = upserts.select(F.col(id_col).alias("doc_id"))

@@ -540,7 +540,13 @@ def sample_frames(assets: DataFrame, every_nth: int = 10) -> DataFrame:
                 continue
             ids, nos, payloads = [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                p = b"" if p is None else bytes(p)
+                if p is None:
+                    # NULL payload ⇒ no frames — the index rule is
+                    # sequence(0, length(payload)/step) and length(NULL)
+                    # is NULL (the stub's oracle-pinned behavior; the
+                    # degenerate-doc sweep's NULL-text asset hits this)
+                    continue
+                p = bytes(p)
                 for i in range(len(p) // step + 1):
                     window = p[i * every_nth * 1024 : i * every_nth * 1024 + n_px]
                     window = window + bytes(n_px - len(window))
