@@ -337,6 +337,18 @@ def streaming_segment_dup_deltas(
     expiry (sliding-corpus semantics: retroactive flips older than the
     TTL horizon are deliberately missed); default None keeps exact
     keep-forever semantics, matching the batch pipeline.
+
+    Re-ingest/retraction (r15): like the MinHash stream, a mutable
+    corpus is NOT this operator's job — its keyed state only ever adds
+    occurrences, so a corrected or deleted document's old segments
+    would keep inflating counts forever.  Mutable-corpus semantics
+    belong to the batch maintenance operator
+    (``functions.dedup.segment_index_apply`` — retracts (doc_id, seg_h)
+    rows AND decrements the persisted (seg_h, occ) counts, the only
+    path on which a frozen doc's dup_frac can DECREASE); the production
+    topology is this stream for intra-day arrivals + nightly index
+    maintenance, the division pinned end-to-end for the band index in
+    tests/test_segment_maintenance.py.
     """
     from kafka_streams_one_to_many_join_spark.streaming.latency import (
         apply_shuffle_partitions,
