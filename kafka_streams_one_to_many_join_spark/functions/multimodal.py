@@ -2,7 +2,7 @@
 
 The decode steps for container formats that need no codec library are
 REAL stdlib decoders: WAV/PCM16 via ``wave`` + ``struct``, binary PPM
-(P6) via header parsing, and — since r15 — PNG (8-bit RGB) via ``zlib``
+(P6) via header parsing, and — since r15 — PNG (8-bit grayscale/RGB/RGBA) via ``zlib``
 inflate + per-scanline unfiltering (all five PNG filter types) — actual
 bytes are parsed, not faked.  Formats that genuinely need a codec
 library (JPEG, MP3, H.264 frames) stay behind mapInPandas seams where a
@@ -288,23 +288,35 @@ def _unfilter_scanline(
     return bytes(out)
 
 
+# 8-bit color types this codec speaks: grayscale, truecolor RGB, RGBA.
+# Palette (3) and the 16-bit depths stay rejected with a stable reason.
+_PNG_BPP = {0: 1, 2: 3, 6: 4}
+
+
 def encode_png(
     width: int,
     height: int,
     pixels: bytes,
     row_filters: Sequence[int] | None = None,
+    color_type: int = 2,
 ) -> bytes:
     """REAL PNG encoder, stdlib only (r15 — VERDICT r14 item 4): 8-bit
-    RGB (color type 2, no interlace), signature + IHDR + one
-    zlib-compressed IDAT of filtered scanlines + IEND, CRCs included.
-    ``row_filters`` chooses the per-row filter type (cycled; default
-    all 0) so fixtures can exercise every filter the decoder must
-    invert."""
+    grayscale / RGB / RGBA (color types 0/2/6, no interlace), signature
+    + IHDR + one zlib-compressed IDAT of filtered scanlines + IEND,
+    CRCs included.  ``row_filters`` chooses the per-row filter type
+    (cycled; default all 0) so fixtures can exercise every filter the
+    decoder must invert."""
     import zlib
 
-    if len(pixels) != width * height * 3:
-        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(pixels)}")
-    bpp, stride = 3, width * 3
+    if color_type not in _PNG_BPP:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    bpp = _PNG_BPP[color_type]
+    if len(pixels) != width * height * bpp:
+        raise ValueError(
+            f"need {width * height * bpp} bytes for color type "
+            f"{color_type}, got {len(pixels)}"
+        )
+    stride = width * bpp
     raw = bytearray()
     prev = bytes(stride)
     for r in range(height):
@@ -313,7 +325,7 @@ def encode_png(
         raw.append(f)
         raw += _filter_scanline(f, line, prev, bpp)
         prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -322,13 +334,14 @@ def encode_png(
     )
 
 
-def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
+def _parse_png(payload: bytes) -> tuple[int, int, bytes, int]:
     """Shared PNG parser, stdlib only: signature + chunk walk (CRC
-    verified), IHDR validation (8-bit RGB, no interlace), IDAT
-    concatenation + zlib inflate, per-scanline unfiltering.  Returns
-    (width, height, raw RGB bytes).  Every malformed-input branch raises
-    ``ValueError`` with a STABLE message (the permissive decode channel
-    surfaces it as ``decode_error``, same contract as ``_parse_ppm``)."""
+    verified), IHDR validation (8-bit grayscale/RGB/RGBA, no
+    interlace), IDAT concatenation + zlib inflate, per-scanline
+    unfiltering.  Returns (width, height, raw pixel bytes, color_type).
+    Every malformed-input branch raises ``ValueError`` with a STABLE
+    message (the permissive decode channel surfaces it as
+    ``decode_error``, same contract as ``_parse_ppm``)."""
     import zlib
 
     if payload is None:
@@ -336,7 +349,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG payload")
     pos, end = len(PNG_SIG), len(payload)
-    width = height = None
+    width = height = color_type = None
     idat = bytearray()
     seen_iend = False
     while pos < end:
@@ -359,9 +372,9 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
             )
             if width <= 0 or height <= 0:
                 raise ValueError("malformed PNG IHDR")
-            if bit_depth != 8 or color_type != 2:
+            if bit_depth != 8 or color_type not in _PNG_BPP:
                 raise ValueError(
-                    "only 8-bit RGB PNG supported, "
+                    "only 8-bit grayscale/RGB/RGBA PNG supported, "
                     f"bit_depth={bit_depth} color_type={color_type}"
                 )
             if interlace != 0:
@@ -380,7 +393,8 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         raise ValueError("corrupt PNG pixel data") from None
-    bpp, stride = 3, width * 3
+    bpp = _PNG_BPP[color_type]
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     pixels = bytearray()
@@ -390,7 +404,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
         line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
         prev = _unfilter_scanline(ftype, line, prev, bpp)
         pixels += prev
-    return width, height, bytes(pixels)
+    return width, height, bytes(pixels), color_type
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
@@ -399,11 +413,18 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     (width, height, sum_r, sum_g, sum_b) — the same exact-integer
     channel-sum witness as ``decode_ppm``, so the oracle's closed-form
     pixel formula only matches if inflate AND all five filter inversions
-    are correct."""
-    width, height, pixels = _parse_png(payload)
+    are correct.  Grayscale reports its sum on all three channels;
+    RGBA sums the color channels and ignores alpha."""
+    width, height, pixels, color_type = _parse_png(payload)
+    if color_type == 0:
+        s = sum(pixels)
+        return (width, height, s, s, s)
+    bpp = _PNG_BPP[color_type]
     sums = [0, 0, 0]
     for i, b in enumerate(pixels):
-        sums[i % 3] += b
+        c = i % bpp
+        if c < 3:
+            sums[c] += b
     return (width, height, sums[0], sums[1], sums[2])
 
 

@@ -388,19 +388,48 @@ def test_sample_frames_only_video(spark):
 def test_png_roundtrip_every_filter_type():
     """encode_png → _parse_png reproduces the exact pixel plane under
     each of the five PNG filter types individually and under a mixed
-    per-row cycle — the decoder's unfiltering is exact, not approximate."""
+    per-row cycle, for every supported color type (grayscale bpp=1,
+    RGB bpp=3, RGBA bpp=4 — the filters' left-pixel references depend
+    on bpp, so each is its own unfiltering case)."""
     from kafka_streams_one_to_many_join_spark.functions.multimodal import (
         _parse_png,
         encode_png,
     )
 
     w, h = 6, 5
-    px = bytes((i * 29 + 3) % 256 for i in range(w * h * 3))
-    for f in range(5):
-        assert _parse_png(encode_png(w, h, px, row_filters=[f])) == (w, h, px), f
-    assert _parse_png(encode_png(w, h, px, row_filters=[0, 1, 2, 3, 4])) == (
-        w, h, px,
+    for ct, bpp in ((0, 1), (2, 3), (6, 4)):
+        px = bytes((i * 29 + 3) % 256 for i in range(w * h * bpp))
+        for f in range(5):
+            got = _parse_png(encode_png(w, h, px, row_filters=[f], color_type=ct))
+            assert got == (w, h, px, ct), (ct, f)
+        got = _parse_png(
+            encode_png(w, h, px, row_filters=[0, 1, 2, 3, 4], color_type=ct)
+        )
+        assert got == (w, h, px, ct), ct
+
+
+def test_png_gray_and_rgba_channel_sums():
+    """decode_png's witness per color type: grayscale reports its sum on
+    all three channels; RGBA sums r/g/b and ignores alpha."""
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
     )
+
+    w, h = 4, 3
+    gray = bytes((i * 7 + 1) % 256 for i in range(w * h))
+    s = sum(gray)
+    assert decode_png(
+        encode_png(w, h, gray, row_filters=[3, 4], color_type=0)
+    ) == (w, h, s, s, s)
+    rgba = bytes((i * 11 + 5) % 256 for i in range(w * h * 4))
+    sums = [0, 0, 0]
+    for i, b in enumerate(rgba):
+        if i % 4 < 3:
+            sums[i % 4] += b
+    assert decode_png(
+        encode_png(w, h, rgba, row_filters=[1, 2, 4], color_type=6)
+    ) == (w, h, *sums)
 
 
 def test_png_decode_error_channel():
@@ -431,13 +460,20 @@ def test_png_decode_error_channel():
     corrupt[45] ^= 0xFF  # inside IDAT → crc mismatch
     with pytest.raises(ValueError, match="bad PNG chunk crc|corrupt PNG"):
         decode_png(bytes(corrupt))
-    gray = (
+    palette = (
         PNG_SIG
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="only 8-bit RGB PNG supported"):
-        decode_png(gray)
+    with pytest.raises(ValueError, match="only 8-bit grayscale/RGB/RGBA"):
+        decode_png(palette)
+    deep = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="only 8-bit grayscale/RGB/RGBA"):
+        decode_png(deep)
     interlaced = (
         PNG_SIG
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
