@@ -330,6 +330,97 @@ def test_streamed_additions_then_maintenance_then_probe(spark, sf_dir, tmp_path)
     assert got, "fixture must have shard-touching pairs"
 
 
+def test_streamed_segment_additions_then_maintenance_then_probe(
+    spark, sf_dir, tmp_path
+):
+    """The segment-state face of the stream-vs-maintenance division
+    (the band-index twin above): intra-day arrivals stream into the
+    persisted (doc_segs, seg_counts) state one micro-batch at a time
+    (foreachBatch upserts via segment_index_apply), THEN the nightly
+    maintenance applies corrections + deletes, THEN the next shard
+    probes — the probe's rows must equal the full recompute on the
+    final corpus for exactly its doc set."""
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        segment_dedup_incremental,
+        segment_index_apply,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frozen = docs.filter(F.col("doc_id") % 10 < 5)
+    arrivals = docs.filter(
+        (F.col("doc_id") % 10 >= 5) & (F.col("doc_id") % 10 <= 7)
+    )
+    shard = docs.filter(F.col("doc_id") % 10 == 8)
+    base = str(tmp_path / "seg_v0")
+    p0 = segment_pairs(frozen)
+    p0.write.mode("overwrite").parquet(f"{base}_pairs")
+    _counts_of(spark.read.parquet(f"{base}_pairs")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}_occ")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    for i in range(3):
+        arrivals.filter(F.col("doc_id") % 3 == i).write.mode(
+            "append"
+        ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    state = {"cur": base, "n": 0}
+
+    def ingest(bdf, bid):
+        if bdf.isEmpty():
+            return
+        cur_pairs = spark.read.parquet(f"{state['cur']}_pairs")
+        cur_counts = spark.read.parquet(f"{state['cur']}_occ")
+        p2, c2 = segment_index_apply(cur_pairs, cur_counts, upserts=bdf)
+        nxt = str(tmp_path / f"seg_v{state['n'] + 1}")
+        p2.write.mode("overwrite").parquet(f"{nxt}_pairs")
+        c2.write.mode("overwrite").parquet(f"{nxt}_occ")
+        state["cur"], state["n"] = nxt, state["n"] + 1
+
+    q = stream.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    assert state["n"] >= 2, "arrivals must span multiple micro-batches"
+    pairs_s = spark.read.parquet(f"{state['cur']}_pairs")
+    counts_s = spark.read.parquet(f"{state['cur']}_occ")
+    corrected = docs.filter(F.col("doc_id") % 10 == 6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" corrected edition"))
+    )
+    deletes = docs.filter(F.col("doc_id") % 10 == 4).select("doc_id")
+    pairs_m, counts_m = segment_index_apply(
+        pairs_s, counts_s, upserts=corrected, delete_ids=deletes
+    )
+    inc = {
+        r.doc_id: tuple(r)
+        for r in segment_dedup_incremental(
+            shard, pairs_m, seg_counts=counts_m
+        ).collect()
+    }
+    final_corpus = (
+        docs.filter((F.col("doc_id") % 10 <= 8) & (F.col("doc_id") % 10 != 4))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 6,
+                F.concat(F.col("text"), F.lit(" corrected edition")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    full = {
+        r.doc_id: tuple(r)
+        for r in entry_mod._segment_dedup(final_corpus).collect()
+    }
+    for did, row in inc.items():
+        assert row == full[did], did
+    shard_ids = {d for d in full if d % 10 == 8}
+    assert shard_ids <= set(inc)
+
+
 def test_segment_index_apply_delete_ids_contract(spark):
     """delete_ids must be one column or carry doc_id (the band
     operator's contract, ADVICE r14 low applied from birth)."""
