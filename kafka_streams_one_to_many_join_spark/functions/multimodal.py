@@ -352,6 +352,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes, int]:
     width = height = color_type = None
     idat = bytearray()
     seen_iend = False
+    first_chunk = True
     while pos < end:
         if pos + 8 > end:
             raise ValueError("truncated PNG chunk")
@@ -364,8 +365,17 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes, int]:
         (crc,) = struct.unpack(">I", payload[data_end : data_end + 4])
         if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
             raise ValueError(f"bad PNG chunk crc ({typ.decode('latin-1')})")
+        # chunk-ORDER enforcement (ADVICE r15 low): the spec requires
+        # IHDR first and exactly once; leniency stays limited to unknown
+        # ancillary chunks AFTER a valid IHDR.  Without this a
+        # spec-invalid stream (IDAT before IHDR, duplicate IHDR
+        # re-declaring dims mid-stream) decodes "successfully" instead
+        # of reporting a stable decode_error.
+        if first_chunk and typ != b"IHDR":
+            raise ValueError("malformed PNG IHDR")
+        first_chunk = False
         if typ == b"IHDR":
-            if length != 13:
+            if width is not None or length != 13:
                 raise ValueError("malformed PNG IHDR")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
@@ -389,13 +399,30 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes, int]:
         raise ValueError("missing PNG IHDR")
     if not seen_iend:
         raise ValueError("truncated PNG chunk")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        raise ValueError("corrupt PNG pixel data") from None
     bpp = _PNG_BPP[color_type]
     stride = width * bpp
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # BOUNDED inflate (ADVICE r15 low): the expected raw size is known
+    # from IHDR, so cap decompression at expected+1 bytes instead of
+    # inflating an untrusted IDAT stream unboundedly — a
+    # decompression-bomb payload (tiny declared dims, huge compressed
+    # stream) previously allocated its full inflated size before the
+    # size check could reject it, escaping the permissive decode_error
+    # channel by exhausting executor memory instead.
+    try:
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected + 1)
+    except zlib.error:
+        raise ValueError("corrupt PNG pixel data") from None
+    if len(raw) > expected:
+        # over-long pixel data: same stable reason the unbounded path
+        # reported after full decompression
+        raise ValueError("truncated PNG pixel data")
+    if not dobj.eof or dobj.unused_data:
+        # truncated zlib stream / trailing garbage — both raised
+        # zlib.error under plain zlib.decompress
+        raise ValueError("corrupt PNG pixel data")
+    if len(raw) != expected:
         raise ValueError("truncated PNG pixel data")
     pixels = bytearray()
     prev = bytes(stride)

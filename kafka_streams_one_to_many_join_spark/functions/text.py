@@ -461,6 +461,34 @@ def bpe_pair_counts(
     )
 
 
+def _aimd_next_k(cur_k: int, rounds_at_floor: int, speculate: int) -> tuple[int, int]:
+    """Top-of-round AIMD chain size: from the k=1 floor, probe k=2 only
+    after 8 consecutive floor rounds (the upward probe the docstring
+    promises).  Pure so the floor-holding behavior is unit-testable
+    without a Spark train (tests/test_bpe_train.py)."""
+    if cur_k == 1 and rounds_at_floor >= 8:
+        return min(2, speculate), 0
+    return cur_k, rounds_at_floor
+
+
+def _aimd_update(
+    cur_k: int, rounds_at_floor: int, accepted: int, k_round: int, speculate: int
+) -> tuple[int, int]:
+    """Post-round AIMD update (ADVICE r15 low): full acceptance DOUBLES
+    the chain only when the round actually speculated (``k_round > 1``).
+    A k=1 round always "fully accepts" — its only candidate is the
+    exact argmax by construction — so counting it as a speculation hit
+    would bounce the chain 1→2→1→2 under sustained misses instead of
+    holding the documented lean floor, and ``rounds_at_floor`` would
+    never reach the 8-round upward-probe gate.  Truncation drops the
+    chain to the accepted prefix; consecutive floor rounds are counted
+    for ``_aimd_next_k``'s probe."""
+    if accepted == k_round and k_round > 1:
+        return min(speculate, max(2, k_round * 2)), 0
+    cur_k = max(1, accepted)
+    return cur_k, (rounds_at_floor + 1 if cur_k == 1 else 0)
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int,
@@ -539,8 +567,11 @@ def bpe_train(
     against speculate=1 on every fixture, including the seeded
     collision-heavy corpus), and the only thing speculation changes is
     the job count: jobs/merge = 1/(mean accepted prefix).  The chain
-    size is ADAPTIVE (AIMD: double on full acceptance, drop to the
-    accepted prefix on truncation, probe upward every 8th round) —
+    size is ADAPTIVE (AIMD: double on full acceptance of a round that
+    actually speculated — k_round > 1; a k=1 round trivially "accepts"
+    its only candidate and must not count as a hit (ADVICE r15) — drop
+    to the accepted prefix on truncation, hold the k=1 floor under
+    sustained misses and probe upward every 8th floor round) —
     measured (SCALE.md r15): at the data-bound HEAD of a train
     freshly-minted pairs outrank the speculated next-best almost every
     round, so a FIXED K=8 read 1.77x slower than sequential while the
@@ -636,14 +667,15 @@ def bpe_train(
         # 477k-word ladder), so a fixed K pays K-chain fold work for ~1
         # merge — measured 1.77x SLOWER than sequential.  Acceptance is
         # a property of the count landscape, so adapt: double the chain
-        # on full acceptance, drop to the observed accepted prefix on
-        # truncation, and probe upward every 8th round from the floor.
+        # on full acceptance of a genuinely speculative round, drop to
+        # the observed accepted prefix on truncation, hold the k=1
+        # floor under sustained misses, probe upward every 8th floor
+        # round (_aimd_update / _aimd_next_k — pure, unit-tested).
         cur_k = min(2, speculate)
         rounds_at_floor = 0
         while rank < num_merges and pair_counts:
             _t0 = _time.perf_counter()
-            if cur_k == 1 and rounds_at_floor >= 8:
-                cur_k, rounds_at_floor = min(2, speculate), 0
+            cur_k, rounds_at_floor = _aimd_next_k(cur_k, rounds_at_floor, speculate)
             k_round = min(cur_k, speculate, num_merges - rank)
             # chain: argmax + next-best candidates with pairwise-DISJOINT
             # symbols, in exact (count desc, lexicographic) order — a
@@ -789,12 +821,9 @@ def bpe_train(
                         pair_counts.pop(key, None)
                 accepted = k
             _check_pair_state()
-            if accepted == k_round:
-                cur_k = min(speculate, max(2, k_round * 2))
-                rounds_at_floor = 0
-            else:
-                cur_k = max(1, accepted)
-                rounds_at_floor = rounds_at_floor + 1 if cur_k == 1 else 0
+            cur_k, rounds_at_floor = _aimd_update(
+                cur_k, rounds_at_floor, accepted, k_round, speculate
+            )
             if accepted == 1:
                 # lean single-fold update (the transform() lambda-variable
                 # routing from the sequential path — one reference/level)

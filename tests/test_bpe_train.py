@@ -297,3 +297,53 @@ def test_bpe_train_pair_state_cap_raises(spark):
         bpe_train(docs, num_merges=2, max_pair_state=3)
     # an adequate cap trains normally
     assert bpe_train(docs, num_merges=2, max_pair_state=10_000).count() == 2
+
+
+def test_aimd_floor_holds_under_sustained_misses():
+    """ADVICE r15: a k_round==1 round trivially 'fully accepts' its only
+    candidate, so it must NOT count as a speculation hit — under
+    sustained misses the chain holds the k=1 floor for 8 rounds, then
+    probes k=2 once, instead of alternating 1,2,1,2.  Pure simulation
+    of the AIMD state machine (no Spark)."""
+    from kafka_streams_one_to_many_join_spark.functions.text import (
+        _aimd_next_k,
+        _aimd_update,
+    )
+
+    speculate = 8
+    cur_k, floor = min(2, speculate), 0
+    ks = []
+    for _ in range(30):
+        cur_k, floor = _aimd_next_k(cur_k, floor, speculate)
+        k_round = cur_k
+        ks.append(k_round)
+        accepted = 1  # sustained speculation misses: only the argmax lands
+        cur_k, floor = _aimd_update(cur_k, floor, accepted, k_round, speculate)
+    # round 1 speculates k=2 (initial), truncates to the floor (that
+    # truncation counts as floor round 1), holds k=1 through 8 counted
+    # floor rounds, probes k=2 on the next, and repeats — never the old
+    # 1,2,1,2 alternation.
+    assert ks[0] == 2
+    assert ks[1:8] == [1] * 7, ks
+    assert ks[8] == 2, ks
+    assert ks[9:16] == [1] * 7, ks
+    assert ks[16] == 2, ks
+    assert 2 not in ks[17:24], ks
+
+
+def test_aimd_doubles_only_on_real_speculation():
+    """Full acceptance doubles the chain only when the round speculated
+    (k_round > 1); growth is still exponential up to the cap."""
+    from kafka_streams_one_to_many_join_spark.functions.text import _aimd_update
+
+    # k_round=1 full acceptance: stays at the floor, counts floor rounds
+    assert _aimd_update(1, 3, 1, 1, 8) == (1, 4)
+    # real speculation, fully accepted: 2 -> 4 -> 8 (capped at speculate)
+    assert _aimd_update(2, 0, 2, 2, 8) == (4, 0)
+    assert _aimd_update(4, 0, 4, 4, 8) == (8, 0)
+    assert _aimd_update(8, 0, 8, 8, 8) == (8, 0)
+    # truncation drops to the accepted prefix; floor counting starts at 1
+    assert _aimd_update(8, 0, 3, 8, 8) == (3, 0)
+    assert _aimd_update(3, 0, 1, 3, 8) == (1, 1)
+    # zero accepted (possible when the argmax itself shifted) floors too
+    assert _aimd_update(2, 0, 0, 2, 8) == (1, 1)

@@ -487,6 +487,78 @@ def test_png_decode_error_channel():
         decode_image(b"garbage")
 
 
+def test_png_chunk_order_enforced():
+    """ADVICE r15: IHDR must be the FIRST chunk and appear exactly once;
+    IDAT before IHDR / duplicate IHDR are stable decode errors, not
+    silent successes."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    idat = _png_chunk(b"IDAT", zlib.compress(b"\x00\x2a"))
+    iend = _png_chunk(b"IEND", b"")
+    # IDAT first (valid CRC, valid pixel data) — previously decoded fine
+    with pytest.raises(ValueError, match="malformed PNG IHDR"):
+        decode_png(PNG_SIG + idat + ihdr + iend)
+    # any non-IHDR first chunk, even ancillary
+    with pytest.raises(ValueError, match="malformed PNG IHDR"):
+        decode_png(PNG_SIG + _png_chunk(b"tEXt", b"k\x00v") + ihdr + idat + iend)
+    # duplicate IHDR re-declaring dims mid-stream
+    with pytest.raises(ValueError, match="malformed PNG IHDR"):
+        decode_png(PNG_SIG + ihdr + ihdr + idat + iend)
+    # the valid ordering still decodes, ancillary chunks after IHDR stay lenient
+    good = PNG_SIG + ihdr + _png_chunk(b"tEXt", b"k\x00v") + idat + iend
+    assert decode_png(good) == (1, 1, 42, 42, 42)
+    # and the real encoder's output is unaffected
+    assert decode_png(encode_png(1, 1, b"\x07\x09\x0b")) == (1, 1, 7, 9, 11)
+
+
+def test_png_decompression_bomb_bounded():
+    """ADVICE r15: inflate is capped at the IHDR-declared pixel-plane
+    size — a bomb payload (1×1 declared, ~64 MB inflated) reports the
+    stable truncated-pixel-data reason instead of materializing the
+    full inflated stream in executor memory."""
+    import struct
+    import time
+    import zlib
+
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    bomb = PNG_SIG + ihdr + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9)
+    ) + _png_chunk(b"IEND", b"")
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="truncated PNG pixel data"):
+        decode_png(bomb)
+    # bounded inflate rejects on the first ~2 output bytes; generous
+    # wall bound just to catch a regression to full inflation
+    assert time.perf_counter() - t0 < 2.0
+    # truncated zlib stream and trailing garbage keep the corrupt reason
+    whole = zlib.compress(b"\x00\x2a")
+    trunc = PNG_SIG + ihdr + _png_chunk(b"IDAT", whole[:-2]) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt PNG pixel data"):
+        decode_png(trunc)
+    trail = PNG_SIG + ihdr + _png_chunk(b"IDAT", whole + b"xx") + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt PNG pixel data"):
+        decode_png(trail)
+
+
 def test_extract_image_features_dispatches_png_and_ppm(spark):
     """One decode stage, two container formats: a mixed asset frame of
     real PPM and real PNG payloads decodes to the closed-form dims and
