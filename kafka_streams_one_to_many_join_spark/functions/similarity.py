@@ -554,3 +554,334 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted + maintained ANN index (r16, VERDICT r15 item 1 — the third leg
+# of the maintenance trilogy after the MinHash band index (r14) and the
+# segment state (r15)).  lsh_topk / ivf_topk rebuild their bucket/cell
+# structure INSIDE every query; a nightly embedding-ingest user re-pays the
+# full corpus signing on every probe and has no upsert/delete story for
+# vectors at all — the same stale-state hazard minhash_band_index_apply's
+# docstring names, one family over.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_stamp(planes: list[list[float]]) -> dict:
+    """Construction-parameter stamp for an LSH bucket index: the FULL
+    plane geometry rides in the state column's metadata (floats
+    round-trip exactly through the schema's JSON — shortest-repr on
+    both the Python and JVM side), so a months-old persisted index
+    knows its own geometry and ``ann_index_apply(index, upserts=...)``
+    just works with nothing re-passed (the minhash stamp precedent,
+    functions/dedup.py:433, taken one step further: geometry, not just
+    scalars)."""
+    return {
+        "method": "hyperplane_lsh",
+        "dim": len(planes[0]),
+        "n_planes": len(planes),
+        # FLAT row-major floats: Spark's column Metadata supports arrays
+        # of primitives only (array-of-array raises json4s JArray)
+        "geometry_flat": [float(x) for p in planes for x in p],
+    }
+
+
+def _ivf_stamp(centroids: list[list[float]]) -> dict:
+    """IVF twin of ``_lsh_stamp``: full centroid table in the stamp."""
+    return {
+        "method": "ivf",
+        "dim": len(centroids[0]),
+        "nlist": len(centroids),
+        "geometry_flat": [float(x) for c in centroids for x in c],
+    }
+
+
+def _lsh_eligible(vec_col: str, dim: int) -> Column:
+    """Scan-level eligibility for the LSH index: full-width, every
+    element non-NULL/non-NaN, not the zero vector — the union of
+    ``lsh_topk``'s degenerate-element prefilter and the family-wide
+    full-width guard, baked into the INDEX so every probe against it
+    inherits the policy instead of re-deciding it per query."""
+    return F.expr(
+        f"{vec_col} is not null and size({vec_col}) = {dim} "
+        f"and forall({vec_col}, v -> v is not null and not isnan(v)) "
+        f"and exists({vec_col}, v -> v != cast(0.0 as double))"
+    )
+
+
+def ann_lsh_index(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PERSISTABLE hyperplane-LSH index: one row per eligible vector —
+    ``(vec_id, embedding, norm, bucket)`` with the full construction
+    geometry stamped into ``bucket``'s column metadata.  This is the
+    state ``lsh_topk`` builds in-flight on every call, exposed for the
+    nightly-ingest pattern: write it once for the frozen corpus (the
+    bucket id is a SCALAR, so ``sources.bucketed.write_bucketed`` on
+    ``bucket`` needs no hash helper), then probe with
+    ``ann_topk_indexed`` — the corpus is never re-signed — and maintain
+    it under upserts/deletes with ``ann_index_apply``.  The norm is
+    precomputed per vector (the O(N·d) half of every future cosine),
+    so a probe pays only the candidate dot products."""
+    dim = len(planes[0])
+    return corpus.filter(_lsh_eligible(vec_col, dim)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(norm_expr(vec_col)).alias("norm"),
+        hyperplane_lsh_bucket(vec_col, planes).alias(
+            "bucket", metadata=_lsh_stamp(planes)
+        ),
+    )
+
+
+def ann_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF twin of ``ann_lsh_index``: ``(vec_id, embedding, norm,
+    cell)`` rows, nearest-centroid cell assignment (materialized-dots
+    argmax — the one-evaluation plan, see ``ivf_topk``), full centroid
+    table stamped into ``cell``'s metadata.  Eligibility is the IVF
+    family's: full-width vectors only (``ivf_topk``'s r11 guard)."""
+    dim = len(centroids[0])
+    ds = _cell_dots_expr(vec_col, centroids)
+    return (
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(norm_expr(vec_col)).alias("norm"),
+            F.expr(ds).alias("_dots"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "norm",
+            F.expr("array_position(_dots, array_max(_dots))")
+            .cast("int")
+            .alias("cell", metadata=_ivf_stamp(centroids)),
+        )
+    )
+
+
+def _ann_state_col(index: DataFrame, op: str) -> str:
+    """The index's state column: ``bucket`` (LSH) or ``cell`` (IVF)."""
+    if "bucket" in index.columns:
+        return "bucket"
+    if "cell" in index.columns:
+        return "cell"
+    raise ValueError(
+        f"{op}: DataFrame is not an ANN index — expected a 'bucket' "
+        f"(ann_lsh_index) or 'cell' (ann_ivf_index) column, got "
+        f"{index.columns}"
+    )
+
+
+def _ann_resolve_geometry(
+    index: DataFrame,
+    planes: list[list[float]] | None,
+    centroids: list[list[float]] | None,
+    op: str,
+) -> tuple[str, list[list[float]]]:
+    """Resolve (method, geometry) for an index consumer: the stamp wins
+    when present (so ``op(index, ...)`` just works on any stamped
+    index); explicitly-passed geometry is VALIDATED against the stamp —
+    a mismatch raises instead of silently probing/maintaining a
+    months-old index under different planes/centroids (wrong, typically
+    near-empty, candidate sets).  A PRE-STAMP index (no metadata)
+    REFUSES to default: the matching geometry must be passed explicitly
+    (the minhash pre-stamp precedent, ADVICE r14)."""
+    state_col = _ann_state_col(index, op)
+    meta = dict(index.schema[state_col].metadata or {})
+    method = meta.get("method")
+    given = planes if state_col == "bucket" else centroids
+    wrong_kind = centroids if state_col == "bucket" else planes
+    if wrong_kind is not None and given is None:
+        raise ValueError(
+            f"{op}: index carries a {state_col!r} column but only the "
+            f"{'centroids' if state_col == 'bucket' else 'planes'} "
+            "geometry was passed — pass the matching kind"
+        )
+    key = "planes" if state_col == "bucket" else "centroids"
+    if method is None:
+        if given is None:
+            raise ValueError(
+                f"{op}: the index carries no construction stamp and no "
+                f"{key} were passed explicitly; probing or maintaining a "
+                "pre-stamp index under defaulted geometry silently returns "
+                f"wrong candidate sets.  Pass the {key} the index was "
+                "built with, or rebuild it once with "
+                f"ann_{'lsh' if key == 'planes' else 'ivf'}_index to stamp it"
+            )
+        return ("hyperplane_lsh" if state_col == "bucket" else "ivf"), [
+            list(g) for g in given
+        ]
+    flat = [float(x) for x in meta["geometry_flat"]]
+    dim = int(meta["dim"])
+    stamped = [flat[i : i + dim] for i in range(0, len(flat), dim)]
+    if given is not None:
+        cand = [list(g) for g in given]
+        if cand != stamped:
+            raise ValueError(
+                f"{op}: the {key} passed differ from the index's stamped "
+                "construction geometry; results would be silently wrong — "
+                "rebuild the index or drop the explicit argument to use "
+                "the stamp"
+            )
+    return method, stamped
+
+
+def ann_index_apply(
+    index: DataFrame,
+    upserts: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+    planes: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maintain a persisted ANN index under a MUTABLE corpus (VERDICT
+    r15 item 1 — completing the maintenance trilogy: band index r14,
+    segment state r15, vectors now): retract every row of re-ingested
+    (``upserts`` — corrected vectors) and deleted (``delete_ids``)
+    ids, then insert the upserted vectors' freshly-assigned rows.
+    Append-only evolution leaves a corrected vector in its STALE
+    bucket/cell forever — probes keep returning neighbors of an
+    embedding that no longer exists (the batch-index analog of the
+    reference's N-side delete propagation, DemoApp.scala:224-230).
+
+    Output: the maintained index, row-for-row equal to rebuilding on
+    the corrected corpus (differentially asserted in
+    tests/test_ann_maintenance.py, both directions: an upsert MOVES a
+    vector to a new bucket, a delete makes a former neighbor vanish
+    from every top-k).
+
+    Scale shape: the nightly change set is orders smaller than the
+    index, so retraction is a BROADCAST anti-join on ``vec_id`` — the
+    index streams through exchange-free (plan-asserted: no
+    SortMergeJoin, no state-sized exchange), no re-signing of any
+    frozen vector, and only the upserted vectors pay the plane/centroid
+    dot products.  Geometry defaults to the index's own STAMP
+    (``ann_index_apply(index, upserts=...)`` just works); explicitly
+    passed geometry is validated against the stamp, and a PRE-STAMP
+    index refuses to default (``_ann_resolve_geometry``).
+
+    DELETE PRECEDENCE (the band/segment contract): an id in BOTH
+    ``upserts`` and ``delete_ids`` ends DELETED — fresh rows are
+    anti-joined against the delete set too.  ``delete_ids`` must be a
+    one-column frame or carry ``id_col``."""
+    method, geom = _ann_resolve_geometry(
+        index, planes, centroids, "ann_index_apply"
+    )
+    del_ids = None
+    if delete_ids is not None:
+        if id_col in delete_ids.columns:
+            del_col = id_col
+        elif len(delete_ids.columns) == 1:
+            del_col = delete_ids.columns[0]
+        else:
+            raise ValueError(
+                "ann_index_apply: delete_ids must be a one-column id "
+                f"DataFrame or carry {id_col!r}; got columns "
+                f"{delete_ids.columns} — retracting on an arbitrary first "
+                "column would silently delete the wrong vectors"
+            )
+        del_ids = delete_ids.select(F.col(del_col).alias(id_col))
+    retract = del_ids
+    if upserts is not None:
+        up_ids = upserts.select(F.col(id_col))
+        retract = up_ids if retract is None else retract.unionByName(up_ids)
+    out = index
+    if retract is not None:
+        out = out.join(F.broadcast(retract.distinct()), id_col, "left_anti")
+    if upserts is not None:
+        build = ann_lsh_index if method == "hyperplane_lsh" else ann_ivf_index
+        new_rows = build(upserts, geom, id_col=id_col, vec_col=vec_col)
+        if del_ids is not None:
+            # deletes win over same-day upserts (band/segment precedent)
+            new_rows = new_rows.join(F.broadcast(del_ids), id_col, "left_anti")
+        out = out.unionByName(new_rows.select(*out.columns))
+    return out
+
+
+def ann_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    probe_hamming: int = 1,
+    nprobe: int = 3,
+    planes: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED index — the probe that
+    kills the per-query corpus rebuild: the index's (vec_id, embedding,
+    norm, bucket|cell) rows are read as-is (scanned, never shuffled —
+    the query side broadcasts), no plane/centroid dot is evaluated for
+    any corpus vector, and the precomputed norm feeds
+    ``cosine_from_norms`` directly.  Query-side geometry (bucket +
+    multi-probe masks for LSH, nprobe nearest cells for IVF) comes from
+    the index's stamp, so the probe CANNOT drift from the index's
+    construction.  Semantics match ``lsh_topk`` / ``ivf_topk`` on the
+    same corpus exactly (differentially asserted), including the
+    degenerate-vector policy, which the index bakes in corpus-side and
+    this probe applies query-side."""
+    method, geom = _ann_resolve_geometry(
+        index, planes, centroids, "ann_topk_indexed"
+    )
+    dim = len(geom[0])
+    if method == "hyperplane_lsh":
+        masks = probe_masks(len(geom), probe_hamming)
+        mask_list = ", ".join(str(m) for m in masks)
+        q = queries.filter(_lsh_eligible(vec_col, dim)).select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.expr(norm_expr(vec_col)).alias("_qn"),
+            hyperplane_lsh_bucket(vec_col, geom).alias("_b0"),
+        ).select(
+            query_id_col,
+            "_qvec",
+            "_qn",
+            F.explode(
+                F.expr(f"transform(array({mask_list}), m -> _b0 ^ m)")
+            ).alias("bucket"),
+        )
+        join_key = "bucket"
+    else:
+        q = queries.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        ).select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.expr(norm_expr(vec_col)).alias("_qn"),
+            F.explode(ivf_probe_cells(vec_col, geom, nprobe)).alias("cell"),
+        )
+        join_key = "cell"
+    scored = (
+        index.join(F.broadcast(q), on=join_key)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_from_norms("_qvec", vec_col, "_qn", "norm"), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
