@@ -877,7 +877,9 @@ def q_simhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_dup_clusters(load_table(spark, sf, "documents"))
 
 
-def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+def _ann_exact_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-k via Catalyst higher-order exprs —
+    the former standalone ann_topk body; also ann_recall's baseline."""
     emb = _emb_full_width(load_table(spark, sf, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -885,19 +887,23 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
-# Hard cap on the driver-collected query set for the pandas ANN path: the
-# query side ships in every task closure, so it must stay O(1) w.r.t. the
-# corpus.  1024 queries × 64 dims × 8 B ≈ 0.5 MB — safely broadcastable.
-_ANN_QUERY_CAP = 1024
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force top-k, BOTH execution faces as a method-tagged
+    bag union (r16 consolidation funding the ``ann_topk_maintained``
+    roster slot — the embedding_near_dup/token_chunks grain-tag
+    pattern; both constituents were r14-green due-window members):
 
+    - ``method='expr'`` — Catalyst zip_with/aggregate cosine, the
+      JVM-side path — every column of the former ann_topk rows;
+    - ``method='pandas'`` — the vectorized Arrow/numpy matmul path
+      (driver-collected query set capped at ``_ANN_QUERY_CAP``) — every
+      column of the former ann_topk_pandas rows.
 
-def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
-    """Same semantics as ann_topk through the vectorized Arrow/numpy path.
-
-    The query side is materialized on the driver and shipped in the task
-    closure, so it is bounded by ``_ANN_QUERY_CAP`` (deterministic: lowest
-    query_ids win) — at any corpus scale the closure stays ~0.5 MB instead
-    of growing with N/100."""
+    Both faces compute the SAME exact semantics, so the union doubles
+    each row with distinct tags and every original value stays
+    hash-pinned; it also keeps the expr-vs-pandas agreement itself
+    under the driver's hash check every round."""
+    expr_face = _ann_exact_topk(spark, sf).withColumn("method", F.lit("expr"))
     emb = _emb_full_width(load_table(spark, sf, "embeddings"))
     qpdf = (
         emb.filter(F.col("vec_id") % 100 == 0)
@@ -906,7 +912,16 @@ def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_ANN_QUERY_CAP)
         .toPandas()
     )
-    return brute_force_topk_pandas(emb, qpdf, k=10)
+    pandas_face = brute_force_topk_pandas(emb, qpdf, k=10).withColumn(
+        "method", F.lit("pandas")
+    )
+    return expr_face.unionByName(pandas_face)
+
+
+# Hard cap on the driver-collected query set for the pandas ANN path: the
+# query side ships in every task closure, so it must stay O(1) w.r.t. the
+# corpus.  1024 queries × 64 dims × 8 B ≈ 0.5 MB — safely broadcastable.
+_ANN_QUERY_CAP = 1024
 
 
 # 8 hyperplanes over the 64-dim embedding space, seed 7 — the identical
@@ -971,6 +986,48 @@ def q_ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
     cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
     return ivf_topk(emb, queries, cents, nprobe=_IVF_NPROBE, k=10)
+
+
+def q_ann_topk_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k over a PERSISTED index under a MUTABLE corpus (r16,
+    VERDICT r15 item 1 — completing the maintenance trilogy): build
+    "yesterday's" hyperplane-LSH index over the full corpus
+    (``ann_lsh_index`` — geometry stamped in column metadata), apply
+    tonight's change feed (``ann_index_apply``: vec_id % 7 == 3
+    re-ingested with a REVERSED embedding — moves their buckets;
+    vec_id % 11 == 5 deleted; the %77 overlap ends DELETED per the
+    delete-wins contract), then probe the maintained index with
+    ``ann_topk_indexed`` — no corpus vector is re-signed on the probe
+    path, and the query-side geometry comes from the index's stamp.
+
+    The oracle recomputes hyperplane-LSH top-k from scratch on the
+    CORRECTED corpus (reverse-upserted, deletions gone), so the hash
+    pins exactly the maintenance semantics: a stale row (an upserted
+    vector still in its old bucket, a deleted vector still answering
+    as a neighbor) breaks parity.  Scale shape: retraction is a
+    broadcast anti-join (index streams exchange-free, plan-asserted in
+    tests/test_ann_maintenance.py); only the upserted vectors pay
+    plane dots; the probe reads the index as-is with the query side
+    broadcast.  Maintain-vs-rebuild and probe-vs-full measured at
+    sf1/sf10 in SCALE.md r16."""
+    from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        ann_index_apply,
+        ann_lsh_index,
+        ann_topk_indexed,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    planes = seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED)
+    index = ann_lsh_index(emb, planes)
+    upserts = emb.filter(F.col("vec_id") % 7 == 3).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    deletes = emb.filter(F.col("vec_id") % 11 == 5).select("vec_id")
+    maintained = ann_index_apply(index, upserts=upserts, delete_ids=deletes)
+    queries = maintained.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_indexed(maintained, queries, k=10, probe_hamming=2)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1972,7 +2029,44 @@ def _minhash_lsh_sql(
     """
 
 
-def _ann_lsh_sql() -> str:
+def _ann_exact_sql() -> str:
+    """Exact brute-force cosine top-k oracle — the shared body both
+    method faces of the r16 ann_topk composite pin (the two faces
+    compute identical values by construction)."""
+    return f"""
+        -- full-width guard mirroring _emb_full_width (r11 ADVICE
+        -- close, generalized): ragged vectors scored here over
+        -- their leading dims while Spark dropped/NULLed them
+        WITH emb_ok AS (
+            SELECT * FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM emb_ok
+            WHERE vec_id % 100 = 0
+        ),
+        s AS (
+            SELECT q.query_id, e.vec_id,
+                   round(
+                       list_sum(list_transform(generate_series(1, len(e.embedding)),
+                           i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+                       / nullif(
+                           sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                         * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))), 0.0)
+                   , 6) AS sim
+            FROM emb_ok e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS rank FROM s
+        ) WHERE rank <= 10
+    """
+
+
+def _ann_lsh_sql(source: str = "embeddings", prelude: str = "") -> str:
+    """Hyperplane-LSH top-k oracle body; ``source`` names the corpus
+    relation so the maintained-index oracle can point the SAME probe at
+    a corrected-corpus CTE (passed via ``prelude``)."""
     from kafka_streams_one_to_many_join_spark.functions.similarity import (
         seeded_planes,
     )
@@ -1989,9 +2083,9 @@ def _ann_lsh_sql() -> str:
     # the probe sets cannot drift
     masks = ", ".join(str(m) for m in probe_masks(_N_PLANES, 2))
     return f"""
-        WITH bkt AS (
+        WITH {prelude}bkt AS (
             SELECT vec_id, embedding, {_DUCK_NORM} AS nn, {bucket} AS bucket
-            FROM embeddings
+            FROM {source}
             -- degenerate-element policy (mirrors lsh_topk's prefilter):
             -- drop vectors with any NULL/NaN element (NULL array drops
             -- via the NULL len); zero-norm drops via sim IS NOT NULL;
@@ -3693,7 +3787,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     exact = (
-        q_ann_topk(spark, sf)
+        _ann_exact_topk(spark, sf)
         .select("query_id", "vec_id")
         .transform(materialize)
     )
@@ -3773,27 +3867,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # immediately preceding round rotate to the back, where falling past
     # the cap loses nothing.  Rotate per round.
     #
-    # r15 state: steady-state rotation, window 4.  r14 checked the first
-    # 50 entries of the r14 order — all green (CORRECTNESS_r14 50/50),
-    # so the r13∪r14 union covers the whole 100-query roster with zero
-    # overlap.  Due now: the 50 entries whose newest green row is r13 —
-    # the r14 back block, promoted to the front in its r13 order, PLUS
+    # r16 state: steady-state rotation, window 4.  r15 checked the first
+    # 50 entries of the r15 order — all green (CORRECTNESS_r15 50/50),
+    # so the r14∪r15 union covers the whole 100-query roster with zero
+    # overlap.  Due now: the 50 entries whose newest green row is r14 —
+    # the r15 back block, promoted to the front in its r14 order, PLUS
     # the one declared deviation (the standing funded-swap pattern,
-    # VERDICT r14 item 1 executed as r13's was): the new
-    # ``segment_dedup_maintained`` entry (never checked — first of all)
-    # is funded by consolidating ``packing_efficiency`` into
-    # ``token_chunks`` (bag-union with a face tag, every original column
-    # still hash-pinned — both were r13-green due-window members, so the
-    # swap stays inside the due window and the driver re-checks the
-    # changed composite this round).  front-50 ==
-    # (CORRECTNESS_r13 keys − {packing_efficiency}) ∪
-    # {segment_dedup_maintained}.  After this round every roster
-    # member's newest green row is r14 or r15.  Keep the total AT 100:
-    # every future addition must be matched by a consolidation.
+    # VERDICT r15 items 1+2 executed as r14's/r15's were): the new
+    # ``ann_topk_maintained`` entry (never checked — first of all) is
+    # funded by consolidating ``ann_topk_pandas`` into ``ann_topk``
+    # (bag-union with a method tag, every original column still
+    # hash-pinned — both were r14-green due-window members, so the swap
+    # stays inside the due window and the driver re-checks the changed
+    # composite this round).  front-50 ==
+    # (CORRECTNESS_r14 keys − {ann_topk_pandas}) ∪
+    # {ann_topk_maintained}.  After this round every roster member's
+    # newest green row is r15 or r16.  Keep the total AT 100: every
+    # future addition must be matched by a consolidation.
     return {
         # --- never checked: new this round ---
+        "ann_topk_maintained": q_ann_topk_maintained,
+        # --- newest green row is r14 (due now: the r15 back block) ---
+        "minhash_lsh_maintained": q_minhash_lsh_maintained,
+        "embedding_near_dup": q_embedding_near_dup,  # r14 composite: + lsh face
+        "asset_metadata": q_asset_metadata,
+        "frame_sample": q_frame_sample,
+        "orders_with_customer": q_orders_with_customer,
+        "fanout_per_customer": q_fanout_per_customer,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customer_order_totals": q_customer_order_totals,
+        "big_orders": q_big_orders,
+        "sequence_pack": q_sequence_pack,
+        "shingle_novelty": q_shingle_novelty,
+        "vocab_growth": q_vocab_growth,
+        "shard_assignment": q_shard_assignment,
+        "cms_token_counts": q_cms_token_counts,
+        "token_count_modes": q_token_count_modes,
+        "mixture_weights": q_mixture_weights,
+        "sequence_pack_text": q_sequence_pack_text,
+        "late_shipment_priority": q_late_shipment_priority,
+        "order_gap_days": q_order_gap_days,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "stratified_sample": q_stratified_sample,
+        "contamination_check": q_contamination_check,
+        "source_percentiles": q_source_percentiles,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "bigram_pmi": q_bigram_pmi,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "posting_lists": q_posting_lists,
+        "grouping_sets_segments": q_grouping_sets_segments,
+        "daily_click_purchase": q_daily_click_purchase,
+        "hll_distinct": q_hll_distinct,
+        "click_purchase_funnel": q_click_purchase_funnel,
+        "kmeans_step": q_kmeans_step,
+        "zone_history": q_zone_history,
+        "quality_score_udf": q_quality_score_udf,
+        "winnowing": q_winnowing,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "ann_topk": q_ann_topk,  # r16 composite: + pandas face
+        "latest_by_key": q_latest_by_key,
+        "one_to_many_snapshot": q_one_to_many_snapshot,
+        "join_trace": q_join_trace,
+        "car_moves": q_car_moves,
+        "arrive_leave": q_arrive_leave,
+        "zone_occupancy": q_zone_occupancy,
+        "incremental_snapshot": q_incremental_snapshot,
+        # --- green in r15 (past the cap loses nothing) = r17's due list ---
         "segment_dedup_maintained": q_segment_dedup_maintained,
-        # --- newest green row is r13 (due now: the r14 back block) ---
         "minhash_lsh_incremental": q_minhash_lsh_incremental,
         "simhash_clusters": q_simhash_clusters,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3843,57 +3988,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prior_purchase": q_asof_prior_purchase,
         "zone_pollution_full": q_zone_pollution_full,
         "max_order_per_customer": q_max_order_per_customer,
-        # --- green in r14 (past the cap loses nothing) = r16's due list ---
-        "minhash_lsh_maintained": q_minhash_lsh_maintained,
-        "ann_topk_pandas": q_ann_topk_pandas,
-        "embedding_near_dup": q_embedding_near_dup,  # r14 composite: + lsh face
-        "asset_metadata": q_asset_metadata,
-        "frame_sample": q_frame_sample,
-        "orders_with_customer": q_orders_with_customer,
-        "fanout_per_customer": q_fanout_per_customer,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "customer_order_totals": q_customer_order_totals,
-        "big_orders": q_big_orders,
-        "sequence_pack": q_sequence_pack,
-        "shingle_novelty": q_shingle_novelty,
-        "vocab_growth": q_vocab_growth,
-        "shard_assignment": q_shard_assignment,
-        "cms_token_counts": q_cms_token_counts,
-        "token_count_modes": q_token_count_modes,
-        "mixture_weights": q_mixture_weights,
-        "sequence_pack_text": q_sequence_pack_text,
-        "late_shipment_priority": q_late_shipment_priority,
-        "order_gap_days": q_order_gap_days,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "stratified_sample": q_stratified_sample,
-        "contamination_check": q_contamination_check,
-        "source_percentiles": q_source_percentiles,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "bigram_pmi": q_bigram_pmi,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "posting_lists": q_posting_lists,
-        "grouping_sets_segments": q_grouping_sets_segments,
-        "daily_click_purchase": q_daily_click_purchase,
-        "hll_distinct": q_hll_distinct,
-        "click_purchase_funnel": q_click_purchase_funnel,
-        "kmeans_step": q_kmeans_step,
-        "zone_history": q_zone_history,
-        "quality_score_udf": q_quality_score_udf,
-        "winnowing": q_winnowing,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "ann_topk": q_ann_topk,
-        "latest_by_key": q_latest_by_key,
-        "one_to_many_snapshot": q_one_to_many_snapshot,
-        "join_trace": q_join_trace,
-        "car_moves": q_car_moves,
-        "arrive_leave": q_arrive_leave,
-        "zone_occupancy": q_zone_occupancy,
-        "incremental_snapshot": q_incremental_snapshot,
     }
 
 
@@ -4591,34 +4685,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
             FROM reach GROUP BY node
         """,
+        # r16 consolidation: both exact faces, method-tagged (funds the
+        # ann_topk_maintained slot; the two faces compute identical
+        # values, so the union doubles each row under distinct tags and
+        # every original value stays hash-pinned)
         "ann_topk": f"""
-            -- full-width guard mirroring _emb_full_width (r11 ADVICE
-            -- close, generalized): ragged vectors scored here over
-            -- their leading dims while Spark dropped/NULLed them
-            WITH emb_ok AS (
-                SELECT * FROM embeddings
-                WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
-            ),
-            q AS (
-                SELECT vec_id AS query_id, embedding AS qe FROM emb_ok
-                WHERE vec_id % 100 = 0
-            ),
-            s AS (
-                SELECT q.query_id, e.vec_id,
-                       round(
-                           list_sum(list_transform(generate_series(1, len(e.embedding)),
-                               i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
-                           / nullif(
-                               sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
-                             * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))), 0.0)
-                       , 6) AS sim
-                FROM emb_ok e, q WHERE e.vec_id <> q.query_id
-            )
-            SELECT query_id, vec_id, sim, rank FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY sim DESC, vec_id) AS rank FROM s
-            ) WHERE rank <= 10
+            WITH one AS ({_ann_exact_sql()})
+            SELECT query_id, vec_id, sim, rank, 'expr' AS method FROM one
+            UNION ALL
+            SELECT query_id, vec_id, sim, rank, 'pandas' AS method FROM one
         """,
+        # the maintained-index probe == a fresh LSH probe over the
+        # CORRECTED corpus (upserts re-bucketed, deletions gone, the %77
+        # overlap deleted per delete-wins) — stale index rows break this
+        "ann_topk_maintained": _ann_lsh_sql(
+            source="corrected",
+            prelude=f"""corrected AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+                FROM embeddings
+                WHERE vec_id % 11 <> 5
+            ), """,
+        ),
         "asset_metadata": """
             SELECT doc_id AS asset_id, 'image' AS media_type,
                    octet_length(encode(text))::BIGINT AS n_bytes,
@@ -4766,8 +4855,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT rank, token, n, zipf_slope, n_points
         FROM ranked CROSS JOIN slope WHERE rank <= 20
     """
-    # same semantics, different physical path (Arrow/numpy) — same oracle
-    d["ann_topk_pandas"] = d["ann_topk"]
     d["volume_shipping"] = f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                {_SQL_REVENUE},

@@ -55,7 +55,12 @@ the one-sided trigger let slow canaries ship unexamined).  Either way
 the row is re-measured in full and superseded from the clean window,
 stamped `canary-superseded` with the retry pass's original reasons
 preserved.  Budget: $SPARK_GRAFT_CANARY_BUDGET wall seconds (default
-180).
+180).  Since r16 the trigger also ESCALATES collectively: two or more
+canaries at <= 0.7x — each individually above the 0.5x single-row bar —
+mark the whole recording window inflated (the BENCH_r15 shape: 0.56x
+and 0.67x on the two slowest rows, medians shipped anyway) and every
+such row is re-measured in full on its own budget
+($SPARK_GRAFT_CANARY_ESCALATION_BUDGET, default 120).
 
 The RECORDING itself is regime-gated (BENCH_r10 lesson: the whole run
 landed in a measured ~2x slow host regime and the recorded artifact
@@ -187,24 +192,36 @@ CANARY_WATCHLIST: list[str] = []
 # without a SURVEY cross-reference.  Prune entries after their first
 # recorded round (the next prior already includes the absorbed cost).
 DECLARED_DELTAS = {
-    # embedding_near_dup's r14 entry pruned (VERDICT r14 item 2): the
-    # r15 prior (BENCH_r14) already includes the absorbed LSH-face cost.
-    "token_chunks": (
-        "r15 consolidation: absorbed packing_efficiency (padded-batch "
-        "strategy accounting) as a face-tagged union funding "
-        "segment_dedup_maintained"
-    ),
-    "image_features": (
-        "r15: added the oracle-paired PNG face (VERDICT r14 item 4) — a "
-        "second synth+decode pass with real zlib inflate + unfiltering "
-        "per asset, format-tagged union with the PPM face"
-    ),
-    "frame_sample": (
-        "r15: the frame sampler now emits REAL PNG frame payloads "
-        "(encode per sampled frame) instead of the former NULL-payload "
-        "stub; index arithmetic and oracle unchanged"
+    # r15 entries pruned (VERDICT r15 item 2): token_chunks,
+    # image_features, frame_sample — the r16 prior (BENCH_r15) already
+    # includes their absorbed costs.
+    "ann_topk": (
+        "r16 consolidation: absorbed ann_topk_pandas (the Arrow/numpy "
+        "exact face) as a method-tagged union funding ann_topk_maintained"
     ),
 }
+
+
+def _canaries_to_escalate(
+    canary: dict, threshold: float = 0.7, min_count: int = 2
+) -> list[str]:
+    """Collective canary trigger (r16, VERDICT r15 item 5): names whose
+    canary ratio is <= ``threshold`` and that were NOT already handled —
+    no supersede recorded, no window-bursty/discard status — returned
+    only when at least ``min_count`` qualify (one mildly-low canary on a
+    noisy sub-second row is expected spread; two on the SLOWEST rows is
+    a burst-inflated recording, the exact BENCH_r15 shape).  Pure so the
+    trigger is unit-testable without a bench run
+    (tests/test_driver_contract.py)."""
+    low = [
+        n
+        for n, e in canary.items()
+        if e.get("ratio") is not None
+        and e["ratio"] <= threshold
+        and "superseded_to" not in e
+        and e.get("status") is None
+    ]
+    return sorted(low) if len(low) >= min_count else []
 
 
 def _delta_notes(deltas: dict) -> dict:
@@ -566,6 +583,44 @@ def main() -> None:
     canary_deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_CANARY_BUDGET", "180")
     )
+
+    def _supersede(name: str, entry: dict) -> None:
+        """Full clean-window re-measure of one canaried row; supersedes
+        the recorded median when the post-probe reads healthy (shared by
+        the single-row 0.5x/2x trigger and the r16 collective
+        escalation)."""
+        samples = timed_block(queries[name])
+        if _host_spin(2_000_000) <= 1.25 * healthy:
+            med = round(statistics.median(samples), 3)
+            burst_retried[name] = [timings[name], med]
+            timings[name] = med
+            # spread must describe the samples carrying the median
+            # (same rule as the retry loop), not the superseded ones
+            if (
+                min(samples) > 0
+                and max(samples) / min(samples) > 2
+                and max(samples) > 0.5
+            ):
+                spread[name] = round(max(samples) / min(samples), 2)
+            else:
+                spread.pop(name, None)
+            # merge, don't replace (r12 ADVICE): keep the retry pass's
+            # original trigger reasons and record its outcome so the
+            # artifact preserves the full provenance chain
+            prior_rs = retry_status.get(name)
+            retry_status[name] = {
+                "reasons": flagged.get(name, []) + ["canary"],
+                "outcome": "canary-superseded",
+            }
+            if prior_rs is not None:
+                retry_status[name]["prior_outcome"] = prior_rs["outcome"]
+            entry["superseded_to"] = med
+        else:
+            # the post-probe after the full re-measure read bursty:
+            # the re-measure is discarded, and the artifact says so
+            # instead of showing a burst-confirming canary that was
+            # silently not acted on (r12 ADVICE)
+            entry["status"] = "supersede-window-bursty"
     canary_names = sorted(timings, key=lambda n: -timings[n])[:5]
     # r13 watchlist (VERDICT r12 item 5): the five ANN-adjacent rows whose
     # small r12 regressions (1.30-1.37x) were attributed to host noise —
@@ -595,39 +650,26 @@ def main() -> None:
         if timings[name] > 0.5 and (
             c <= 0.5 * timings[name] or c >= 2 * timings[name]
         ):
-            samples = timed_block(queries[name])
-            if _host_spin(2_000_000) <= 1.25 * healthy:
-                med = round(statistics.median(samples), 3)
-                burst_retried[name] = [timings[name], med]
-                timings[name] = med
-                # spread must describe the samples carrying the median
-                # (same rule as the retry loop), not the superseded ones
-                if (
-                    min(samples) > 0
-                    and max(samples) / min(samples) > 2
-                    and max(samples) > 0.5
-                ):
-                    spread[name] = round(max(samples) / min(samples), 2)
-                else:
-                    spread.pop(name, None)
-                # merge, don't replace (r12 ADVICE): keep the retry pass's
-                # original trigger reasons and record its outcome so the
-                # artifact preserves the full provenance chain
-                prior_rs = retry_status.get(name)
-                retry_status[name] = {
-                    "reasons": flagged.get(name, []) + ["canary"],
-                    "outcome": "canary-superseded",
-                }
-                if prior_rs is not None:
-                    retry_status[name]["prior_outcome"] = prior_rs["outcome"]
-                entry["superseded_to"] = med
-            else:
-                # the post-probe after the full re-measure read bursty:
-                # the re-measure is discarded, and the artifact says so
-                # instead of showing a burst-confirming canary that was
-                # silently not acted on (r12 ADVICE)
-                entry["status"] = "supersede-window-bursty"
+            _supersede(name, entry)
         canary[name] = entry
+
+    # Canary ESCALATION (r16, VERDICT r15 item 5): two or more canaries
+    # below 0.7x individually escape the single-row 0.5x trigger, but
+    # TOGETHER they say the whole recording window was inflated —
+    # BENCH_r15 recorded 0.56x and 0.67x on the two slowest rows and
+    # shipped the inflated medians its own machinery knew were wrong.
+    # Re-measure every such row in full on a separate (small) budget;
+    # rows the clock cuts off are stamped rather than silently skipped.
+    esc_deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_CANARY_ESCALATION_BUDGET", "120")
+    )
+    for name in _canaries_to_escalate(canary):
+        entry = canary[name]
+        entry["escalated"] = True
+        if time.monotonic() > esc_deadline:
+            entry["status"] = "escalate-budget-exhausted"
+            continue
+        _supersede(name, entry)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -298,7 +298,8 @@ def test_bench_delta_notes_stamp_declared_consolidations():
     import bench
 
     declared = next(iter(bench.DECLARED_DELTAS))
-    deltas = {declared: 1.7, "pareto_customers": 1.6, "ann_topk": 0.4}
+    deltas = {declared: 1.7, "pareto_customers": 1.6, "minhash_lsh": 0.4}
+    assert "pareto_customers" not in bench.DECLARED_DELTAS
     notes = bench._delta_notes(deltas)
     assert set(notes) == {declared}
     assert "consolidation" in notes[declared]
@@ -316,3 +317,40 @@ def test_bench_delta_notes_stamp_declared_consolidations():
     line = bench._bounded_line(out)
     parsed = json.loads(line[-2000:])
     assert parsed["delta_notes"] == notes
+
+
+def test_canary_escalation_trigger():
+    """r16 (VERDICT r15 item 5): >= 2 canaries at <= 0.7x — each above
+    the 0.5x single-row bar — trigger the full re-measure; one alone
+    does not; already-handled rows (superseded / window-bursty /
+    discarded) never re-qualify."""
+    import bench
+
+    # the exact BENCH_r15 shape: 0.56x and 0.67x on the two slowest rows
+    c = {
+        "dedup_canonical": {"recorded": 3.88, "canary": 2.16, "ratio": 0.56},
+        "segment_dedup_maintained": {"recorded": 6.81, "canary": 4.53, "ratio": 0.67},
+        "ann_recall": {"recorded": 4.35, "canary": 4.28, "ratio": 0.98},
+    }
+    assert bench._canaries_to_escalate(c) == [
+        "dedup_canonical",
+        "segment_dedup_maintained",
+    ]
+    # a single low canary is expected spread, not a collective signal
+    assert bench._canaries_to_escalate(
+        {"a": {"ratio": 0.6}, "b": {"ratio": 1.0}}
+    ) == []
+    # rows already superseded by the 0.5x trigger, window-bursty rows
+    # (no ratio), and discarded re-measures don't count or re-qualify
+    assert bench._canaries_to_escalate(
+        {
+            "a": {"ratio": 0.45, "superseded_to": 1.0},
+            "b": {"ratio": 0.65},
+            "c": {"recorded": 2.0, "status": "window-bursty"},
+            "d": {"ratio": 0.6, "status": "supersede-window-bursty"},
+        }
+    ) == []
+    # boundary: exactly 0.7 qualifies, 0.71 does not
+    assert bench._canaries_to_escalate(
+        {"a": {"ratio": 0.7}, "b": {"ratio": 0.7}, "c": {"ratio": 0.71}}
+    ) == ["a", "b"]
