@@ -461,6 +461,209 @@ def bpe_pair_counts(
     )
 
 
+def _bpe_contains_sql(ql: str, qr: str, s: str) -> str:
+    """SQL: does symbol array ``s`` contain the (ql, qr) pair ADJACENTLY
+    (already-quoted symbols).  Shared by the driver-state and
+    spark-state training loops so the two paths cannot drift."""
+    return (
+        f"case when size({s}) < 2 then false else "
+        f"exists(sequence(1, size({s}) - 1), i -> "
+        f"element_at({s}, i) = '{ql}' and element_at({s}, i + 1) = '{qr}') "
+        "end"
+    )
+
+
+def _bpe_fold_sql(ql: str, qr: str, s: str) -> str:
+    """SQL: greedy left-to-right merge fold of (ql, qr) over ``s``."""
+    return (
+        f"aggregate({s}, cast(array() as array<string>), (acc, x) -> "
+        f"case when size(acc) > 0 and element_at(acc, -1) = '{ql}' "
+        f"and x = '{qr}' "
+        f"then concat(slice(acc, 1, size(acc) - 1), array('{ql}{qr}')) "
+        "else concat(acc, array(x)) end)"
+    )
+
+
+_BPE_MERGES_SCHEMA = (
+    "merge_rank bigint, left_sym string, right_sym string, pair_count bigint"
+)
+_BPE_PAIRS_SCHEMA = "left_sym string, right_sym string, pair_count bigint"
+
+
+def _bpe_ckpt_save(
+    spark,
+    path: str,
+    rank: int,
+    merges: list,
+    pair_state,
+    vocab: DataFrame,
+    token_mode: str,
+) -> None:
+    """Persist one training checkpoint under ``path/ckpt_<rank>``:
+    the merge table so far, the maintained pair-count state (driver
+    dict or spark-state DataFrame — the manifest records which), and
+    the folded vocabulary.  The manifest is written LAST via an atomic
+    rename, so a train killed mid-checkpoint leaves an invalid
+    directory that resume skips in favor of the previous one.
+    Checkpoint cost is O(pair state + vocab) — amortized by
+    ``checkpoint_every``."""
+    import json
+    import os
+
+    d = os.path.join(path, f"ckpt_{rank:08d}")
+    vocab.write.mode("overwrite").parquet(os.path.join(d, "vocab"))
+    spark.createDataFrame(
+        [(r, l, rt, c) for r, l, rt, c in merges], _BPE_MERGES_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(d, "merges"))
+    if isinstance(pair_state, dict):
+        kind = "driver"
+        spark.createDataFrame(
+            [(l, r, int(c)) for (l, r), c in pair_state.items()],
+            _BPE_PAIRS_SCHEMA,
+        ).write.mode("overwrite").parquet(os.path.join(d, "pairs"))
+    else:
+        kind = "spark"
+        pair_state.write.mode("overwrite").parquet(os.path.join(d, "pairs"))
+    tmp = os.path.join(d, "_manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"rank": rank, "token_mode": token_mode, "state_kind": kind}, f
+        )
+    os.replace(tmp, os.path.join(d, "_manifest.json"))
+
+
+def _bpe_ckpt_latest(path: str) -> tuple[int, str, dict] | None:
+    """Newest VALID checkpoint under ``path`` (manifest present and
+    parsable), or None.  Invalid directories — killed mid-write before
+    their atomic manifest rename — are skipped, falling back to the
+    previous cadence point."""
+    import json
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    best = None
+    for name in os.listdir(path):
+        if not name.startswith("ckpt_"):
+            continue
+        man = os.path.join(path, name, "_manifest.json")
+        try:
+            with open(man) as f:
+                m = json.load(f)
+            rank = int(m["rank"])
+        except (OSError, ValueError, KeyError):
+            continue
+        if best is None or rank > best[0]:
+            best = (rank, os.path.join(path, name), m)
+    return best
+
+
+def _bpe_train_spark_state(
+    spark,
+    vocab: DataFrame,
+    merges: list,
+    pairs_df: DataFrame,
+    start_rank: int,
+    num_merges: int,
+    materialize_every: int,
+    stats: list | None = None,
+    ckpt=None,
+    checkpoint_every: int = 50,
+):
+    """SPARK-STATE continuation of a BPE train (r16, VERDICT r15 item 7
+    — the ``on_state_overflow='spill'`` path): the pair-count state
+    lives in a maintained DataFrame instead of the driver dict, so a
+    web-scale vocabulary whose distinct pair set outgrows
+    ``max_pair_state`` COMPLETES instead of erroring.  Cost: the
+    argmax is a per-merge orderBy-limit-1 job (Spark's UTF-8 binary
+    string order equals the driver dict's code-point tiebreak, so the
+    merge table is hash-identical — test-pinned across the spill
+    boundary) and the delta folds into the state via a
+    vocabulary-bounded aggregate, re-materialized per merge — slower
+    than the driver dict, but unbounded.  ``ckpt`` (optional) is the
+    resume hook: called every ``checkpoint_every`` merges with
+    (rank, merges, pairs_df, vocab)."""
+    import time as _time
+
+    from kafka_streams_one_to_many_join_spark.model import materialize
+
+    rank = start_rank - 1
+    for rank in range(start_rank, num_merges + 1):
+        _t0 = _time.perf_counter()
+        best = (
+            pairs_df.orderBy(
+                F.col("pair_count").desc(), "left_sym", "right_sym"
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = (
+            best[0].left_sym,
+            best[0].right_sym,
+            int(best[0].pair_count),
+        )
+        merges.append((rank, left, right, cnt))
+        ql, qr = left.replace("'", "''"), right.replace("'", "''")
+        contains_syms = _bpe_contains_sql(ql, qr, "syms")
+        pair_structs = (
+            "transform(sequence(1, size({s}) - 1), i -> named_struct("
+            "'left_sym', element_at({s}, i), "
+            "'right_sym', element_at({s}, i + 1), 'w', {sign}c))"
+        )
+        old_arr = pair_structs.format(s="syms", sign="-")
+        new_arr = (
+            "case when size(_new_syms) < 2 then "
+            "cast(array() as array<struct<left_sym:string,right_sym:string,w:bigint>>) "
+            f"else {pair_structs.format(s='_new_syms', sign='')} end"
+        )
+        delta = (
+            vocab.filter(F.expr(contains_syms))
+            .select(
+                "c",
+                F.expr(_bpe_fold_sql(ql, qr, "syms")).alias("_new_syms"),
+                "syms",
+            )
+            .select(F.explode(F.expr(f"concat({old_arr}, {new_arr})")).alias("p"))
+            .groupBy(
+                F.col("p.left_sym").alias("left_sym"),
+                F.col("p.right_sym").alias("right_sym"),
+            )
+            .agg(F.sum("p.w").alias("pair_count"))
+        )
+        pairs_df = materialize(
+            pairs_df.unionByName(delta)
+            .groupBy("left_sym", "right_sym")
+            .agg(F.sum("pair_count").alias("pair_count"))
+            .filter(F.col("pair_count") > 0)
+        )
+        if stats is not None:
+            touched = vocab.filter(F.expr(contains_syms)).count()
+        vocab = vocab.select(
+            "c",
+            F.expr(
+                "element_at(transform(array(syms), s -> "
+                f"case when {_bpe_contains_sql(ql, qr, 's')} "
+                f"then {_bpe_fold_sql(ql, qr, 's')} else s end), 1)"
+            ).alias("syms"),
+        )
+        if rank % materialize_every == 0:
+            vocab = materialize(vocab)
+        if ckpt is not None and rank % checkpoint_every == 0:
+            ckpt(rank, merges, pairs_df, vocab)
+        if stats is not None:
+            stats.append(
+                (
+                    rank,
+                    round(_time.perf_counter() - _t0, 4),
+                    touched,
+                    pairs_df.count(),
+                )
+            )
+    return spark.createDataFrame(merges, _BPE_MERGES_SCHEMA)
+
+
 def _aimd_next_k(cur_k: int, rounds_at_floor: int, speculate: int) -> tuple[int, int]:
     """Top-of-round AIMD chain size: from the k=1 floor, probe k=2 only
     after 8 consecutive floor rounds (the upward probe the docstring
@@ -498,6 +701,10 @@ def bpe_train(
     stats: list | None = None,
     max_pair_state: int = 50_000_000,
     speculate: int = 1,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 50,
+    resume: bool = True,
+    on_state_overflow: str = "raise",
 ):
     """Full BPE tokenizer training (Sennrich et al. 2016) on top of the
     ``bpe_pair_counts`` design: learn ``num_merges`` merges and return the
@@ -593,59 +800,160 @@ def bpe_train(
     10M-distinct-word worst case (Σ|word|−1 ≈ 80M pairs ≈ 21 GB) is the
     scale where a raise beats an OOM mid-train.  On breach the train
     raises with the measured arithmetic instead of dying; lower the cap
-    for small drivers or shard the corpus.
+    for small drivers or shard the corpus — or pass
+    ``on_state_overflow='spill'`` (r16, VERDICT r15 item 7): on breach
+    the state transfers to a maintained Spark-side pair DataFrame and
+    the train CONTINUES sequentially (``_bpe_train_spark_state`` —
+    slower per merge, unbounded) with a hash-identical merge table
+    (test-pinned across the spill boundary).
+
+    RESUMABLE (r16, VERDICT r15 item 3): with ``checkpoint_dir`` set,
+    the train persists (merge table, pair state, folded vocabulary)
+    every ``checkpoint_every`` accepted merges — the manifest is
+    renamed into place LAST, so a kill mid-checkpoint invalidates that
+    cadence point and resume falls back to the previous one.  A rerun
+    with the same ``checkpoint_dir`` (and ``resume=True``, the
+    default) restarts from the newest valid checkpoint WITHOUT
+    re-scanning the corpus and produces a merge table bit-identical to
+    the uninterrupted train (the state fully determines the remainder:
+    counts are exact integers, the argmax tiebreak is total) —
+    asserted by the kill-at-merge-K tests on the fixture AND the
+    seeded collision-heavy corpus.  Resuming with a larger
+    ``num_merges`` extends a finished train; ``token_mode`` is
+    validated against the manifest.
     """
+    import os
     import time as _time
 
     from kafka_streams_one_to_many_join_spark.model import materialize
 
+    if on_state_overflow not in ("raise", "spill"):
+        raise ValueError(
+            f"bpe_train: on_state_overflow must be 'raise' or 'spill', "
+            f"got {on_state_overflow!r}"
+        )
     spark = docs.sparkSession
-    toks = tokens_expr(text_col, token_mode)
-    vocab = (
-        docs.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            "c",
-            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias(
-                "syms"
-            ),
-        )
-    )
-    vocab = materialize(vocab)
-    # seed the maintained pair-count state: the one full aggregate,
-    # collected to a driver dict (vocabulary-bounded by construction)
-    seed = (
-        vocab.filter(F.size("syms") >= 2)
-        .select(
-            "c",
-            F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
-            "syms",
-        )
-        .select(
-            F.expr("element_at(syms, i)").alias("left_sym"),
-            F.expr("element_at(syms, i + 1)").alias("right_sym"),
-            "c",
-        )
-        .groupBy("left_sym", "right_sym")
-        .agg(F.sum("c").alias("pair_count"))
-    )
-    pair_counts: dict[tuple[str, str], int] = {
-        (r.left_sym, r.right_sym): r.pair_count for r in seed.collect()
-    }
 
-    def _check_pair_state() -> None:
-        if len(pair_counts) > max_pair_state:
-            raise ValueError(
-                f"bpe_train: pair-count state grew to {len(pair_counts):,} "
-                f"entries, past max_pair_state={max_pair_state:,} (~"
-                f"{max_pair_state * 238 / 1e9:.1f} GB at the measured ~238 "
-                "bytes/pair — scripts/bpe_state_rss.py).  Raise the cap if "
-                "the driver has the heap, or train on a corpus shard"
+    ckpt_fn = None
+    if checkpoint_dir is not None:
+
+        def ckpt_fn(rank_, merges_, pair_state_, vocab_):
+            _bpe_ckpt_save(
+                spark, checkpoint_dir, rank_, merges_, pair_state_, vocab_,
+                token_mode,
             )
 
-    _check_pair_state()
+    start_rank = 1
     merges: list[tuple[int, str, str, int]] = []
+    resumed = None
+    if checkpoint_dir is not None and resume:
+        resumed = _bpe_ckpt_latest(checkpoint_dir)
+    if resumed is not None:
+        r0, d0, man = resumed
+        if man.get("token_mode") != token_mode:
+            raise ValueError(
+                f"bpe_train: checkpoint at {d0} was trained with "
+                f"token_mode={man.get('token_mode')!r}, caller passed "
+                f"{token_mode!r}; resuming across token modes would "
+                "silently mix tokenizations — pass resume=False or a "
+                "fresh checkpoint_dir"
+            )
+        merges = [
+            (int(r.merge_rank), r.left_sym, r.right_sym, int(r.pair_count))
+            for r in spark.read.parquet(os.path.join(d0, "merges"))
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        if r0 >= num_merges:
+            return spark.createDataFrame(
+                merges[:num_merges], _BPE_MERGES_SCHEMA
+            )
+        start_rank = r0 + 1
+        vocab = materialize(spark.read.parquet(os.path.join(d0, "vocab")))
+        if man.get("state_kind") == "spark":
+            return _bpe_train_spark_state(
+                spark, vocab, merges,
+                spark.read.parquet(os.path.join(d0, "pairs")),
+                start_rank, num_merges, materialize_every, stats,
+                ckpt=ckpt_fn, checkpoint_every=checkpoint_every,
+            )
+        pair_counts: dict[tuple[str, str], int] = {
+            (r.left_sym, r.right_sym): int(r.pair_count)
+            for r in spark.read.parquet(os.path.join(d0, "pairs")).collect()
+        }
+    else:
+        toks = tokens_expr(text_col, token_mode)
+        vocab = (
+            docs.select(F.explode(toks).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "c",
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+                ).alias("syms"),
+            )
+        )
+        vocab = materialize(vocab)
+        # seed the maintained pair-count state: the one full aggregate,
+        # collected to a driver dict (vocabulary-bounded by construction)
+        seed = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "c",
+                F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
+                "syms",
+            )
+            .select(
+                F.expr("element_at(syms, i)").alias("left_sym"),
+                F.expr("element_at(syms, i + 1)").alias("right_sym"),
+                "c",
+            )
+            .groupBy("left_sym", "right_sym")
+            .agg(F.sum("c").alias("pair_count"))
+        )
+        pair_counts = {
+            (r.left_sym, r.right_sym): r.pair_count for r in seed.collect()
+        }
+
+    def _overflowed() -> bool:
+        """True (spill mode) when the dict outgrew the cap; raise mode
+        keeps the r15 arithmetic-bearing error."""
+        if len(pair_counts) <= max_pair_state:
+            return False
+        if on_state_overflow == "spill":
+            return True
+        raise ValueError(
+            f"bpe_train: pair-count state grew to {len(pair_counts):,} "
+            f"entries, past max_pair_state={max_pair_state:,} (~"
+            f"{max_pair_state * 238 / 1e9:.1f} GB at the measured ~238 "
+            "bytes/pair — scripts/bpe_state_rss.py).  Raise the cap if "
+            "the driver has the heap, train on a corpus shard, or pass "
+            "on_state_overflow='spill' to continue with Spark-side state"
+        )
+
+    def _check_pair_state() -> None:
+        # raise-mode breach check at the historical call sites; spill
+        # transitions happen at iteration boundaries (vocab folded)
+        if on_state_overflow == "raise":
+            _overflowed()
+
+    def _spill(vocab_, next_rank):
+        pairs_df = spark.createDataFrame(
+            [(l, r, int(c)) for (l, r), c in pair_counts.items()],
+            _BPE_PAIRS_SCHEMA,
+        )
+        pair_counts.clear()
+        return _bpe_train_spark_state(
+            spark, vocab_, merges, pairs_df, next_rank, num_merges,
+            materialize_every, stats,
+            ckpt=ckpt_fn, checkpoint_every=checkpoint_every,
+        )
+
+    _check_pair_state()
+    if on_state_overflow == "spill" and len(pair_counts) > max_pair_state:
+        # the seed itself breaches the cap: spill before the first merge
+        return _spill(vocab, start_rank)
 
     def _argmax():
         return min(
@@ -660,7 +968,7 @@ def bpe_train(
         struct_t = (
             "array<struct<step:int,left_sym:string,right_sym:string,w:bigint>>"
         )
-        rank = 0
+        rank = start_rank - 1
         # AIMD chain sizing (measured, SCALE.md r15): at the data-bound
         # HEAD of a train, freshly-minted pairs outrank the speculated
         # next-best almost every round (mean accepted ~1.2 of 8 on the
@@ -850,17 +1158,27 @@ def bpe_train(
             new_rank = rank + accepted
             if new_rank // materialize_every > rank // materialize_every:
                 vocab = materialize(vocab)
+            if (
+                ckpt_fn is not None
+                and new_rank // checkpoint_every > rank // checkpoint_every
+            ):
+                ckpt_fn(new_rank, merges, pair_counts, vocab)
             if stats is not None:
                 dt = round((_time.perf_counter() - _t0) / max(accepted, 1), 4)
                 for k in range(1, accepted + 1):
                     stats.append((rank + k, dt, touched, len(pair_counts)))
             rank = new_rank
+            if on_state_overflow == "spill" and len(pair_counts) > max_pair_state:
+                # spill at a round boundary (vocab folded, state exact):
+                # the remaining merges continue with Spark-side state,
+                # sequentially (speculation needs the in-memory argmax)
+                return _spill(vocab, rank + 1)
         return spark.createDataFrame(
             merges,
             "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
         )
 
-    for rank in range(1, num_merges + 1):
+    for rank in range(start_rank, num_merges + 1):
         _t0 = _time.perf_counter()
         if not pair_counts:
             break
@@ -962,6 +1280,8 @@ def bpe_train(
         )
         if rank % materialize_every == 0:
             vocab = materialize(vocab)
+        if ckpt_fn is not None and rank % checkpoint_every == 0:
+            ckpt_fn(rank, merges, pair_counts, vocab)
         if stats is not None:
             stats.append(
                 (
@@ -971,6 +1291,10 @@ def bpe_train(
                     len(pair_counts),
                 )
             )
+        if on_state_overflow == "spill" and len(pair_counts) > max_pair_state:
+            # transition at an iteration boundary (vocab folded, state
+            # exact): the remainder continues with Spark-side state
+            return _spill(vocab, rank + 1)
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",

@@ -347,3 +347,145 @@ def test_aimd_doubles_only_on_real_speculation():
     assert _aimd_update(3, 0, 1, 3, 8) == (1, 1)
     # zero accepted (possible when the argmax itself shifted) floors too
     assert _aimd_update(2, 0, 0, 2, 8) == (1, 1)
+
+
+def _merge_rows(df):
+    return [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in df.orderBy("merge_rank").collect()
+    ]
+
+
+def test_bpe_train_resume_matches_uninterrupted(spark, sf_dir, tmp_path):
+    """r16 (VERDICT r15 item 3): a killed train resumed from its newest
+    checkpoint produces a merge table bit-identical to the
+    uninterrupted one — on the real fixture, across a mid-cadence kill
+    (emulated by stopping at a rank past the last checkpoint)."""
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected = _merge_rows(bpe_train(docs, num_merges=24))
+    ck = str(tmp_path / "bpe_ck")
+    # "day 1": the train dies at merge 17 (checkpoints at 8 and 16)
+    part1 = bpe_train(docs, num_merges=17, checkpoint_dir=ck, checkpoint_every=8)
+    assert part1.count() == 17
+    # "day 2": resume — continues from ckpt_16, never re-scans the corpus
+    resumed = bpe_train(docs, num_merges=24, checkpoint_dir=ck, checkpoint_every=8)
+    assert _merge_rows(resumed) == expected
+
+
+def test_bpe_train_resume_collision_heavy_and_speculative(spark, tmp_path):
+    """The seeded collision-heavy corpus (dense argmax ties) resumed
+    mid-train under SPECULATION still hash-matches the sequential
+    uninterrupted table — resume and speculation compose."""
+    import random
+
+    rng = random.Random(17)
+    words = []
+    for _ in range(300):
+        n = rng.randint(2, 6)
+        words.append("".join(rng.choice("abc") for _ in range(n)))
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id int, text string"
+    )
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    expected = _seq_bpe(counts, 12)
+    ck = str(tmp_path / "bpe_ck2")
+    bpe_train(docs, num_merges=7, checkpoint_dir=ck, checkpoint_every=3, speculate=4)
+    resumed = bpe_train(
+        docs, num_merges=12, checkpoint_dir=ck, checkpoint_every=3, speculate=4
+    )
+    assert _merge_rows(resumed) == expected
+
+
+def test_bpe_train_resume_skips_invalid_checkpoint(spark, sf_dir, tmp_path):
+    """A checkpoint killed mid-write (no manifest — the manifest is
+    renamed into place LAST) is skipped; resume falls back to the
+    previous valid cadence point and still converges to the
+    uninterrupted table.  token_mode mismatches refuse to resume."""
+    import os
+
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected = _merge_rows(bpe_train(docs, num_merges=12))
+    ck = str(tmp_path / "bpe_ck3")
+    bpe_train(docs, num_merges=8, checkpoint_dir=ck, checkpoint_every=4)
+    # simulate the kill: ckpt_8 lost its manifest mid-write
+    os.remove(os.path.join(ck, "ckpt_00000008", "_manifest.json"))
+    resumed = bpe_train(docs, num_merges=12, checkpoint_dir=ck, checkpoint_every=4)
+    assert _merge_rows(resumed) == expected
+    with pytest.raises(ValueError, match="token_mode"):
+        bpe_train(docs, num_merges=12, checkpoint_dir=ck, token_mode="unicode")
+    # a finished train re-requested at a smaller num_merges returns the
+    # stored prefix without any Spark work on the corpus
+    prefix = bpe_train(docs, num_merges=3, checkpoint_dir=ck, checkpoint_every=4)
+    assert _merge_rows(prefix) == expected[:3]
+
+
+def test_bpe_train_spill_crosses_cap_hash_identical(spark):
+    """r16 (VERDICT r15 item 7): a train whose pair state crosses
+    max_pair_state with on_state_overflow='spill' COMPLETES via the
+    Spark-side pair aggregate with a merge table hash-identical to the
+    unbounded train — both when the cap trips mid-train and when the
+    seed itself breaches it."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh abcdefgh abcd abcd efgh stuvwxyz stuv wxyz ab cd")],
+        "doc_id int, text string",
+    )
+    expected = _merge_rows(bpe_train(docs, num_merges=8))
+    # seed has ~20 distinct pairs; cap 25 trips once merges mint symbols
+    mid = bpe_train(
+        docs, num_merges=8, max_pair_state=25, on_state_overflow="spill"
+    )
+    assert _merge_rows(mid) == expected
+    # cap below the seed: spills before the first merge
+    pre = bpe_train(
+        docs, num_merges=8, max_pair_state=3, on_state_overflow="spill"
+    )
+    assert _merge_rows(pre) == expected
+    # raise mode unchanged
+    with pytest.raises(ValueError, match="max_pair_state"):
+        bpe_train(docs, num_merges=8, max_pair_state=3)
+    with pytest.raises(ValueError, match="on_state_overflow"):
+        bpe_train(docs, num_merges=2, on_state_overflow="bogus")
+
+
+def test_bpe_train_spill_composes_with_speculation_and_resume(spark, tmp_path):
+    """Speculation falls back to the sequential Spark-state loop at the
+    spill boundary; a checkpoint taken AFTER the spill records
+    state_kind='spark' and resumes into the Spark-state loop — the
+    composed table still equals the unbounded sequential train."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh abcdefgh abcd abcd efgh stuvwxyz stuv wxyz ab cd")],
+        "doc_id int, text string",
+    )
+    expected = _merge_rows(bpe_train(docs, num_merges=10))
+    got = bpe_train(
+        docs, num_merges=10, max_pair_state=25, on_state_overflow="spill",
+        speculate=4,
+    )
+    assert _merge_rows(got) == expected
+    ck = str(tmp_path / "bpe_ck4")
+    bpe_train(
+        docs, num_merges=6, max_pair_state=3, on_state_overflow="spill",
+        checkpoint_dir=ck, checkpoint_every=2,
+    )
+    import json
+    import os
+
+    mans = sorted(
+        json.load(open(os.path.join(ck, d, "_manifest.json")))["state_kind"]
+        for d in os.listdir(ck)
+        if os.path.exists(os.path.join(ck, d, "_manifest.json"))
+    )
+    assert set(mans) == {"spark"}
+    resumed = bpe_train(
+        docs, num_merges=10, max_pair_state=3, on_state_overflow="spill",
+        checkpoint_dir=ck, checkpoint_every=2,
+    )
+    assert _merge_rows(resumed) == expected
