@@ -288,9 +288,11 @@ def _unfilter_scanline(
     return bytes(out)
 
 
-# 8-bit color types this codec speaks: grayscale, truecolor RGB, RGBA.
-# Palette (3) and the 16-bit depths stay rejected with a stable reason.
-_PNG_BPP = {0: 1, 2: 3, 6: 4}
+# 8-bit color types this codec speaks: grayscale, truecolor RGB, RGBA,
+# and (r16) palette — whose pre-palette stream is 1 byte/pixel.  The
+# 16-bit depths, sub-8-bit palette depths, and interlacing stay rejected
+# with stable reasons.
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
 def encode_png(
@@ -299,17 +301,31 @@ def encode_png(
     pixels: bytes,
     row_filters: Sequence[int] | None = None,
     color_type: int = 2,
+    palette: Sequence[tuple[int, int, int]] | None = None,
 ) -> bytes:
-    """REAL PNG encoder, stdlib only (r15 — VERDICT r14 item 4): 8-bit
-    grayscale / RGB / RGBA (color types 0/2/6, no interlace), signature
-    + IHDR + one zlib-compressed IDAT of filtered scanlines + IEND,
-    CRCs included.  ``row_filters`` chooses the per-row filter type
-    (cycled; default all 0) so fixtures can exercise every filter the
-    decoder must invert."""
+    """REAL PNG encoder, stdlib only (r15 — VERDICT r14 item 4; palette
+    added r16): 8-bit grayscale / RGB / palette / RGBA (color types
+    0/2/3/6, no interlace), signature + IHDR [+ PLTE] + one
+    zlib-compressed IDAT of filtered scanlines + IEND, CRCs included.
+    ``row_filters`` chooses the per-row filter type (cycled; default
+    all 0) so fixtures can exercise every filter the decoder must
+    invert.  For color type 3 ``pixels`` are palette INDICES (one byte
+    each) and ``palette`` is 1-256 (r, g, b) entries."""
     import zlib
 
     if color_type not in _PNG_BPP:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    plte = b""
+    if color_type == 3:
+        if palette is None or not 1 <= len(palette) <= 256:
+            raise ValueError("palette PNG needs 1-256 (r, g, b) entries")
+        plte = _png_chunk(
+            b"PLTE", b"".join(bytes(entry) for entry in palette)
+        )
+        if pixels and max(pixels) >= len(palette):
+            raise ValueError("palette index out of range")
+    elif palette is not None:
+        raise ValueError("palette is only valid with color type 3")
     bpp = _PNG_BPP[color_type]
     if len(pixels) != width * height * bpp:
         raise ValueError(
@@ -329,6 +345,7 @@ def encode_png(
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -336,9 +353,10 @@ def encode_png(
 
 def _parse_png(payload: bytes) -> tuple[int, int, bytes, int]:
     """Shared PNG parser, stdlib only: signature + chunk walk (CRC
-    verified), IHDR validation (8-bit grayscale/RGB/RGBA, no
-    interlace), IDAT concatenation + zlib inflate, per-scanline
-    unfiltering.  Returns (width, height, raw pixel bytes, color_type).
+    verified), IHDR validation (8-bit grayscale/RGB/palette/RGBA, no
+    interlace), IDAT concatenation + bounded zlib inflate, per-scanline
+    unfiltering, palette expansion (color type 3 returns a 3-byte/pixel
+    RGB plane).  Returns (width, height, raw pixel bytes, color_type).
     Every malformed-input branch raises ``ValueError`` with a STABLE
     message (the permissive decode channel surfaces it as
     ``decode_error``, same contract as ``_parse_ppm``)."""
@@ -350,6 +368,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes, int]:
         raise ValueError("not a PNG payload")
     pos, end = len(PNG_SIG), len(payload)
     width = height = color_type = None
+    plte = None
     idat = bytearray()
     seen_iend = False
     first_chunk = True
@@ -384,11 +403,17 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes, int]:
                 raise ValueError("malformed PNG IHDR")
             if bit_depth != 8 or color_type not in _PNG_BPP:
                 raise ValueError(
-                    "only 8-bit grayscale/RGB/RGBA PNG supported, "
+                    "only 8-bit grayscale/RGB/RGBA/palette PNG supported, "
                     f"bit_depth={bit_depth} color_type={color_type}"
                 )
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
+        elif typ == b"PLTE":
+            # spec ordering: one PLTE, after IHDR (guaranteed by the
+            # first-chunk rule), before any IDAT
+            if plte is not None or idat or length % 3 != 0 or not 3 <= length <= 768:
+                raise ValueError("malformed PNG PLTE")
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -431,6 +456,21 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes, int]:
         line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
         prev = _unfilter_scanline(ftype, line, prev, bpp)
         pixels += prev
+    if color_type == 3:
+        # palette expansion (r16): map each index through PLTE to RGB —
+        # callers see a 3-byte/pixel plane, same as truecolor.  tRNS
+        # (ancillary) is skipped by the lenient chunk walk: the witness
+        # sums color channels only, alpha never participates (the RGBA
+        # contract).
+        if plte is None:
+            raise ValueError("missing PNG PLTE")
+        n_entries = len(plte) // 3
+        if max(pixels, default=0) >= n_entries:
+            raise ValueError("corrupt PNG palette index")
+        expanded = bytearray(len(pixels) * 3)
+        for i, idx in enumerate(pixels):
+            expanded[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        pixels = expanded
     return width, height, bytes(pixels), color_type
 
 
@@ -441,12 +481,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     channel-sum witness as ``decode_ppm``, so the oracle's closed-form
     pixel formula only matches if inflate AND all five filter inversions
     are correct.  Grayscale reports its sum on all three channels;
-    RGBA sums the color channels and ignores alpha."""
+    RGBA sums the color channels and ignores alpha; palette (r16) sums
+    the PLTE-expanded RGB plane."""
     width, height, pixels, color_type = _parse_png(payload)
     if color_type == 0:
         s = sum(pixels)
         return (width, height, s, s, s)
-    bpp = _PNG_BPP[color_type]
+    # palette planes come back EXPANDED to 3 bytes/pixel (_parse_png)
+    bpp = 3 if color_type == 3 else _PNG_BPP[color_type]
     sums = [0, 0, 0]
     for i, b in enumerate(pixels):
         c = i % bpp
@@ -455,14 +497,31 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     return (width, height, sums[0], sums[1], sums[2])
 
 
+JPEG_SIG = b"\xff\xd8\xff"
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, int, int]:
-    """Format-dispatching image decode: PNG by signature, else binary
-    PPM.  Both return (width, height, sum_r, sum_g, sum_b); both raise
-    stable ``ValueError`` messages on malformed input (garbage that is
-    neither format reports the PPM reason, preserving the corrupt-asset
-    sweep's predicted errors)."""
+    """Format-dispatching image decode: PNG by signature, JPEG by SOI
+    marker (a PINNED boundary — see below), else binary PPM.  PNG/PPM
+    return (width, height, sum_r, sum_g, sum_b); all paths raise stable
+    ``ValueError`` messages on malformed input (garbage that is neither
+    format reports the PPM reason, preserving the corrupt-asset sweep's
+    predicted errors).
+
+    JPEG boundary (r16, VERDICT r15 item 4 — decided: boundary, not
+    decoder): baseline JPEG (Huffman + dequant + IDCT + YCbCr) is
+    feasible in stdlib/numpy but its LOSSY pipeline has no closed-form
+    exact-integer witness — the discipline every decoder here is held
+    to (PPM/PNG/WAV channel sums oracle-paired bit-exactly).  Rather
+    than ship an unverifiable decode, real JPEG bytes report the
+    stable ``'JPEG decode not supported'`` reason into the permissive
+    channel (previously they fell through to the misleading PPM
+    reason).  Revisit if a fixed-point IDCT contract (ISO/IEC
+    23002-1-style exactness) is adopted."""
     if payload is not None and payload.startswith(PNG_SIG):
         return decode_png(payload)
+    if payload is not None and payload.startswith(JPEG_SIG):
+        raise ValueError("JPEG decode not supported")
     return decode_ppm(payload)
 
 

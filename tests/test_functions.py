@@ -460,13 +460,6 @@ def test_png_decode_error_channel():
     corrupt[45] ^= 0xFF  # inside IDAT → crc mismatch
     with pytest.raises(ValueError, match="bad PNG chunk crc|corrupt PNG"):
         decode_png(bytes(corrupt))
-    palette = (
-        PNG_SIG
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
-        + _png_chunk(b"IEND", b"")
-    )
-    with pytest.raises(ValueError, match="only 8-bit grayscale/RGB/RGBA"):
-        decode_png(palette)
     deep = (
         PNG_SIG
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
@@ -483,6 +476,95 @@ def test_png_decode_error_channel():
         decode_png(interlaced)
     # dispatch: garbage that is neither format keeps the PPM reason, so
     # the corrupt-asset sweep's predicted errors are unchanged
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_image(b"garbage")
+
+
+def test_png_palette_decodes_and_boundaries():
+    """r16 (VERDICT r15 item 4, cheap adjacent win): 8-bit palette PNGs
+    decode via PLTE expansion under every filter type; the stable
+    boundaries move to the genuinely-malformed cases (missing PLTE,
+    out-of-range index, malformed PLTE, sub-8-bit palette depth)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    pal = [(10, 20, 30), (200, 100, 0), (1, 2, 3), (255, 255, 255)]
+    w, h = 5, 4
+    idx = bytes((i * 7) % len(pal) for i in range(w * h))
+    payload = encode_png(
+        w, h, idx, row_filters=[0, 1, 2, 3, 4], color_type=3, palette=pal
+    )
+    exp = [0, 0, 0]
+    for i in idx:
+        for c in range(3):
+            exp[c] += pal[i][c]
+    assert decode_png(payload) == (w, h, *exp)
+    # single-entry palette, Paeth-filtered
+    one = encode_png(2, 2, b"\x00" * 4, row_filters=[4], color_type=3,
+                     palette=[(9, 8, 7)])
+    assert decode_png(one) == (2, 2, 36, 32, 28)
+    # missing PLTE: type-3 stream with pixel data but no palette
+    ihdr3 = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+    idat1 = _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+    iend = _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing PNG PLTE"):
+        decode_png(PNG_SIG + ihdr3 + idat1 + iend)
+    # index past the palette
+    short_plte = _png_chunk(b"PLTE", b"\x01\x02\x03")
+    idat_hi = _png_chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+    with pytest.raises(ValueError, match="corrupt PNG palette index"):
+        decode_png(PNG_SIG + ihdr3 + short_plte + idat_hi + iend)
+    # malformed PLTE: not a multiple of 3 / duplicated / after IDAT
+    bad_len = _png_chunk(b"PLTE", b"\x01\x02")
+    with pytest.raises(ValueError, match="malformed PNG PLTE"):
+        decode_png(PNG_SIG + ihdr3 + bad_len + idat1 + iend)
+    with pytest.raises(ValueError, match="malformed PNG PLTE"):
+        decode_png(PNG_SIG + ihdr3 + short_plte + short_plte + idat1 + iend)
+    with pytest.raises(ValueError, match="malformed PNG PLTE"):
+        decode_png(PNG_SIG + ihdr3 + idat1 + short_plte + iend)
+    # sub-8-bit palette depth stays a stable unsupported reason
+    ihdr4 = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0))
+    with pytest.raises(ValueError, match="only 8-bit grayscale/RGB/RGBA/palette"):
+        decode_png(PNG_SIG + ihdr4 + iend)
+    # encoder-side contracts
+    with pytest.raises(ValueError, match="palette PNG needs"):
+        encode_png(1, 1, b"\x00", color_type=3)
+    with pytest.raises(ValueError, match="palette index out of range"):
+        encode_png(1, 1, b"\x02", color_type=3, palette=[(0, 0, 0)])
+    with pytest.raises(ValueError, match="only valid with color type 3"):
+        encode_png(1, 1, b"\x07", color_type=0, palette=[(0, 0, 0)])
+
+
+def test_jpeg_boundary_pinned():
+    """r16 (VERDICT r15 item 4 — decided: boundary, not decoder): real
+    JPEG bytes through the dispatching decode report the stable JPEG
+    reason instead of falling through to the misleading PPM one."""
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.multimodal import (
+        decode_image,
+    )
+
+    # a genuine JFIF prelude: SOI + APP0 with the JFIF identifier
+    jfif = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        b"\xff\xdb\x00\x43\x00" + bytes(64) + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="JPEG decode not supported"):
+        decode_image(jfif)
+    # bare SOI marker (no JFIF APP0 — e.g. EXIF-first camera output)
+    with pytest.raises(ValueError, match="JPEG decode not supported"):
+        decode_image(b"\xff\xd8\xff\xe1\x00\x16Exif\x00\x00")
+    # non-JPEG garbage keeps the PPM reason
     with pytest.raises(ValueError, match="not a binary PPM"):
         decode_image(b"garbage")
 
