@@ -353,6 +353,34 @@ def minhash_signatures(
     )
 
 
+def minhash_doc_hsets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_mode: str = "md5",
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """The doc-keyed shingle-hash-set table ``(doc_id, hset)`` — the
+    verification payload stored ONCE per document, for the NORMALIZED
+    band-index layout (r16): ``minhash_band_index(carry_hset=False)``
+    band rows stay lean (no hset), and probes attach hsets
+    candidate-proportionally from this table.  Why it exists: carrying
+    the hset on every band row duplicates it ``bands``× — at the sf100
+    twin (5M docs, 32M band rows) that duplication made the index's own
+    scan-and-rewrite the dominant term of maintenance (maintain/rebuild
+    DEGRADED to 0.741 from 0.394 at sf10, SCALE.md r16); the normalized
+    layout removes the ``bands``× payload from every maintenance scan
+    and write."""
+    sh = _with_shingles(
+        docs, text_col, id_col, shingle_n, token_mode, shingle_unit
+    ).select(
+        "doc_id", F.explode("_sh").alias("shingle")
+    ).select("doc_id", F.expr(_shingle_h(hash_mode)).alias("h"))
+    return sh.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+
+
 def minhash_band_index(
     docs: DataFrame,
     text_col: str = "text",
@@ -364,10 +392,21 @@ def minhash_band_index(
     hash_mode: str = "md5",
     token_mode: str = "ascii",
     shingle_unit: str = "word",
+    carry_hset: bool = True,
 ) -> DataFrame:
     """The per-document LSH band index: ``(doc_id, band, bsig, hset)`` —
     one row per (doc, band) with the band's minhash signature slice and
     the doc's full 31-bit shingle-hash set (the verification payload).
+
+    ``carry_hset=False`` (r16 — the sf100 finding): emit LEAN band rows
+    ``(doc_id, band, bsig)`` and store the verification payload once
+    per doc in a companion ``minhash_doc_hsets`` table instead.  The
+    carried layout duplicates each hset ``bands``×, which makes the
+    index ~``bands``× the tokenized corpus — at sf100 the maintenance
+    rewrite of that payload dominated and the maintain/rebuild ratio
+    degraded to 0.741; the normalized layout restores the economics
+    (measured in SCALE.md r16).  Probes accept the companion table via
+    their ``hsets=`` parameter.
 
     This is the state the full pipeline builds in-flight, exposed as a
     PERSISTABLE index for the nightly-ingest pattern (VERDICT r12
@@ -400,16 +439,19 @@ def minhash_band_index(
         F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
         for j in range(num_hashes)
     ]
-    per_doc = sh.groupBy("doc_id").agg(
-        *mins, F.collect_set("h").alias("hset")
-    ).select(
+    aggs = list(mins)
+    payload = []
+    if carry_hset:
+        aggs.append(F.collect_set("h").alias("hset"))
+        payload = ["hset"]
+    per_doc = sh.groupBy("doc_id").agg(*aggs).select(
         "doc_id",
         F.array(*[f"_s{j}" for j in range(num_hashes)]).alias("sig"),
-        "hset",
+        *payload,
     )
     return per_doc.select(
         "doc_id",
-        "hset",
+        *payload,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -418,7 +460,7 @@ def minhash_band_index(
         ).alias("bs"),
     ).select(
         "doc_id",
-        "hset",
+        *payload,
         F.col("bs.band").alias("band"),
         F.col("bs.bsig").alias(
             "bsig",
@@ -547,7 +589,8 @@ def minhash_band_index_apply(
     hash_mode: str | None = None,
     token_mode: str | None = None,
     shingle_unit: str | None = None,
-) -> DataFrame:
+    hsets: DataFrame | None = None,
+):
     """Maintain a persisted MinHash band index under a MUTABLE corpus
     (VERDICT r13 item 1): retract every band row of re-ingested
     (``upserts``, a corrected-document DataFrame) and deleted
@@ -594,7 +637,18 @@ def minhash_band_index_apply(
     LAST (the upsert's fresh rows are anti-joined against the delete
     set too).  The nightly change feed where a doc is corrected and
     then deleted the same day must not resurrect it; asserted by the
-    overlap differential test in tests/test_minhash_incremental.py."""
+    overlap differential test in tests/test_minhash_incremental.py.
+
+    NORMALIZED layout (r16): for a lean index
+    (``minhash_band_index(carry_hset=False)``) the ``minhash_doc_hsets``
+    companion MUST be passed as ``hsets`` — it is maintained with the
+    same retraction + delete-wins rules and the call returns
+    ``(maintained_index, maintained_hsets)`` (the segment operator's
+    tuple shape).  Maintaining the lean index without its companion
+    would leave fresh docs' verification payloads missing, silently
+    dropping their pairs from every later probe — refused.  A carried
+    index (hset on every band row) keeps the r14 single-return
+    contract."""
     given = dict(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         seed=seed, hash_mode=hash_mode, token_mode=token_mode,
@@ -637,6 +691,15 @@ def minhash_band_index_apply(
     if upserts is not None:
         up_ids = upserts.select(F.col(id_col).alias("doc_id"))
         retract = up_ids if retract is None else retract.unionByName(up_ids)
+    normalized = "hset" not in index.columns
+    if normalized and hsets is None:
+        raise ValueError(
+            "minhash_band_index_apply: the index carries no hset column "
+            "(normalized layout); pass its minhash_doc_hsets companion as "
+            "hsets= so it is maintained in lockstep — maintaining the lean "
+            "index alone leaves fresh docs' verification payloads missing "
+            "and every later probe silently drops their pairs"
+        )
     out = index
     if retract is not None:
         out = out.join(F.broadcast(retract.distinct()), "doc_id", "left_anti")
@@ -645,6 +708,7 @@ def minhash_band_index_apply(
             upserts,
             text_col=text_col,
             id_col=id_col,
+            carry_hset=not normalized,
             **params,
         )
         if del_ids is not None:
@@ -655,7 +719,26 @@ def minhash_band_index_apply(
         if "bsig_h" in index.columns:
             new_rows = with_bsig_hash(new_rows)
         out = out.unionByName(new_rows.select(*out.columns))
-    return out
+    if hsets is None:
+        return out
+    # companion maintenance: same retraction + delete-wins rules
+    out_h = hsets
+    if retract is not None:
+        out_h = out_h.join(F.broadcast(retract.distinct()), "doc_id", "left_anti")
+    if upserts is not None:
+        fresh_h = minhash_doc_hsets(
+            upserts,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=params["shingle_n"],
+            hash_mode=params["hash_mode"],
+            token_mode=params["token_mode"],
+            shingle_unit=params["shingle_unit"],
+        )
+        if del_ids is not None:
+            fresh_h = fresh_h.join(F.broadcast(del_ids), "doc_id", "left_anti")
+        out_h = out_h.unionByName(fresh_h.select(*out_h.columns))
+    return out, out_h
 
 
 def with_bsig_hash(index: DataFrame) -> DataFrame:
@@ -683,12 +766,22 @@ def minhash_lsh_pairs_incremental(
     token_mode: str | None = None,
     shingle_unit: str | None = None,
     max_bucket_size: int | None = None,
+    hsets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: near-dup pairs TOUCHING a new shard,
     against a frozen corpus represented by its persisted band index
     (``minhash_band_index`` output; ``bsig_h`` column optional) — the
     nightly-ingest shape where re-running the full pair pipeline over
     100 TB to dedup a 100 GB shard is the wrong cost model.
+
+    NORMALIZED layout (r16): a lean index
+    (``minhash_band_index(carry_hset=False)``) carries no hset column;
+    pass its ``minhash_doc_hsets`` companion as ``hsets`` and the
+    verification payload is attached CANDIDATE-proportionally — the
+    hsets table is scanned once (restricted by a broadcast of the
+    candidate ids, never shuffled) instead of riding every band row
+    ``bands``× through the index scan.  Same pair output, differential
+    test-pinned against the carried layout.
 
     Output == ``minhash_lsh_pairs(frozen ∪ new)`` RESTRICTED to pairs
     with ≥1 endpoint in the new shard (differentially asserted in
@@ -784,30 +877,62 @@ def minhash_lsh_pairs_incremental(
         join_keys = ["bsig_h", "band", "bsig"]
     else:
         join_keys = ["band", "bsig"]
-    old = index.select(
-        *join_keys,
-        F.col("doc_id").alias("_old_id"),
-        F.col("hset").alias("_old_hset"),
-    )
     new = new_rows.select(
         *join_keys,
         F.col("doc_id").alias("_new_id"),
         F.col("hset").alias("_new_hset"),
     )
-    cross = (
-        new.join(old, on=join_keys)
-        # the caller contract is disjoint id spaces; the guard keeps a
-        # violated contract from manufacturing (x, x) "pairs" silently
-        .filter(F.col("_old_id") != F.col("_new_id"))
-        .select(
-            F.least("_old_id", "_new_id").alias("doc_a"),
-            F.greatest("_old_id", "_new_id").alias("doc_b"),
-            F.size(F.array_intersect("_new_hset", "_old_hset"))
-            .cast("bigint")
-            .alias("n_common"),
-            (F.size("_new_hset") + F.size("_old_hset")).alias("n_total"),
+    pair_cols = [
+        F.least("_old_id", "_new_id").alias("doc_a"),
+        F.greatest("_old_id", "_new_id").alias("doc_b"),
+        F.size(F.array_intersect("_new_hset", "_old_hset"))
+        .cast("bigint")
+        .alias("n_common"),
+        (F.size("_new_hset") + F.size("_old_hset")).alias("n_total"),
+    ]
+    if "hset" in index.columns:
+        old = index.select(
+            *join_keys,
+            F.col("doc_id").alias("_old_id"),
+            F.col("hset").alias("_old_hset"),
         )
-    )
+        cross = (
+            new.join(old, on=join_keys)
+            # the caller contract is disjoint id spaces; the guard keeps a
+            # violated contract from manufacturing (x, x) "pairs" silently
+            .filter(F.col("_old_id") != F.col("_new_id"))
+            .select(*pair_cols)
+        )
+    else:
+        # normalized layout: pair on the lean keys, then attach the
+        # frozen side's hsets candidate-proportionally — the companion
+        # table is scanned (broadcast-restricted), never shuffled
+        if hsets is None:
+            raise ValueError(
+                "minhash_lsh_pairs_incremental: the index carries no hset "
+                "column (normalized layout, minhash_band_index("
+                "carry_hset=False)); pass its minhash_doc_hsets companion "
+                "as hsets= — without the verification payload the probe "
+                "cannot compute exact Jaccard"
+            )
+        if id_col not in hsets.columns or "hset" not in hsets.columns:
+            raise ValueError(
+                "minhash_lsh_pairs_incremental: hsets must carry "
+                f"({id_col!r}, 'hset'); got {hsets.columns}"
+            )
+        old_keys = index.select(
+            *join_keys, F.col("doc_id").alias("_old_id")
+        )
+        cand = materialize(
+            new.join(old_keys, on=join_keys).filter(
+                F.col("_old_id") != F.col("_new_id")
+            ),
+            eager=False,
+        )
+        old_h = hsets.select(
+            F.col(id_col).alias("_old_id"), F.col("hset").alias("_old_hset")
+        ).join(F.broadcast(cand.select("_old_id").distinct()), "_old_id")
+        cross = cand.join(F.broadcast(old_h), "_old_id").select(*pair_cols)
     within_buckets = (
         new_rows.groupBy("band", "bsig")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))

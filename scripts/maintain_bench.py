@@ -32,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from kafka_streams_one_to_many_join_spark.functions.dedup import (  # noqa: E402
     minhash_band_index,
     minhash_band_index_apply,
+    minhash_doc_hsets,
     minhash_lsh_pairs_incremental,
     with_bsig_hash,
 )
@@ -44,13 +45,19 @@ from kafka_streams_one_to_many_join_spark.sources.bucketed import (  # noqa: E40
 
 
 def _index_checksum(df):
-    row = df.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("doc_id") * (F.col("band") + 1)).alias("s"),
         F.sum(F.pmod(F.xxhash64("band", "bsig"), F.lit(1000000007))).alias("h"),
-        F.sum(F.size("hset")).alias("hs"),
-    ).collect()[0]
-    return (row.n, int(row.s or 0), int(row.h or 0), int(row.hs or 0))
+    ]
+    # the lean (normalized) layout carries no hset on band rows
+    if "hset" in df.columns:
+        aggs.append(F.sum(F.size("hset")).alias("hs"))
+    row = df.agg(*aggs).collect()[0]
+    out = [row.n, int(row.s or 0), int(row.h or 0)]
+    if "hset" in df.columns:
+        out.append(int(row.hs or 0))
+    return tuple(out)
 
 
 def _pair_checksum(df):
@@ -66,6 +73,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dirs", default="/tmp/scale_sf1,/tmp/scale_sf10")
     ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--layout",
+        choices=["carried", "normalized"],
+        default="carried",
+        help="normalized (r16): lean band rows + doc-keyed hset companion "
+        "— removes the bands-x hset duplication that made the index's own "
+        "rewrite dominate maintenance at sf100 (SCALE.md r16)",
+    )
     args = ap.parse_args()
     spark = get_session("maintbench", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,47 +107,73 @@ def main() -> None:
             )
         )
 
+        norm = args.layout == "normalized"
+        carry = not norm
+
+        def build_index(src):
+            return with_bsig_hash(minhash_band_index(src, carry_hset=carry))
+
         # night-1 index (not timed here — the r13 index-build row covers it)
         n1_tbl = f"mb_idx_n1_{tag}"
-        write_bucketed(
-            with_bsig_hash(minhash_band_index(frozen)),
-            n1_tbl, 32, "bsig_h", path=f"/tmp/{n1_tbl}",
-        )
+        write_bucketed(build_index(frozen), n1_tbl, 32, "bsig_h",
+                       path=f"/tmp/{n1_tbl}")
+        n1_h = f"/tmp/mb_hsets_n1_{tag}"
+        if norm:
+            minhash_doc_hsets(frozen).write.mode("overwrite").parquet(n1_h)
+
+        rb_tbl, mt_tbl = f"mb_idx_rebuild_{tag}", f"mb_idx_maint_{tag}"
+        rb_h, mt_h = f"/tmp/mb_hsets_rb_{tag}", f"/tmp/mb_hsets_mt_{tag}"
 
         t0 = time.perf_counter()
-        rb_tbl = f"mb_idx_rebuild_{tag}"
-        write_bucketed(
-            with_bsig_hash(minhash_band_index(corrected_frozen)),
-            rb_tbl, 32, "bsig_h", path=f"/tmp/{rb_tbl}",
-        )
+        write_bucketed(build_index(corrected_frozen), rb_tbl, 32, "bsig_h",
+                       path=f"/tmp/{rb_tbl}")
+        if norm:
+            minhash_doc_hsets(corrected_frozen).write.mode(
+                "overwrite"
+            ).parquet(rb_h)
         t_rebuild = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        mt_tbl = f"mb_idx_maint_{tag}"
-        write_bucketed(
-            minhash_band_index_apply(
-                spark.table(n1_tbl), upserts=corrected, delete_ids=deletes
-            ),
-            mt_tbl, 32, "bsig_h", path=f"/tmp/{mt_tbl}",
-        )
+        if norm:
+            m_idx, m_hs = minhash_band_index_apply(
+                spark.table(n1_tbl), upserts=corrected, delete_ids=deletes,
+                hsets=spark.read.parquet(n1_h),
+            )
+            write_bucketed(m_idx, mt_tbl, 32, "bsig_h", path=f"/tmp/{mt_tbl}")
+            m_hs.write.mode("overwrite").parquet(mt_h)
+        else:
+            write_bucketed(
+                minhash_band_index_apply(
+                    spark.table(n1_tbl), upserts=corrected, delete_ids=deletes
+                ),
+                mt_tbl, 32, "bsig_h", path=f"/tmp/{mt_tbl}",
+            )
         t_maintain = time.perf_counter() - t0
 
         cs_rb = _index_checksum(spark.table(rb_tbl))
         cs_mt = _index_checksum(spark.table(mt_tbl))
         assert cs_rb == cs_mt, (tag, cs_rb, cs_mt)
+        probe_kw = (
+            {"hsets": spark.read.parquet(mt_h)} if norm else {}
+        )
+        probe_kw_rb = (
+            {"hsets": spark.read.parquet(rb_h)} if norm else {}
+        )
         p_rb = _pair_checksum(
             minhash_lsh_pairs_incremental(
-                shard, spark.table(rb_tbl), threshold=args.threshold
+                shard, spark.table(rb_tbl), threshold=args.threshold,
+                **probe_kw_rb,
             )
         )
         p_mt = _pair_checksum(
             minhash_lsh_pairs_incremental(
-                shard, spark.table(mt_tbl), threshold=args.threshold
+                shard, spark.table(mt_tbl), threshold=args.threshold,
+                **probe_kw,
             )
         )
         assert p_rb == p_mt, (tag, p_rb, p_mt)
         print(
-            f"{tag}: docs={n} index_rows={cs_mt[0]} "
+            f"{tag} [{args.layout}]: docs={n} index_rows={cs_mt[0]} "
             f"rebuild={t_rebuild:.2f}s maintain={t_maintain:.2f}s "
             f"maintain_vs_rebuild={t_maintain / t_rebuild:.3f} "
             f"probe_pairs={p_mt[0]}"

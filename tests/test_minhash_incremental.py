@@ -736,3 +736,122 @@ def test_band_index_apply_delete_ids_column_contract(spark):
     assert {
         r.doc_id for r in maintained.select("doc_id").distinct().collect()
     } == {1}
+
+
+def test_normalized_layout_probe_matches_carried(spark, sf_dir):
+    """r16 (the sf100 finding): the lean index
+    (minhash_band_index(carry_hset=False)) + minhash_doc_hsets
+    companion yields the IDENTICAL shard-touching pair set as the
+    carried layout — including under max_bucket_size capping — and the
+    probe attaches hsets candidate-proportionally (no hsets-table
+    shuffle: the companion side of the attach is a broadcast)."""
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index,
+        minhash_doc_hsets,
+        minhash_lsh_pairs_incremental,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frozen = docs.filter(F.col("doc_id") % 10 != 3)
+    shard = docs.filter(F.col("doc_id") % 10 == 3)
+    carried = minhash_band_index(frozen)
+    lean = minhash_band_index(frozen, carry_hset=False)
+    assert "hset" not in lean.columns
+    companion = minhash_doc_hsets(frozen)
+    pairs = lambda df: {  # noqa: E731
+        (r.doc_a, r.doc_b, r.jaccard) for r in df.collect()
+    }
+    expected = pairs(minhash_lsh_pairs_incremental(shard, carried, threshold=0.3))
+    got = pairs(
+        minhash_lsh_pairs_incremental(
+            shard, lean, threshold=0.3, hsets=companion
+        )
+    )
+    assert got == expected and got
+    # capped runs agree too (the cap path never touches hsets)
+    exp_cap = pairs(
+        minhash_lsh_pairs_incremental(
+            shard, carried, threshold=0.3, max_bucket_size=4
+        )
+    )
+    got_cap = pairs(
+        minhash_lsh_pairs_incremental(
+            shard, lean, threshold=0.3, hsets=companion, max_bucket_size=4
+        )
+    )
+    assert got_cap == exp_cap
+    # a lean index without its companion refuses to probe
+    with pytest.raises(ValueError, match="normalized layout"):
+        minhash_lsh_pairs_incremental(shard, lean, threshold=0.3)
+    with pytest.raises(ValueError, match="hsets must carry"):
+        minhash_lsh_pairs_incremental(
+            shard, lean, threshold=0.3,
+            hsets=companion.select(F.col("doc_id").alias("other"), "hset"),
+        )
+
+
+def test_normalized_layout_apply_differential(spark, sf_dir):
+    """Maintaining the lean index + companion under upserts/deletes
+    equals a rebuild of both on the corrected corpus, and a probe over
+    the maintained pair equals the carried-layout maintained probe.
+    The lean apply REFUSES to run without the companion."""
+    import pytest
+
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index,
+        minhash_band_index_apply,
+        minhash_doc_hsets,
+        minhash_lsh_pairs_incremental,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frozen = docs.filter(F.col("doc_id") % 10 != 3)
+    shard = docs.filter(F.col("doc_id") % 10 == 3)
+    corrected = frozen.filter(F.col("doc_id") % 10 == 6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" corrected edition"))
+    )
+    deletes = frozen.filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    lean = minhash_band_index(frozen, carry_hset=False)
+    companion = minhash_doc_hsets(frozen)
+    with pytest.raises(ValueError, match="normalized layout"):
+        minhash_band_index_apply(lean, upserts=corrected, delete_ids=deletes)
+    m_idx, m_h = minhash_band_index_apply(
+        lean, upserts=corrected, delete_ids=deletes, hsets=companion
+    )
+    corrected_frozen = frozen.filter(F.col("doc_id") % 10 != 9).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 6,
+            F.concat(F.col("text"), F.lit(" corrected edition")),
+        ).otherwise(F.col("text")),
+    )
+    rows = lambda df, cols: sorted(  # noqa: E731
+        tuple(r[c] if not isinstance(r[c], list) else tuple(sorted(r[c])) for c in cols)
+        for r in df.collect()
+    )
+    assert rows(m_idx, ["doc_id", "band", "bsig"]) == rows(
+        minhash_band_index(corrected_frozen, carry_hset=False),
+        ["doc_id", "band", "bsig"],
+    )
+    assert rows(m_h, ["doc_id", "hset"]) == rows(
+        minhash_doc_hsets(corrected_frozen), ["doc_id", "hset"]
+    )
+    # probe over the maintained pair == carried-layout maintained probe
+    carried = minhash_band_index(frozen)
+    m_carried = minhash_band_index_apply(
+        carried, upserts=corrected, delete_ids=deletes
+    )
+    pairs = lambda df: {  # noqa: E731
+        (r.doc_a, r.doc_b, r.jaccard) for r in df.collect()
+    }
+    got = pairs(
+        minhash_lsh_pairs_incremental(shard, m_idx, threshold=0.3, hsets=m_h)
+    )
+    assert got == pairs(
+        minhash_lsh_pairs_incremental(shard, m_carried, threshold=0.3)
+    )
+    assert got
