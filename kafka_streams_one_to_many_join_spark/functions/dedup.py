@@ -613,7 +613,15 @@ def minhash_band_index_apply(
     streams through exchange-free (plan-asserted), no re-tokenization of
     any frozen document, and only the upserted docs are signed.  Cost is
     one index scan + |changes|-sized work vs the full rebuild's
-    re-tokenize-and-sign of the whole corpus — measured in SCALE.md r14.
+    re-tokenize-and-sign of the whole corpus — measured in SCALE.md r14
+    (0.394x rebuild at sf10).  CAVEAT, measured r16: for the CARRIED
+    layout the ratio does NOT keep widening — at sf100 it degraded to
+    0.741 because the hset rides every band row (bands-x duplication)
+    and the index's own scan-and-rewrite becomes the dominant term of
+    maintenance; at that scale use the NORMALIZED layout
+    (``carry_hset=False`` + the ``minhash_doc_hsets`` companion via
+    ``hsets=``), which removes the duplicated payload from every
+    maintenance scan and write (SCALE.md r16).
     Persist the result via ``sources.bucketed.write_bucketed`` on
     ``bsig_h`` (add ``with_bsig_hash`` if absent) to keep nightly probes
     shuffle-free.  Construction parameters default to the index's own
