@@ -786,9 +786,12 @@ def minhash_lsh_pairs_incremental(
     (``minhash_band_index(carry_hset=False)``) carries no hset column;
     pass its ``minhash_doc_hsets`` companion as ``hsets`` and the
     verification payload is attached CANDIDATE-proportionally — the
-    hsets table is scanned once (restricted by a broadcast of the
-    candidate ids, never shuffled) instead of riding every band row
-    ``bands``× through the index scan.  Same pair output, differential
+    hsets table is scanned once, restricted by a broadcast of the
+    candidate IDS (bounded, 8 bytes each), and only the restricted
+    candidate-proportional payload rows enter the attach join's
+    shuffle (the payload side is deliberately NOT broadcast-hinted: at
+    the sf100 twin a 500k-doc shard's candidate hsets are multi-GB and
+    the hint OOMs the executors).  Same pair output, differential
     test-pinned against the carried layout.
 
     Output == ``minhash_lsh_pairs(frozen ∪ new)`` RESTRICTED to pairs
@@ -937,10 +940,16 @@ def minhash_lsh_pairs_incremental(
             ),
             eager=False,
         )
+        # restrict the companion SCAN with a broadcast of the ids alone
+        # (bounded: 8 bytes/candidate), then attach the payloads through
+        # a regular shuffle join — both sides of that join are
+        # candidate-proportional, the same order as the shard's own
+        # shuffles.  Force-broadcasting the payload side OOMs at scale
+        # (sf100, 500k-doc shard: multi-GB of hsets behind one hint).
         old_h = hsets.select(
             F.col(id_col).alias("_old_id"), F.col("hset").alias("_old_hset")
         ).join(F.broadcast(cand.select("_old_id").distinct()), "_old_id")
-        cross = cand.join(F.broadcast(old_h), "_old_id").select(*pair_cols)
+        cross = cand.join(old_h, "_old_id").select(*pair_cols)
     within_buckets = (
         new_rows.groupBy("band", "bsig")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
