@@ -931,25 +931,36 @@ def minhash_lsh_pairs_incremental(
                 "minhash_lsh_pairs_incremental: hsets must carry "
                 f"({id_col!r}, 'hset'); got {hsets.columns}"
             )
+        # candidate pairs as IDS ONLY — one row per (new, old) candidate
+        # with no payload.  Two earlier shapes OOM'd the sf100 twin
+        # (500k-doc shard): carrying _new_hset on every candidate row
+        # through the materialize pinned multi-GB of duplicated
+        # payloads, and broadcast-hinting the restricted old-side
+        # payload put the same GBs behind one hint.  Ids are 16
+        # bytes/candidate; both payload attaches below are regular
+        # candidate/shard-proportional shuffle joins, and the
+        # companion/index tables themselves are still only scanned.
         old_keys = index.select(
             *join_keys, F.col("doc_id").alias("_old_id")
         )
         cand = materialize(
-            new.join(old_keys, on=join_keys).filter(
-                F.col("_old_id") != F.col("_new_id")
-            ),
+            new.select(*join_keys, "_new_id")
+            .join(old_keys, on=join_keys)
+            .filter(F.col("_old_id") != F.col("_new_id"))
+            .select("_new_id", "_old_id"),
             eager=False,
         )
-        # restrict the companion SCAN with a broadcast of the ids alone
-        # (bounded: 8 bytes/candidate), then attach the payloads through
-        # a regular shuffle join — both sides of that join are
-        # candidate-proportional, the same order as the shard's own
-        # shuffles.  Force-broadcasting the payload side OOMs at scale
-        # (sf100, 500k-doc shard: multi-GB of hsets behind one hint).
         old_h = hsets.select(
             F.col(id_col).alias("_old_id"), F.col("hset").alias("_old_hset")
         ).join(F.broadcast(cand.select("_old_id").distinct()), "_old_id")
-        cross = cand.join(old_h, "_old_id").select(*pair_cols)
+        new_h = new_rows.groupBy(F.col("doc_id").alias("_new_id")).agg(
+            F.first("hset").alias("_new_hset")
+        )
+        cross = (
+            cand.join(new_h, "_new_id")
+            .join(old_h, "_old_id")
+            .select(*pair_cols)
+        )
     within_buckets = (
         new_rows.groupBy("band", "bsig")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
