@@ -5538,8 +5538,10 @@ def oracle_sql() -> dict[str, str]:
                ({_leak_a}) <> ({_leak_b}) AS leaks
         FROM pairs
     """
+    # exact CTE = the SHARED single-face body, not d["ann_topk"] (which
+    # is the r16 method-tagged union — doubled rows would halve recall)
     d["ann_recall"] = f"""
-        WITH exact AS ({d["ann_topk"]}),
+        WITH exact AS ({_ann_exact_sql()}),
         lsh AS ({_ann_lsh_sql()}),
         ivf AS ({_ann_ivf_sql()}),
         ivf_trained AS ({_ann_ivf_trained_sql()}),

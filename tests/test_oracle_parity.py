@@ -117,9 +117,16 @@ def test_cross_query_invariants(spark, sf_dir):
     for r in q["segment_dedup"](spark, sf_dir).collect():
         assert r.n_segments == -(-n_tokens[r.doc_id] // 10), r.doc_id
 
-    exact_counts = {}
+    # r16: ann_topk is the method-tagged union of the two exact faces —
+    # count the 'expr' face (== the former standalone rows) and check
+    # the 'pandas' face mirrors it exactly, then pin ann_recall's
+    # n_exact against the single-face counts
+    exact_counts: dict = {}
+    pandas_counts: dict = {}
     for r in q["ann_topk"](spark, sf_dir).collect():
-        exact_counts[r.query_id] = exact_counts.get(r.query_id, 0) + 1
+        tgt = exact_counts if r.method == "expr" else pandas_counts
+        tgt[r.query_id] = tgt.get(r.query_id, 0) + 1
+    assert pandas_counts == exact_counts
     for r in q["ann_recall"](spark, sf_dir).collect():
         assert r.n_exact == exact_counts[r.query_id], r.query_id
 
