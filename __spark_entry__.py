@@ -1000,34 +1000,56 @@ def q_ann_topk_maintained(spark: SparkSession, sf: str) -> DataFrame:
     ``ann_topk_indexed`` — no corpus vector is re-signed on the probe
     path, and the query-side geometry comes from the index's stamp.
 
-    The oracle recomputes hyperplane-LSH top-k from scratch on the
-    CORRECTED corpus (reverse-upserted, deletions gone), so the hash
-    pins exactly the maintenance semantics: a stale row (an upserted
-    vector still in its old bucket, a deleted vector still answering
-    as a neighbor) breaks parity.  Scale shape: retraction is a
-    broadcast anti-join (index streams exchange-free, plan-asserted in
+    The oracle recomputes hyperplane-LSH / IVF top-k from scratch on
+    the CORRECTED corpus (reverse-upserted, deletions gone), so the
+    hash pins exactly the maintenance semantics: a stale row (an
+    upserted vector still in its old bucket/cell, a deleted vector
+    still answering as a neighbor) breaks parity.  BOTH index methods
+    probe as a method-tagged bag union (``method='lsh'`` /
+    ``method='ivf'``), each face keeping its family's established
+    query-eligibility policy (LSH: the index's baked-in clean+nonzero+
+    full-width rule; IVF: full-width — mirrored CTE-for-CTE in the
+    oracle).  Scale shape: retraction is a broadcast anti-join (index
+    streams exchange-free, plan-asserted in
     tests/test_ann_maintenance.py); only the upserted vectors pay
-    plane dots; the probe reads the index as-is with the query side
-    broadcast.  Maintain-vs-rebuild and probe-vs-full measured at
-    sf1/sf10 in SCALE.md r16."""
+    plane/centroid dots; the probe reads each index as-is with the
+    query side broadcast.  Maintain-vs-rebuild and probe-vs-full
+    measured at sf1/sf10 in SCALE.md r16 (IVF-256: maintain 0.338x,
+    probe 0.106x)."""
     from kafka_streams_one_to_many_join_spark.functions.similarity import (
         ann_index_apply,
+        ann_ivf_index,
         ann_lsh_index,
         ann_topk_indexed,
+        seeded_centroids,
     )
 
     emb = load_table(spark, sf, "embeddings")
     planes = seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED)
-    index = ann_lsh_index(emb, planes)
     upserts = emb.filter(F.col("vec_id") % 7 == 3).withColumn(
         "embedding", F.reverse("embedding")
     )
     deletes = emb.filter(F.col("vec_id") % 11 == 5).select("vec_id")
-    maintained = ann_index_apply(index, upserts=upserts, delete_ids=deletes)
-    queries = maintained.filter(F.col("vec_id") % 100 == 0).select(
+
+    lsh_index = ann_lsh_index(emb, planes)
+    m_lsh = ann_index_apply(lsh_index, upserts=upserts, delete_ids=deletes)
+    q_lsh = m_lsh.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_topk_indexed(maintained, queries, k=10, probe_hamming=2)
+    lsh_face = ann_topk_indexed(
+        m_lsh, q_lsh, k=10, probe_hamming=2
+    ).withColumn("method", F.lit("lsh"))
+
+    cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
+    ivf_index = ann_ivf_index(emb, cents)
+    m_ivf = ann_index_apply(ivf_index, upserts=upserts, delete_ids=deletes)
+    q_ivf = m_ivf.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_face = ann_topk_indexed(
+        m_ivf, q_ivf, k=10, nprobe=_IVF_NPROBE
+    ).withColumn("method", F.lit("ivf"))
+    return lsh_face.unionByName(ivf_face)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2029,6 +2051,18 @@ def _minhash_lsh_sql(
     """
 
 
+# the nightly-change CTE shared by both ann_topk_maintained oracle
+# faces: vec_id % 7 = 3 corrected (reversed embedding), % 11 = 5
+# deleted; the % 77 overlap is deleted (delete-wins)
+_ANN_CORRECTED_CTE = """corrected AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+                FROM embeddings
+                WHERE vec_id % 11 <> 5
+            ), """
+
+
 def _ann_exact_sql() -> str:
     """Exact brute-force cosine top-k oracle — the shared body both
     method faces of the r16 ann_topk composite pin (the two faces
@@ -2160,7 +2194,10 @@ def _kmeans_sql() -> str:
     """
 
 
-def _ann_ivf_sql() -> str:
+def _ann_ivf_sql(source: str = "embeddings", prelude: str = "") -> str:
+    """IVF top-k oracle body; ``source``/``prelude`` let the
+    maintained-index oracle run the SAME probe over a corrected-corpus
+    CTE (the _ann_lsh_sql pattern)."""
     from kafka_streams_one_to_many_join_spark.functions.similarity import (
         seeded_centroids,
     )
@@ -2171,12 +2208,12 @@ def _ann_ivf_sql() -> str:
         for cell, cvec in enumerate(cents)
     )
     return f"""
-        WITH cents(cell, cvec) AS (VALUES {cent_rows}),
+        WITH {prelude}cents(cell, cvec) AS (VALUES {cent_rows}),
         -- full-width guard mirroring ivf_topk's Spark-side filter
         -- (r11 ADVICE close): NULL / empty / ragged embeddings are
         -- excluded identically in both engines instead of diverging
         emb_ok AS (
-            SELECT * FROM embeddings
+            SELECT * FROM {source}
             WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIM}
         ),
         dots AS (
@@ -4695,19 +4732,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT query_id, vec_id, sim, rank, 'pandas' AS method FROM one
         """,
-        # the maintained-index probe == a fresh LSH probe over the
-        # CORRECTED corpus (upserts re-bucketed, deletions gone, the %77
-        # overlap deleted per delete-wins) — stale index rows break this
-        "ann_topk_maintained": _ann_lsh_sql(
-            source="corrected",
-            prelude=f"""corrected AS (
-                SELECT vec_id,
-                       CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
-                            ELSE embedding END AS embedding
-                FROM embeddings
-                WHERE vec_id % 11 <> 5
-            ), """,
-        ),
+        # the maintained-index probes == fresh LSH / IVF probes over the
+        # CORRECTED corpus (upserts re-bucketed/re-celled, deletions
+        # gone, the %77 overlap deleted per delete-wins) — stale index
+        # rows break either face's hash
+        "ann_topk_maintained": f"""
+            SELECT query_id, vec_id, sim, rank, 'lsh' AS method
+            FROM ({_ann_lsh_sql(source="corrected", prelude=_ANN_CORRECTED_CTE)})
+            UNION ALL
+            SELECT query_id, vec_id, sim, rank, 'ivf' AS method
+            FROM ({_ann_ivf_sql(source="corrected", prelude=_ANN_CORRECTED_CTE)})
+        """,
         "asset_metadata": """
             SELECT doc_id AS asset_id, 'image' AS media_type,
                    octet_length(encode(text))::BIGINT AS n_bytes,

@@ -472,6 +472,73 @@ def minhash_band_index(
     )
 
 
+def minhash_band_index_normalized(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 11,
+    hash_mode: str = "md5",
+    token_mode: str = "ascii",
+    shingle_unit: str = "word",
+) -> tuple[DataFrame, DataFrame]:
+    """ONE-PASS build of the normalized layout: returns
+    ``(lean band index, doc-keyed hsets companion)`` — both projected
+    from a single materialized per-doc (signature, hset) frame, so the
+    corpus is tokenized and signed ONCE.  The separate
+    ``minhash_band_index(carry_hset=False)`` + ``minhash_doc_hsets``
+    pair tokenizes twice (measured: the two-pass normalized rebuild ran
+    ~17% over the carried one at sf100; this builder closes that gap —
+    SCALE.md r16).  Writing the two outputs still costs two actions,
+    but both read the checkpointed per-doc frame, never the corpus
+    (plan-asserted in tests/test_minhash_incremental.py)."""
+    from kafka_streams_one_to_many_join_spark.model import materialize
+
+    rows = num_hashes // bands
+    a, b = minhash_coeffs(num_hashes, seed)
+    sh = _with_shingles(
+        docs, text_col, id_col, shingle_n, token_mode, shingle_unit
+    ).select(
+        "doc_id", F.explode("_sh").alias("shingle")
+    ).select("doc_id", F.expr(_shingle_h(hash_mode)).alias("h"))
+    mins = [
+        F.min(F.expr(f"(h * {a[j]} + {b[j]}) % {MINHASH_P}")).alias(f"_s{j}")
+        for j in range(num_hashes)
+    ]
+    per_doc = materialize(
+        sh.groupBy("doc_id")
+        .agg(*mins, F.collect_set("h").alias("hset"))
+        .select(
+            "doc_id",
+            F.array(*[f"_s{j}" for j in range(num_hashes)]).alias("sig"),
+            "hset",
+        ),
+        eager=False,
+    )
+    index = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'bsig', slice(sig, b * {rows} + 1, {rows})))"
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.bsig").alias(
+            "bsig",
+            metadata=_index_params(
+                num_hashes, bands, shingle_n, seed, hash_mode, token_mode,
+                shingle_unit,
+            ),
+        ),
+    )
+    return index, per_doc.select("doc_id", "hset")
+
+
 def _index_params(
     num_hashes: int,
     bands: int,

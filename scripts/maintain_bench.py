@@ -32,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from kafka_streams_one_to_many_join_spark.functions.dedup import (  # noqa: E402
     minhash_band_index,
     minhash_band_index_apply,
+    minhash_band_index_normalized,
     minhash_doc_hsets,
     minhash_lsh_pairs_incremental,
     with_bsig_hash,
@@ -125,12 +126,16 @@ def main() -> None:
         rb_h, mt_h = f"/tmp/mb_hsets_rb_{tag}", f"/tmp/mb_hsets_mt_{tag}"
 
         t0 = time.perf_counter()
-        write_bucketed(build_index(corrected_frozen), rb_tbl, 32, "bsig_h",
-                       path=f"/tmp/{rb_tbl}")
         if norm:
-            minhash_doc_hsets(corrected_frozen).write.mode(
-                "overwrite"
-            ).parquet(rb_h)
+            # the one-pass dual-write builder (r16): one tokenize+sign
+            # pass feeds both outputs via a materialized per-doc frame
+            rb_idx, rb_hs = minhash_band_index_normalized(corrected_frozen)
+            write_bucketed(with_bsig_hash(rb_idx), rb_tbl, 32, "bsig_h",
+                           path=f"/tmp/{rb_tbl}")
+            rb_hs.write.mode("overwrite").parquet(rb_h)
+        else:
+            write_bucketed(build_index(corrected_frozen), rb_tbl, 32,
+                           "bsig_h", path=f"/tmp/{rb_tbl}")
         t_rebuild = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -298,3 +298,80 @@ def test_ann_topk_indexed_matches_inflight_on_frozen_corpus(spark, sf_dir):
     assert got_ivf == _probe_rows(
         ivf_topk(emb, queries, CENTROIDS, nprobe=3, k=10)
     )
+
+
+def test_streamed_vector_additions_then_maintenance_then_probe(
+    spark, sf_dir, tmp_path
+):
+    """The vector face of the stream-vs-maintenance division (the
+    band/segment composition pins, r15): intra-day embedding arrivals
+    stream into the persisted ANN index one micro-batch at a time
+    (foreachBatch upserts via ann_index_apply — the stamp survives
+    every parquet round trip), THEN the nightly maintenance applies
+    corrections + deletes, THEN the index is probed — the probe must
+    equal the in-flight operator on the final corrected corpus,
+    pair-for-pair."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    emb = _corpus(spark, sf_dir).filter(F.size("embedding") == DIM)
+    frozen = emb.filter(F.col("vec_id") % 10 < 5)
+    arrivals = emb.filter(
+        (F.col("vec_id") % 10 >= 5) & (F.col("vec_id") % 10 <= 7)
+    ).select("vec_id", "embedding")
+    idx_dir = str(tmp_path / "annidx_v0")
+    ann_lsh_index(frozen, PLANES).write.mode("overwrite").parquet(idx_dir)
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    for i in range(3):
+        arrivals.filter(F.col("vec_id") % 3 == i).write.mode("append").parquet(in_dir)
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    versions = {"cur": idx_dir, "n": 0}
+
+    def ingest(bdf, bid):
+        if bdf.isEmpty():
+            return
+        cur = spark.read.parquet(versions["cur"])
+        nxt = str(tmp_path / f"annidx_v{versions['n'] + 1}")
+        ann_index_apply(cur, upserts=bdf).write.mode("overwrite").parquet(nxt)
+        versions["cur"], versions["n"] = nxt, versions["n"] + 1
+
+    q = stream.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    assert versions["n"] >= 2, "arrivals must span multiple micro-batches"
+    streamed = spark.read.parquet(versions["cur"])
+    corrections = emb.filter(F.col("vec_id") % 10 == 6).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    deletes = emb.filter(F.col("vec_id") % 10 == 4).select("vec_id")
+    maintained = ann_index_apply(
+        streamed, upserts=corrections, delete_ids=deletes
+    )
+    final_corpus = (
+        emb.filter((F.col("vec_id") % 10 <= 7) & (F.col("vec_id") % 10 != 4))
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 10 == 6, F.reverse("embedding")
+            ).otherwise(F.col("embedding")),
+        )
+    )
+    queries = final_corpus.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _probe_rows(
+        ann_topk_indexed(maintained, queries, k=5, probe_hamming=2)
+    )
+    expected = _probe_rows(
+        lsh_topk(final_corpus, queries, PLANES, k=5, probe_hamming=2)
+    )
+    assert got == expected and got

@@ -855,3 +855,44 @@ def test_normalized_layout_apply_differential(spark, sf_dir):
         minhash_lsh_pairs_incremental(shard, m_carried, threshold=0.3)
     )
     assert got
+
+
+def test_one_pass_normalized_builder(spark, sf_dir, monkeypatch):
+    """minhash_band_index_normalized yields the identical (lean index,
+    companion) pair as the two-pass build, from ONE corpus scan: both
+    outputs' plans read the checkpointed per-doc frame, never the
+    documents table."""
+    from kafka_streams_one_to_many_join_spark import model as model_mod
+    from kafka_streams_one_to_many_join_spark.functions.dedup import (
+        minhash_band_index,
+        minhash_band_index_normalized,
+        minhash_doc_hsets,
+    )
+    from kafka_streams_one_to_many_join_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sink: list = []
+    monkeypatch.setattr(model_mod, "_PLAN_AUDIT_SINK", sink)
+    index, companion = minhash_band_index_normalized(docs)
+    rows = lambda df, cols: sorted(  # noqa: E731
+        tuple(
+            r[c] if not isinstance(r[c], list) else tuple(sorted(r[c]))
+            for c in cols
+        )
+        for r in df.collect()
+    )
+    assert rows(index, ["doc_id", "band", "bsig"]) == rows(
+        minhash_band_index(docs, carry_hset=False), ["doc_id", "band", "bsig"]
+    )
+    assert rows(companion, ["doc_id", "hset"]) == rows(
+        minhash_doc_hsets(docs), ["doc_id", "hset"]
+    )
+    # the stamp rides the one-pass index too
+    meta = dict(index.schema["bsig"].metadata or {})
+    assert meta.get("num_hashes") == 16
+    # one corpus scan: the materialized per-doc frame scans the corpus;
+    # both derived outputs' plans are scan-free
+    assert len(sink) == 1
+    for df in (index, companion):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "parquet" not in plan.lower() and "FileScan" not in plan, plan
