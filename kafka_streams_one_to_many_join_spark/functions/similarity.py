@@ -859,7 +859,7 @@ def ann_topk_indexed(
             "_qn",
             F.explode(
                 F.expr(f"transform(array({mask_list}), m -> _b0 ^ m)")
-            ).alias("bucket"),
+            ).alias("_qkey"),
         )
         join_key = "bucket"
     else:
@@ -869,7 +869,7 @@ def ann_topk_indexed(
             F.col(query_id_col),
             F.col(vec_col).alias("_qvec"),
             F.expr(norm_expr(vec_col)).alias("_qn"),
-            F.explode(ivf_probe_cells(vec_col, geom, nprobe)).alias("cell"),
+            F.explode(ivf_probe_cells(vec_col, geom, nprobe)).alias("_qkey"),
         )
         join_key = "cell"
     # spread an under-partitioned index scan before the per-candidate
@@ -879,9 +879,22 @@ def ann_topk_indexed(
     # with the spread)
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
+    # Null-safe equality (<=>) on the state key, NOT "=" — ivf_topk's
+    # documented fix applied to the indexed probe: when the index is
+    # IN-FLIGHT (built and maintained in the same plan, the roster
+    # shape), Catalyst infers isnotnull(cell|bucket) from a plain equi-
+    # join and pushes it below the projection, re-inlining the whole
+    # centroid/plane-dot expression into a Filter (the r08 heavy-expr
+    # class; flagged by test_roster_wide_plan_hygiene).  The key is
+    # never null by construction, so <=> is semantics-identical and
+    # still a hash-join key; a parquet-read index is unaffected either
+    # way.
     scored = (
         ensure_parallelism(index)
-        .join(F.broadcast(q), on=join_key)
+        .join(
+            F.broadcast(q),
+            on=F.col(join_key).eqNullSafe(F.col("_qkey")),
+        )
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
