@@ -1031,8 +1031,25 @@ def q_ann_topk_maintained(spark: SparkSession, sf: str) -> DataFrame:
     )
     deletes = emb.filter(F.col("vec_id") % 11 == 5).select("vec_id")
 
+    # Pin each maintained index once (r17): it feeds BOTH the query-set
+    # derivation and the probe, and an unpinned diamond plants the whole
+    # build+maintain subtree (plane/centroid dots over the corpus, the
+    # repo's heaviest expression trees) TWICE in the final plan — double
+    # execution AND double analysis of the giant geometry expressions.
+    # The checkpoint is the production shape anyway: a real nightly
+    # index is WRITTEN after maintenance and the probe reads the stored
+    # rows (SCALE.md r16's 0.106× probe measurement is exactly that).
+    # Geometry stamps survive the checkpoint (column metadata rides the
+    # schema), so the probe still resolves planes/centroids from the
+    # pinned frame.  Measured (r17, interleaved A/B at sf0.1, bursty
+    # host): medians 4.75 → 4.58 s — within host noise at this scale,
+    # where fixed stage overhead dominates; the structural win (plane/
+    # centroid dots over the corpus computed once, not twice) grows
+    # with corpus size.  Plan evidence: plans/r17/ann_topk_maintained_*.
     lsh_index = ann_lsh_index(emb, planes)
-    m_lsh = ann_index_apply(lsh_index, upserts=upserts, delete_ids=deletes)
+    m_lsh = materialize(
+        ann_index_apply(lsh_index, upserts=upserts, delete_ids=deletes)
+    )
     q_lsh = m_lsh.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1042,7 +1059,9 @@ def q_ann_topk_maintained(spark: SparkSession, sf: str) -> DataFrame:
 
     cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
     ivf_index = ann_ivf_index(emb, cents)
-    m_ivf = ann_index_apply(ivf_index, upserts=upserts, delete_ids=deletes)
+    m_ivf = materialize(
+        ann_index_apply(ivf_index, upserts=upserts, delete_ids=deletes)
+    )
     q_ivf = m_ivf.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3530,8 +3549,26 @@ def q_segment_dedup_maintained(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     frozen = docs.filter(F.col("doc_id") % 10 != 3)
     shard = docs.filter(F.col("doc_id") % 10 == 3)
-    pairs = segment_pairs(frozen)
-    counts = pairs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
+    # Pin the in-flight state once per hop (r17): in production the
+    # frozen state IS a stored table (the operators' scale contract says
+    # "the state is scanned, never shuffled" — scanned from PARQUET),
+    # but this oracle-paired composition derives it from text in-flight,
+    # so every downstream "state scan" used to re-run the frozen
+    # corpus's tokenize+hash pipeline: pairs has 3 consumers (counts,
+    # the retraction anti-join, the decrement delta) and the maintained
+    # outputs have 2-3 more (probe restriction, affected-doc walk,
+    # fraction joins) — 7 tokenizations of the frozen corpus in one
+    # query (30-scan plan).  Checkpointing pairs/counts and the
+    # maintained pair state makes each consumer read executor-local
+    # blocks — the parquet-scan twin of the production shape.  Measured
+    # (r17, interleaved A/B at sf0.1): 4.72 → 3.74 s median (0.79×;
+    # fixed stage overhead floors the ratio at this scale — the killed
+    # re-tokenizations grow with corpus size).  Plan evidence:
+    # plans/r17/segment_dedup_maintained_*.
+    pairs = materialize(segment_pairs(frozen))
+    counts = materialize(
+        pairs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
+    )
     corrected = frozen.filter(F.col("doc_id") % 10 == 6).withColumn(
         "text", F.concat(F.col("text"), F.lit(" corrected edition"))
     )
@@ -3539,7 +3576,9 @@ def q_segment_dedup_maintained(spark: SparkSession, sf: str) -> DataFrame:
     pairs2, counts2 = segment_index_apply(
         pairs, counts, upserts=corrected, delete_ids=deletes
     )
-    return segment_dedup_incremental(shard, pairs2, seg_counts=counts2)
+    return segment_dedup_incremental(
+        shard, materialize(pairs2), seg_counts=materialize(counts2)
+    )
 
 
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:

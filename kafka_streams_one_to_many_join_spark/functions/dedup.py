@@ -1436,7 +1436,10 @@ def simhash_near_dup_clusters(
     every scale both complete (differentially asserted).
     """
     from kafka_streams_one_to_many_join_spark.functions.text import token_re
-    from kafka_streams_one_to_many_join_spark.model import materialize
+    from kafka_streams_one_to_many_join_spark.model import (
+        materialize,
+        materialize_with_sum,
+    )
 
     sigs = materialize(
         simhash_buckets(
@@ -1488,13 +1491,14 @@ def simhash_near_dup_clusters(
         .groupBy("simhash")
         .agg(F.min("nbr_lbl").alias("nbr_lbl"))
     )
-    labels = materialize(
+    labels, prev_sum = materialize_with_sum(
         groups.join(nbr_min, "simhash", "left")
         .filter((F.col("n_docs") > 1) | F.col("nbr_lbl").isNotNull())
         .select(
             "simhash",
             F.least(F.col("rep"), F.coalesce("nbr_lbl", "rep")).alias("lbl"),
-        )
+        ),
+        "lbl",
     )
     # Later rounds propagate over the SAME buckets, labels restricted to
     # the dup graph (the inner join drops out-of-graph signatures from
@@ -1518,8 +1522,15 @@ def simhash_near_dup_clusters(
     # turns O(component diameter) rounds into O(log diameter) — the
     # difference between 25 rounds and ~6 on chain-shaped near-dup
     # components (incremental-edit chains, the dense-twin shape).
-    rep_sig = groups.select(F.col("rep").alias("lbl"), F.col("simhash").alias("_ls"))
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    #
+    # rep_sig is LOOP-INVARIANT (r17): un-pinned it re-aggregated the
+    # corpus-sized groups frame — a full groupBy(simhash) shuffle over
+    # every distinct signature — once per round inside the jump join.
+    # One lazy checkpoint hoists it out of all rounds.
+    rep_sig = materialize(
+        groups.select(F.col("rep").alias("lbl"), F.col("simhash").alias("_ls")),
+        eager=False,
+    )
     for _ in range(max_iter):
         propagated = (
             band_rows.join(labels, "simhash")
@@ -1546,8 +1557,12 @@ def simhash_near_dup_clusters(
                 F.least(F.col("lbl"), F.coalesce("_lbl2", "lbl")).alias("lbl"),
             )
         )
-        labels = materialize(jumped)
-        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        # The convergence scalar rides the checkpoint job as an observed
+        # metric (r17): the eager localCheckpoint is already an action
+        # over every label row, so a separate agg().collect() job per
+        # round paid one extra job submission + scan for a sum the
+        # checkpoint pass can emit for free.
+        labels, s = materialize_with_sum(jumped, "lbl")
         if s == prev_sum:
             break
         prev_sum = s
@@ -1779,7 +1794,10 @@ def near_dup_clusters(
     ``SPARK_GRAFT_CHECKPOINT_DIR`` is set (the cluster-scale escape hatch
     — executor loss then no longer fails the job).
     """
-    from kafka_streams_one_to_many_join_spark.model import materialize
+    from kafka_streams_one_to_many_join_spark.model import (
+        materialize,
+        materialize_with_sum,
+    )
 
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
@@ -1800,13 +1818,12 @@ def near_dup_clusters(
         prop = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), F.col("lbl"))
-        labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .transform(materialize)
+        # convergence sum observed during the checkpoint job itself —
+        # one job per round instead of two (see materialize_with_sum)
+        labels, s = materialize_with_sum(
+            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl")),
+            "lbl",
         )
-        s = labels.agg(F.sum("lbl")).collect()[0][0]
         if s == prev_sum:
             break
         prev_sum = s

@@ -22,6 +22,7 @@ records land in a corrupt-record column instead of killing the pipeline.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,6 +96,11 @@ TESTDATA_TABLES = (
 )
 
 
+# Analyzed reader plans, keyed by (applicationId, abspath, mtime_ns, size).
+# METADATA memoization only — see load_table.
+_TABLE_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
@@ -105,15 +111,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ones write TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ).  Every query
     downstream sees ONE type — TIMESTAMP — matching the oracle engine's
     native reading of the same parquet.
-    """
+
+    The analyzed reader PLAN is memoized per (application, absolute path,
+    file mtime, file size) — r17, measured: every ``spark.read.parquet``
+    call re-lists the path and re-reads parquet footers for schema
+    inference (~110 ms warm on this host), and a bench run constructs
+    every query several times (warm-up + repeats), ~600 such calls per
+    run — tens of seconds of pure repeated metadata work for byte-
+    identical scan plans.  This caches METADATA ONLY: the DataFrame is a
+    lazy plan, no row or result is stored, nothing is persisted across
+    processes, and every execution still scans the parquet inputs in
+    full (the engine-catalog analogy: a real warehouse resolves a table
+    reference from its catalog instead of re-deriving the schema from
+    data files per query).  A new SparkSession, a changed file (mtime or
+    size), or an unstat-able path misses or bypasses the cache."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key: tuple | None
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _TABLE_PLAN_CACHE:
+        return _TABLE_PLAN_CACHE[key]
+    df = spark.read.parquet(path)
     if name == "events" and "ts" in df.columns:
         t = dict(df.dtypes)["ts"]
         if t == "bigint":  # legacy INT64 nanos vintage
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif t == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        _TABLE_PLAN_CACHE[key] = df
     return df
 
 
@@ -129,11 +164,31 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     default parallelism (any real at-scale table: many files / row groups),
     this is a NO-OP — no shuffle is ever added to a well-partitioned
     100 TB scan.
+
+    The under-partitioned check is ``df.rdd.getNumPartitions()`` — but
+    ONLY for plans without a shuffle exchange (r17, measured): under AQE,
+    converting a DataFrame whose plan contains an Exchange to an RDD
+    MATERIALIZES every query stage eagerly (the probe itself runs the
+    shuffles), and the real action later re-plans and re-runs them —
+    a silent double execution of the whole subtree.  A plan that already
+    shuffles is cluster-partitioned by construction (its exchanges land
+    on ``spark.sql.shuffle.partitions`` / AQE-coalesced partitioning, or
+    an upstream explicit repartition — every such call site here), so
+    the spread is skipped without probing.  Broadcast exchanges do not
+    repartition and are ignored by the guard; scan-only plans build
+    their RDD without running any job, so the probe stays free where it
+    fires.
     """
     if df.isStreaming:  # micro-batch partitioning is the engine's concern
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # defensive: fall back to the probe
+        plan = ""
+    if re.search(r"(?<!Broadcast)(?<!Reused)Exchange", plan):
+        return df
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
@@ -182,6 +237,34 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
             sc.setCheckpointDir(ckpt_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=eager)
+
+
+def materialize_with_sum(df: DataFrame, col: str) -> tuple[DataFrame, int | None]:
+    """``materialize`` + the column's sum in ONE job (r17): the iterative
+    label-propagation loops pin each round's labels (an eager checkpoint —
+    already a full pass over every row) and then ran a SECOND job per
+    round just to collect ``sum(lbl)`` for the convergence test.  An
+    ``Observation`` metric rides the checkpoint pass itself, so the scalar
+    costs zero extra jobs.  Returns ``(pinned_df, sum)``.
+
+    The reliable-checkpoint path (``spark.graft.checkpointDir`` /
+    ``SPARK_GRAFT_CHECKPOINT_DIR``) keeps the two-job form:
+    ``DataFrame.checkpoint`` materializes through an internal RDD action
+    whose observation semantics are not contractual, and a hung
+    ``Observation.get`` would deadlock the driver — one small extra
+    aggregate over checkpointed blocks is the safe price there."""
+    spark = df.sparkSession
+    ckpt_dir = spark.conf.get("spark.graft.checkpointDir", None) or os.environ.get(
+        "SPARK_GRAFT_CHECKPOINT_DIR"
+    )
+    if ckpt_dir:
+        pinned = materialize(df)
+        return pinned, pinned.agg(F.sum(col)).collect()[0][0]
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    pinned = materialize(df.observe(obs, F.sum(F.col(col)).alias("s")))
+    return pinned, obs.get["s"]
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
