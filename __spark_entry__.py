@@ -3848,6 +3848,22 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     3.89 s → 2.50 s median at sf0.1, spread gone; the IVF branch's plan
     fix contributes too).
 
+    r18 (VERDICT r17 item 3 — this query's plan showed the repeated-
+    subtree disease the r17 checkpoint trilogy cured elsewhere: 6
+    parquet scans of the same corpus, each face re-signing/re-assigning
+    every vector): ONE corpus pass now computes everything every
+    consumer needs per vector — norm, the LSH nonzero-eligibility flag,
+    the hyperplane bucket, the seeded-IVF cell — into a pinned base
+    frame (guide §5 caching rule / §8 "decide with small rows, move
+    heavy bytes once").  The three approximate faces, the exact
+    brute-force baseline, AND the one-step k-means training all read
+    the pinned base; no parquet scan remains in the final plan and the
+    plane/centroid dot trees are evaluated corpus-wide exactly once
+    (the trained face's assignment, knowable only after training, runs
+    over pinned blocks).  Every face reproduces its parent recipe
+    expression-for-expression (same filters, same cosine/rounding/rank
+    formulation), so the output is byte-identical — oracle-verified.
+
     Measured at sf0.01 (random-gaussian fixture — the worst case for
     sublinear ANN, see similarity.lsh_topk): lsh (multi-probe Hamming 2,
     ~14% of corpus scanned) 0.26, ivf (nprobe 3/16, ~19% scanned) 0.44 —
@@ -3856,17 +3872,136 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     points into the full dial: scripts/ann_tradeoff.py sweeps LSH
     Hamming 0-3 and IVF nprobe 1-8 with per-setting scanned fractions;
     the monotone, scale-stable curves live in SCALE.md."""
+    from pyspark.sql import Window
+
     from kafka_streams_one_to_many_join_spark.functions.similarity import (
-        ivf_topk,
+        _cell_dots_expr,
+        brute_force_topk,
+        cosine_from_norms,
+        hyperplane_lsh_bucket,
+        ivf_probe_cells,
+        norm_expr,
+        probe_masks,
         seeded_centroids,
         train_centroids,
     )
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
+    planes = seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED)
+    cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
+    # lsh_topk's scan-level degenerate-vector predicate, verbatim (the
+    # LSH family's eligibility policy; IVF keeps full-width-only)
+    nonzero = (
+        "forall(embedding, v -> v is not null and not isnan(v))"
+        " and exists(embedding, v -> v != cast(0.0 as double))"
+    )
+    emb = load_table(spark, sf, "embeddings")
+    # ONE corpus pass: norm + LSH eligibility + hyperplane bucket +
+    # seeded-IVF cell per full-width vector, pinned.  The cell uses
+    # ivf_topk's exact two-step formulation (materialized _dots →
+    # array_position argmax) so face outputs stay byte-identical.
+    base = materialize(
+        ensure_parallelism(_emb_full_width(emb))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(norm_expr("embedding")).alias("_n"),
+            F.expr(nonzero).alias("_nz"),
+            hyperplane_lsh_bucket("embedding", planes).alias("_bucket"),
+            F.expr(_cell_dots_expr("embedding", cents)).alias("_dots"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "_n",
+            "_nz",
+            "_bucket",
+            F.expr("array_position(_dots, array_max(_dots))")
+            .cast("int")
+            .alias("_cell"),
+        )
+    )
+    base_queries = base.filter(F.col("vec_id") % 100 == 0)
+
+    # exact brute-force baseline over the pinned base (same rows as
+    # _ann_exact_topk's _emb_full_width corpus, same recipe function)
     exact = (
-        _ann_exact_topk(spark, sf)
+        brute_force_topk(
+            base.select("vec_id", "embedding"),
+            base_queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10,
+        )
         .select("query_id", "vec_id")
         .transform(materialize)
     )
+
+    def _rank10(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "vec_id")
+        )
+
+    # LSH face — lsh_topk(emb_fw, queries, planes, k=10, probe_hamming=2)
+    # expression-for-expression, candidates from the pinned bucket column
+    masks = probe_masks(_N_PLANES, 2)
+    mask_list = ", ".join(str(m) for m in masks)
+    q_lsh = base_queries.filter("_nz").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.col("_n").alias("_qn"),
+        F.explode(
+            F.expr(f"transform(array({mask_list}), m -> _bucket ^ m)")
+        ).alias("_bucket"),
+    )
+    lsh_face = _rank10(
+        base.filter("_nz")
+        .select("vec_id", "embedding", "_n", "_bucket")
+        .join(F.broadcast(q_lsh), on="_bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_from_norms("_qvec", "embedding", "_qn", "_n"), 6
+            ).alias("sim"),
+        )
+    )
+
+    def _ivf_face(corpus_cells: DataFrame, probe_cents: list) -> DataFrame:
+        # ivf_topk's probe join, verbatim: query side broadcast, <=> on
+        # the cell key (the documented isnotnull-inference fix);
+        # ``corpus_cells`` carries (vec_id, embedding, _n, _c)
+        q = base_queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qvec"),
+            F.col("_n").alias("_qn"),
+            F.explode(
+                ivf_probe_cells("embedding", probe_cents, _IVF_NPROBE)
+            ).alias("_qcell"),
+        )
+        return _rank10(
+            corpus_cells.join(
+                F.broadcast(q), on=F.col("_c").eqNullSafe(F.col("_qcell"))
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    cosine_from_norms("_qvec", "embedding", "_qn", "_n"), 6
+                ).alias("sim"),
+            )
+        )
+
+    ivf_face = _ivf_face(
+        base.select("vec_id", "embedding", "_n", F.col("_cell").alias("_c")),
+        cents,
+    )
+
     # ivf_trained (r11, VERDICT r10 item 6): the SAME IVF recipe with the
     # coarse quantizer moved by ONE deterministic spherical-kmeans Lloyd
     # step from the seeded init — the driver-checked face of
@@ -3875,24 +4010,39 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     # step, not five, so the oracle can mirror the training exactly in
     # SQL (the kmeans_step recipe as a CTE) instead of needing
     # data-dependent literals the static oracle cannot know.  Training
-    # cost is one corpus pass + one (cells × dim)-scalar collect.
-    emb = load_table(spark, sf, "embeddings")
-    emb_queries = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    # cost is one pass over the pinned base + one (cells × dim)-scalar
+    # collect (train_centroids re-applies its own full-width filter — a
+    # no-op on base — and its own ivf_cell assignment, unchanged).
+    trained = train_centroids(base, cents, iters=1)
+    # the trained assignment (knowable only after training) runs over
+    # pinned blocks, in ivf_topk's two-step materialized-dots form (one
+    # evaluation of the centroid-dot array per row, not two)
+    trained_corpus = (
+        base.select(
+            "vec_id",
+            "embedding",
+            "_n",
+            F.expr(_cell_dots_expr("embedding", trained)).alias("_dots"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "_n",
+            F.expr("array_position(_dots, array_max(_dots))")
+            .cast("int")
+            .alias("_c"),
+        )
     )
-    trained = train_centroids(
-        emb, seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED), iters=1
-    )
+    trained_face = _ivf_face(trained_corpus, trained)
     approx = (
-        q_ann_topk_lsh(spark, sf)
-        .select("query_id", "vec_id", F.lit("lsh").alias("method"))
+        lsh_face.select("query_id", "vec_id", F.lit("lsh").alias("method"))
         .unionByName(
-            q_ann_topk_ivf(spark, sf).select(
+            ivf_face.select(
                 "query_id", "vec_id", F.lit("ivf").alias("method")
             )
         )
         .unionByName(
-            ivf_topk(emb, emb_queries, trained, nprobe=_IVF_NPROBE, k=10).select(
+            trained_face.select(
                 "query_id", "vec_id", F.lit("ivf_trained").alias("method")
             )
         )

@@ -1305,13 +1305,8 @@ def simhash_buckets(
     )
 
 
-def _band_structs_expr(max_hamming: int) -> str:
-    """SQL array of (band, bval) structs over a ``simhash`` column.
-
-    Pigeonhole banding: ``max_hamming + 1`` bands over the 60-bit hash,
-    so two hashes within Hamming distance h agree on at least one band
-    (exact blocking, recall 1.0).  Deriving the band count from the
-    threshold is also the scale knob — see simhash_near_dup_pairs."""
+def _band_offsets(max_hamming: int) -> list[tuple[int, int]]:
+    """(bit offset, width) of each pigeonhole band over the 60-bit hash."""
     bands = max_hamming + 1
     if not 1 <= bands <= SIMHASH_BITS // 8:
         raise ValueError(
@@ -1325,11 +1320,33 @@ def _band_structs_expr(max_hamming: int) -> str:
         w = width + (1 if b < extra else 0)
         offsets.append((off, w))
         off += w
+    return offsets
+
+
+def _band_structs_expr(max_hamming: int) -> str:
+    """SQL array of (band, bval) structs over a ``simhash`` column.
+
+    Pigeonhole banding: ``max_hamming + 1`` bands over the 60-bit hash,
+    so two hashes within Hamming distance h agree on at least one band
+    (exact blocking, recall 1.0).  Deriving the band count from the
+    threshold is also the scale knob — see simhash_near_dup_pairs."""
     return ", ".join(
         f"named_struct('band', {b}, "
         f"'bval', pmod(shiftright(simhash, {o}), {1 << w}))"
-        for b, (o, w) in enumerate(offsets)
+        for b, (o, w) in enumerate(_band_offsets(max_hamming))
     )
+
+
+def _first_agreeing_band_expr(xor_expr: str, max_hamming: int) -> str:
+    """SQL text: the LOWEST band index on which two simhashes agree,
+    given their XOR.  Defined (non-NULL) whenever the pair is within the
+    pigeonhole threshold — Hamming ≤ max_hamming guarantees at least one
+    band's chunk of the XOR is zero."""
+    arms = " ".join(
+        f"when pmod(shiftright({xor_expr}, {o}), {1 << w}) = 0 then {b}"
+        for b, (o, w) in enumerate(_band_offsets(max_hamming))
+    )
+    return f"(case {arms} end)"
 
 
 def _simhash_band_rows(
@@ -1648,26 +1665,46 @@ def simhash_near_dup_pairs(
     # and only qualifying pairs ever become structs / exploded rows.
     # On the self-similar sf0.1 fixture one bucket alone holds 1.25M
     # candidate pairs of which ~90% fail the Hamming check — measured
-    # 2.21 s → 1.94 s for the operator (the remaining cost is the
-    # genuine 2.9M-pair xor/bit_count work plus the 271k-pair distinct).
+    # 2.21 s → 1.94 s for the operator.
+    #
+    # FIRST-AGREEING-BAND emission (r18, guide §2.4 "remove shuffles
+    # outright"): a qualifying pair agrees on up to max_hamming+1 bands
+    # and used to be emitted once per agreeing band, then collapsed by a
+    # full `.distinct()` shuffle over the pair relation (~271k rows at
+    # sf0.1; output-sized at scale).  Both members' simhashes are in the
+    # bucket row, so each bucket can decide locally whether IT is the
+    # pair's lowest agreeing band — every pair is emitted exactly once
+    # and the distinct disappears.  A few extra shiftright/pmod bit ops
+    # per qualifying pair buy the removal of one full shuffle + hash
+    # aggregate.  (Assumes unique doc_ids — the operator's existing
+    # contract: with duplicate ids the old distinct ALSO collapsed
+    # legitimately repeated pairs.)
+    #
+    # EXACT (uncapped) mode only: under ``max_bucket_size`` a pair whose
+    # first agreeing band's bucket was dropped as hot must still be
+    # emitted by a later surviving band — the capped mode keeps the
+    # per-band emission + distinct so its recall semantics are unchanged.
+    xor = "x.simhash ^ element_at(members, j + 1).simhash"
+    first_band_pred = (
+        f" and band = {_first_agreeing_band_expr(xor, max_hamming)}"
+        if max_bucket_size is None
+        else ""
+    )
     pair_expr = (
         "flatten(transform(members, (x, i) -> "
         "transform("
         "  filter(if(i + 1 >= size(members), cast(array() as array<int>), "
         "            sequence(i + 1, size(members) - 1)), "
-        f"         j -> bit_count(x.simhash ^ element_at(members, j + 1).simhash) <= {max_hamming}), "
+        f"         j -> bit_count({xor}) <= {max_hamming}{first_band_pred}), "
         "  j -> struct(x.doc_id as doc_a, element_at(members, j + 1).doc_id as doc_b, "
-        "cast(bit_count(x.simhash ^ element_at(members, j + 1).simhash) as bigint) as hamming))))"
+        f"cast(bit_count({xor}) as bigint) as hamming))))"
     )
-    return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.col("p.hamming").alias("hamming"),
-        )
-        .distinct()
+    pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"),
+        F.col("p.doc_b").alias("doc_b"),
+        F.col("p.hamming").alias("hamming"),
     )
+    return pairs if max_bucket_size is None else pairs.distinct()
 
 
 def embedding_near_dup_pairs(

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import os
 import re
+import stat
+from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,9 +98,34 @@ TESTDATA_TABLES = (
 )
 
 
-# Analyzed reader plans, keyed by (applicationId, abspath, mtime_ns, size).
-# METADATA memoization only — see load_table.
-_TABLE_PLAN_CACHE: dict[tuple, DataFrame] = {}
+# Analyzed reader plans, keyed by (session identity, abspath, content
+# fingerprint).  METADATA memoization only — see load_table.  Bounded LRU
+# (r18, ADVICE r17): the bench touches ~12 tables, but a long-lived session
+# iterating many sf dirs would otherwise grow the dict monotonically, and an
+# mtime change would leave the stale sibling entry alive forever.
+_TABLE_PLAN_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_TABLE_PLAN_CACHE_MAX = 64
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """Content fingerprint of a parquet table path for the reader-plan
+    cache key.  Spark-written tables are DIRECTORIES: the directory's own
+    mtime only moves when entries are added/removed/renamed, and its
+    st_size is not content size — a part file rewritten IN PLACE would
+    serve a stale cached plan under a dir-stat key (ADVICE r17, medium).
+    So for directories the fingerprint folds in every entry's (name,
+    mtime_ns, size); for plain files it is the file's own (mtime_ns,
+    size).  Raises OSError upward — the caller treats that as
+    uncacheable."""
+    st = os.stat(path)
+    if not stat.S_ISDIR(st.st_mode):
+        return (st.st_mtime_ns, st.st_size)
+    entries = []
+    with os.scandir(path) as it:
+        for e in sorted(it, key=lambda e: e.name):
+            es = e.stat()
+            entries.append((e.name, es.st_mtime_ns, es.st_size))
+    return (st.st_mtime_ns, tuple(entries))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -112,8 +139,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream sees ONE type — TIMESTAMP — matching the oracle engine's
     native reading of the same parquet.
 
-    The analyzed reader PLAN is memoized per (application, absolute path,
-    file mtime, file size) — r17, measured: every ``spark.read.parquet``
+    The analyzed reader PLAN is memoized per (owning session, absolute
+    path, content fingerprint) — r17, measured: every ``spark.read.parquet``
     call re-lists the path and re-reads parquet footers for schema
     inference (~110 ms warm on this host), and a bench run constructs
     every query several times (warm-up + repeats), ~600 such calls per
@@ -123,22 +150,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     processes, and every execution still scans the parquet inputs in
     full (the engine-catalog analogy: a real warehouse resolves a table
     reference from its catalog instead of re-deriving the schema from
-    data files per query).  A new SparkSession, a changed file (mtime or
-    size), or an unstat-able path misses or bypasses the cache."""
+    data files per query).  A new SparkSession — sibling ``newSession()``
+    included, via ``id(spark)`` in the key (ADVICE r17: a cached plan is
+    bound to the session that analyzed it) — a changed part file (the
+    fingerprint folds in every directory entry's mtime/size, so an
+    in-place part-file rewrite misses), or an unstat-able path misses or
+    bypasses the cache; the cache itself is a small LRU so stale
+    fingerprints for the same path age out instead of accumulating."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     key: tuple | None
     try:
-        st = os.stat(path)
         key = (
+            id(spark),
             spark.sparkContext.applicationId,
             os.path.abspath(path),
-            st.st_mtime_ns,
-            st.st_size,
+            _path_fingerprint(path),
         )
     except OSError:
         key = None
     if key is not None and key in _TABLE_PLAN_CACHE:
+        _TABLE_PLAN_CACHE.move_to_end(key)
         return _TABLE_PLAN_CACHE[key]
     df = spark.read.parquet(path)
     if name == "events" and "ts" in df.columns:
@@ -149,6 +181,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if key is not None:
         _TABLE_PLAN_CACHE[key] = df
+        while len(_TABLE_PLAN_CACHE) > _TABLE_PLAN_CACHE_MAX:
+            _TABLE_PLAN_CACHE.popitem(last=False)
     return df
 
 
@@ -165,33 +199,100 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     this is a NO-OP — no shuffle is ever added to a well-partitioned
     100 TB scan.
 
-    The under-partitioned check is ``df.rdd.getNumPartitions()`` — but
-    ONLY for plans without a shuffle exchange (r17, measured): under AQE,
-    converting a DataFrame whose plan contains an Exchange to an RDD
-    MATERIALIZES every query stage eagerly (the probe itself runs the
-    shuffles), and the real action later re-plans and re-runs them —
-    a silent double execution of the whole subtree.  A plan that already
-    shuffles is cluster-partitioned by construction (its exchanges land
-    on ``spark.sql.shuffle.partitions`` / AQE-coalesced partitioning, or
-    an upstream explicit repartition — every such call site here), so
-    the spread is skipped without probing.  Broadcast exchanges do not
-    repartition and are ignored by the guard; scan-only plans build
-    their RDD without running any job, so the probe stays free where it
-    fires.
+    The under-partitioned check runs NO job and builds NO RDD (r18,
+    VERDICT r17 item 4 — the r17 guard still paid a 1-job eager probe on
+    scan+broadcast plans, and ``df.rdd`` under AQE materializes every
+    query stage of a shuffle-bearing plan):
+
+    1. A plan already containing a shuffle ``Exchange`` is
+       cluster-partitioned by construction (its exchanges land on
+       ``spark.sql.shuffle.partitions`` / AQE-coalesced partitioning, or
+       an upstream explicit repartition — every such call site here):
+       skip.  The match is anchored to the rendered tree position
+       (ADVICE r17: a bare substring match would false-positive on a
+       column literal like ``stockExchange``); Broadcast/Reused
+       exchanges do not repartition and do not match.
+    2. Otherwise, if the plan reads files, the scan's partition count is
+       ESTIMATED from the file footprint (``df.inputFiles()`` + os.stat —
+       driver-side metadata only, no job, no RDD conversion) using
+       Spark's own split-packing arithmetic (FilePartition.maxSplitBytes:
+       files are chunked at ``maxPartitionBytes`` and small files packed
+       with ``openCostInBytes`` padding).  This is exactly the case the
+       spread exists for — a small freshly-written parquet table is 1-2
+       splits no matter how many cores the session has (the sf1
+       single-row-group fix, SCALE.md r16: 2.93x → 0.43x).
+    3. A file-less, exchange-free plan (in-flight LocalRelation /
+       checkpointed-RDD leaves) falls back to ``df.rdd.getNumPartitions``
+       — on such leaf plans the conversion runs no job; if the plan
+       contains a broadcast/subquery anyway (building its RDD WOULD run
+       the broadcast job), skip instead of probing.
     """
     if df.isStreaming:  # micro-batch partitioning is the engine's concern
         return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    floor = max(2, target // 2)
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
-    except Exception:  # defensive: fall back to the probe
+    except Exception:  # defensive: fall back to the file estimate/probe
         plan = ""
-    if re.search(r"(?<!Broadcast)(?<!Reused)Exchange", plan):
+    # anchored to a tree-node position: "Exchange hashpartitioning(...)" /
+    # "+- Exchange rangepartitioning(...)" etc.; BroadcastExchange and
+    # ReusedExchange render with their prefix attached (no word boundary)
+    if re.search(r"(?m)(?:^|[-+:] |\+- |:- )Exchange ", plan):
         return df
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    files = []
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        pass
+    if files:
+        est = _estimate_scan_partitions(spark, files)
+        if est is not None:
+            return df.repartition(target) if est < floor else df
+    if "BroadcastExchange" in plan or "Subquery" in plan:
+        # building this plan's RDD would execute the broadcast/subquery
+        # job eagerly; its stream side is an already-governed leaf
+        return df
+    if df.rdd.getNumPartitions() < floor:
         return df.repartition(target)
     return df
+
+
+def _estimate_scan_partitions(spark: SparkSession, files: list[str]) -> int | None:
+    """Estimate how many scan partitions a file-sourced plan gets, from
+    driver-side metadata only — the no-job twin of
+    ``df.rdd.getNumPartitions()`` for file scans.  Mirrors
+    ``FilePartition.maxSplitBytes`` (Spark 3.x/4.x): splittable files are
+    chunked at ``maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    totalBytes / minPartitionNum))`` and chunks are bin-packed to that
+    size with ``openCostInBytes`` padding per file, so the partition
+    count is ≈ ceil(Σ(size + openCost) / maxSplitBytes).  Returns None
+    when a file cannot be stat'ed (non-local URI) — the caller then
+    falls back to its probe."""
+    sizes = []
+    for uri in files:
+        p = uri
+        if p.startswith("file:"):
+            p = re.sub(r"^file:(//)?", "", p)
+        elif "://" in p:
+            return None  # non-local filesystem: stat not applicable
+        try:
+            sizes.append(os.stat(p).st_size)
+        except OSError:
+            return None
+    if not sizes:
+        return None
+    try:
+        conf = spark._jsparkSession.sessionState().conf()
+        max_pb = int(conf.filesMaxPartitionBytes())
+        open_cost = int(conf.filesOpenCostInBytes())
+    except Exception:
+        max_pb, open_cost = 128 << 20, 4 << 20
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total / max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_pb, max(open_cost, int(bytes_per_core)))
+    return max(1, -(-total // max(1, max_split)))
 
 
 # armed (set to a list) only by scripts/plan_audit.py — see materialize()
@@ -252,7 +353,16 @@ def materialize_with_sum(df: DataFrame, col: str) -> tuple[DataFrame, int | None
     ``DataFrame.checkpoint`` materializes through an internal RDD action
     whose observation semantics are not contractual, and a hung
     ``Observation.get`` would deadlock the driver — one small extra
-    aggregate over checkpointed blocks is the safe price there."""
+    aggregate over checkpointed blocks is the safe price there.
+
+    The local path's ``Observation`` contract is itself undocumented
+    (verified firing on ``localCheckpoint(eager=True)`` on this Spark
+    version, and pinned by a unit test), so ``obs.get`` is wrapped in a
+    BOUNDED wait (r18, ADVICE r17): if the metrics do not arrive within
+    the timeout — a future Spark dropping the internal action's
+    observation, a listener failure — the sum is recomputed with one
+    small aggregate over the already-pinned blocks instead of blocking
+    the driver forever."""
     spark = df.sparkSession
     ckpt_dir = spark.conf.get("spark.graft.checkpointDir", None) or os.environ.get(
         "SPARK_GRAFT_CHECKPOINT_DIR"
@@ -264,7 +374,35 @@ def materialize_with_sum(df: DataFrame, col: str) -> tuple[DataFrame, int | None
 
     obs = Observation()
     pinned = materialize(df.observe(obs, F.sum(F.col(col)).alias("s")))
-    return pinned, obs.get["s"]
+    got = _bounded_observation_get(obs, timeout_sec=30.0)
+    if got is _OBS_TIMEOUT:
+        return pinned, pinned.agg(F.sum(col)).collect()[0][0]
+    return pinned, got["s"]
+
+
+_OBS_TIMEOUT = object()
+
+
+def _bounded_observation_get(obs, timeout_sec: float):
+    """``Observation.get`` with a timeout: the checkpoint action has
+    already COMPLETED by the time this is called, so healthy metrics
+    arrive in milliseconds; a wait hitting the bound means the
+    observation never fired and the caller must recompute.  The waiter
+    runs on a daemon thread — if it is truly hung it cannot block
+    interpreter exit."""
+    import concurrent.futures
+
+    ex = concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="graft-obs-get"
+    )
+    try:
+        fut = ex.submit(lambda: obs.get)
+        try:
+            return fut.result(timeout=timeout_sec)
+        except concurrent.futures.TimeoutError:
+            return _OBS_TIMEOUT
+    finally:
+        ex.shutdown(wait=False)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -6,6 +6,7 @@ the same parity check at sf0.01).
 from __future__ import annotations
 
 import os
+import time
 
 import duckdb
 import pytest
@@ -93,6 +94,35 @@ def pytest_runtest_protocol(item, nextitem):
         item.ihook.pytest_runtest_logreport(report=r)
     item.ihook.pytest_runtest_logfinish(nodeid=item.nodeid, location=item.location)
     return True
+
+
+# per-directory ledger of files already given a deterministic mtime by
+# stamp_batch_mtimes (path -> assigned tick, seconds)
+_STAMPED: dict[str, dict[str, int]] = {}
+
+
+def stamp_batch_mtimes(dirpath: str) -> None:
+    """Give every not-yet-stamped file under ``dirpath`` a strictly
+    GREATER mtime than all previously stamped files there — the
+    deterministic file order the streaming tests need for
+    ``maxFilesPerTrigger`` micro-batch assignment (Spark's file stream
+    source orders by modification time, with 1-second local-fs
+    granularity through Hadoop's file status).
+
+    Replaces the ``time.sleep(1.05)`` between batch writes (r18, VERDICT
+    r17 item 2 — the suite's wall time must survive a 2× host
+    degradation inside the driver's budget): ~22 call sites, many in
+    3-batch loops, were ~60 s of pure sleep per run.  Ticks start a day
+    in the past so any file written AFTER the last stamp call still
+    sorts after every stamped one."""
+    d = _STAMPED.setdefault(os.path.abspath(dirpath), {})
+    tick = (max(d.values()) + 2) if d else int(time.time()) - 86400
+    for root, _, names in os.walk(dirpath):
+        for n in names:
+            p = os.path.join(root, n)
+            if p not in d:
+                d[p] = tick
+                os.utime(p, (tick, tick))
 
 
 @pytest.fixture(scope="session")

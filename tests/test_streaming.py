@@ -9,6 +9,8 @@ import time
 
 import pytest
 
+from conftest import stamp_batch_mtimes
+
 from pyspark.sql import functions as F
 
 from kafka_streams_one_to_many_join_spark.operators import one_to_many_join_trace
@@ -55,7 +57,7 @@ def _run_topology(spark, tmp, car_batches, zone_rows, query_suffix=""):
         spark.createDataFrame(batch, CAR_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(f"{tmp}/cars")
-        time.sleep(1.05)  # distinct mtimes → deterministic file order
+        stamp_batch_mtimes(f"{tmp}/cars")
     spark.createDataFrame(zone_rows, ZONE_SCHEMA).coalesce(1).write.parquet(
         f"{tmp}/zones"
     )
@@ -115,7 +117,7 @@ def test_move_detection_state_survives_batches(spark, tmp_path):
         spark.createDataFrame(batch, CAR_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(f"{tmp}/cars")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp}/cars")
     cars_stream = read_stream(
         spark, "parquet", f"{tmp}/cars",
         schema=spark.createDataFrame([], CAR_SCHEMA).schema,
@@ -248,7 +250,7 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     batch2 = [(datetime(2024, 1, 1, 10, 1), "click", 1.0),
               (datetime(2024, 1, 1, 10, 2), "view", 2.0)]
     _write_events(spark, f"{tmp_path}/ev", batch1)
-    time.sleep(1.05)
+    stamp_batch_mtimes(f"{tmp_path}/ev")
     _write_events(spark, f"{tmp_path}/ev", batch2)
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/ev",
@@ -306,7 +308,7 @@ def test_streaming_latest_by_key_changelog(spark, tmp_path):
         spark.createDataFrame(batch, k_schema).coalesce(1).write.mode(
             "append"
         ).parquet(f"{tmp_path}/ev")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/ev")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/ev",
         schema=spark.createDataFrame([], k_schema).schema,
@@ -596,7 +598,7 @@ def test_tumbling_agg_finalized_windows_exclude_late_rows(spark, tmp_path):
     ]
     for b in batches:
         _write_events(spark, f"{tmp_path}/ev", b)
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/ev")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/ev",
         schema=spark.createDataFrame([], EV_SCHEMA).schema,
@@ -669,7 +671,7 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/ev")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/ev")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/ev",
         schema=spark.createDataFrame([], schema).schema,
@@ -735,7 +737,7 @@ def test_streaming_quantile_matches_batch_sketch(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/docs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/docs")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/docs",
         schema=spark.createDataFrame([], schema).schema,
@@ -955,7 +957,7 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/ev")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/ev")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/ev",
         schema=spark.createDataFrame([], schema).schema,
@@ -1018,7 +1020,7 @@ def test_streaming_dedup_matches_batch_exact(spark, tmp_path, sf_dir):
         spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
             "append"
         ).parquet(f"{tmp_path}/h")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/h")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/h",
         schema=spark.createDataFrame([], schema).schema,
@@ -1104,7 +1106,7 @@ def test_streaming_cms_matches_oneshot(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/toks")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/toks")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/toks",
         schema=spark.createDataFrame([], schema).schema,
@@ -1221,7 +1223,7 @@ def test_streaming_minhash_lsh_matches_batch(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/docs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/docs")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/docs",
         schema=spark.createDataFrame([], schema).schema,
@@ -1277,7 +1279,7 @@ def test_streaming_minhash_bucket_cap(spark, tmp_path):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(f"{tmp_path}/capdocs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/capdocs")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/capdocs",
         schema=spark.createDataFrame([], schema).schema,
@@ -1330,7 +1332,7 @@ def test_streaming_bloom_matches_batch_build(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/keys")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/keys")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/keys",
         schema=spark.createDataFrame([], schema).schema,
@@ -1405,7 +1407,7 @@ def test_streaming_segment_dedup_matches_batch(spark, tmp_path):
         spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
             f"{tmp}/docs"
         )
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp}/docs")
     stream = read_stream(
         spark, "parquet", f"{tmp}/docs",
         schema=spark.createDataFrame([], schema).schema,
@@ -1489,7 +1491,7 @@ def test_streaming_segment_dedup_fixture_replay(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp}/docs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp}/docs")
     stream = read_stream(
         spark, "parquet", f"{tmp}/docs",
         schema=spark.createDataFrame([], schema).schema,
@@ -1923,7 +1925,7 @@ def test_streaming_bpe_pair_counts_match_batch(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp}/docs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp}/docs")
     stream = read_stream(
         spark, "parquet", f"{tmp}/docs",
         schema=spark.createDataFrame([], schema).schema,
@@ -2111,7 +2113,7 @@ def test_streaming_hll_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/ev")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/ev")
 
     finals = {}
     for name, op in [
@@ -2219,7 +2221,7 @@ def test_streaming_minhash_lsh_checkpoint_restart(spark, tmp_path):
                 spark.createDataFrame(batch, schema).coalesce(1).write.mode(
                     "append"
                 ).parquet(f"{workdir}/docs")
-                time.sleep(1.05)
+                stamp_batch_mtimes(f"{workdir}/docs")
             stream = read_stream(
                 spark, "parquet", f"{workdir}/docs",
                 schema=spark.createDataFrame([], schema).schema,
@@ -2276,7 +2278,7 @@ def test_streaming_token_chunks_matches_batch(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/docs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/docs")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/docs",
         schema=spark.createDataFrame([], schema).schema,
@@ -2358,7 +2360,7 @@ def test_streaming_lsh_topk_matches_batch_and_restarts(spark, tmp_path, sf_dir):
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/vecs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/vecs")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/vecs",
         schema=spark.createDataFrame([], schema).schema,
@@ -2438,7 +2440,7 @@ def test_streaming_lsh_topk_tws_matches_aipws_and_batch(spark, tmp_path, sf_dir)
         spark.createDataFrame(
             rows[i * third : (i + 1) * third], schema
         ).coalesce(1).write.mode("append").parquet(f"{tmp_path}/vecs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/vecs")
 
     def finalize(collected):
         latest: dict = {}

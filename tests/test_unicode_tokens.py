@@ -27,6 +27,8 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+
+from conftest import stamp_batch_mtimes
 from pyspark.sql import functions as F
 
 from kafka_streams_one_to_many_join_spark.functions.dedup import minhash_lsh_pairs
@@ -362,7 +364,7 @@ def test_streaming_minhash_unicode_codepoint_matches_batch(spark, tmp_path):
         spark.createDataFrame(part, schema).coalesce(1).write.mode(
             "append"
         ).parquet(f"{tmp_path}/udocs")
-        time.sleep(1.05)
+        stamp_batch_mtimes(f"{tmp_path}/udocs")
     stream = read_stream(
         spark, "parquet", f"{tmp_path}/udocs",
         schema=spark.createDataFrame([], schema).schema,
