@@ -1458,21 +1458,31 @@ def simhash_near_dup_clusters(
         materialize_with_sum,
     )
 
+    # One eager pipeline pins EVERYTHING the loop needs (r18): sigs is a
+    # LAZY checkpoint whose blocks pin as a side effect of band_rows'
+    # eager job (one setup job instead of two), and the corpus-wide
+    # signature aggregate (rep, n_docs per simhash) rides band_rows —
+    # every signature carries band 0, so ``groups`` and the jump table
+    # ``rep_sig`` are NARROW projections of the pinned band_rows blocks
+    # (guide §2.4: no re-aggregation, no extra checkpoint, no eager
+    # AQE stage execution — r17 pinned rep_sig separately, which still
+    # re-ran the groupBy stages once at construction).
     sigs = materialize(
         simhash_buckets(
             docs.filter(F.lower(F.col(text_col)).rlike(token_re(token_mode))),
             text_col,
             id_col,
             token_mode=token_mode,
-        ).select(F.col("doc_id"), F.col("simhash"))
+        ).select(F.col("doc_id"), F.col("simhash")),
+        eager=False,
     )
-    groups = sigs.groupBy("simhash").agg(
+    groups_agg = sigs.groupBy("simhash").agg(
         F.min(F.col("doc_id").cast("long")).alias("rep"),
         F.count(F.lit(1)).alias("n_docs"),
     )
     band_structs = _band_structs_expr(max_hamming)
     band_rows = materialize(
-        groups.select(
+        groups_agg.select(
             "simhash",
             "rep",
             "n_docs",
@@ -1484,6 +1494,9 @@ def simhash_near_dup_clusters(
             F.col("bs.band").alias("band"),
             F.col("bs.bval").alias("bval"),
         )
+    )
+    groups = band_rows.filter(F.col("band") == 0).select(
+        "simhash", "rep", "n_docs"
     )
     # Round 1 doubles as the graph-membership filter: a signature's min
     # verified-neighbor label (OTHER signatures only) is non-NULL iff it
@@ -1540,13 +1553,13 @@ def simhash_near_dup_clusters(
     # difference between 25 rounds and ~6 on chain-shaped near-dup
     # components (incremental-edit chains, the dense-twin shape).
     #
-    # rep_sig is LOOP-INVARIANT (r17): un-pinned it re-aggregated the
-    # corpus-sized groups frame — a full groupBy(simhash) shuffle over
-    # every distinct signature — once per round inside the jump join.
-    # One lazy checkpoint hoists it out of all rounds.
-    rep_sig = materialize(
-        groups.select(F.col("rep").alias("lbl"), F.col("simhash").alias("_ls")),
-        eager=False,
+    # rep_sig is LOOP-INVARIANT (r17) and, since r18, a narrow
+    # projection of the pinned band_rows blocks (via ``groups``) — no
+    # checkpoint of its own, no per-round re-aggregation, and no eager
+    # stage execution at construction (the r17 lazy checkpoint still
+    # ran the groupBy's shuffle stages once under AQE's toRdd).
+    rep_sig = groups.select(
+        F.col("rep").alias("lbl"), F.col("simhash").alias("_ls")
     )
     for _ in range(max_iter):
         propagated = (
