@@ -3935,15 +3935,13 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         .transform(materialize)
     )
 
-    def _rank10(scored: DataFrame) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("sim").desc(), F.col("vec_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= 10)
-            .select("query_id", "vec_id")
-        )
+    # Per-face ranking is a row_number window partitioned by query_id —
+    # one window per face used to mean one sort EXCHANGE per face (3
+    # total).  The three faces' scored candidates are instead UNIONED
+    # with their method tag and ranked by ONE window partitioned by
+    # (method, query_id) (r18, guide §2.4: operations keyed the same way
+    # share one exchange) — per-(face, query) ranking is unchanged
+    # expression-for-expression, so face outputs are byte-identical.
 
     # LSH face — lsh_topk(emb_fw, queries, planes, k=10, probe_hamming=2)
     # expression-for-expression, candidates from the pinned bucket column
@@ -3957,7 +3955,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(f"transform(array({mask_list}), m -> _bucket ^ m)")
         ).alias("_bucket"),
     )
-    lsh_face = _rank10(
+    lsh_scored = (
         base.filter("_nz")
         .select("vec_id", "embedding", "_n", "_bucket")
         .join(F.broadcast(q_lsh), on="_bucket")
@@ -3971,7 +3969,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
-    def _ivf_face(corpus_cells: DataFrame, probe_cents: list) -> DataFrame:
+    def _ivf_scored(corpus_cells: DataFrame, probe_cents: list) -> DataFrame:
         # ivf_topk's probe join, verbatim: query side broadcast, <=> on
         # the cell key (the documented isnotnull-inference fix);
         # ``corpus_cells`` carries (vec_id, embedding, _n, _c)
@@ -3983,7 +3981,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
                 ivf_probe_cells("embedding", probe_cents, _IVF_NPROBE)
             ).alias("_qcell"),
         )
-        return _rank10(
+        return (
             corpus_cells.join(
                 F.broadcast(q), on=F.col("_c").eqNullSafe(F.col("_qcell"))
             )
@@ -3997,7 +3995,7 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
-    ivf_face = _ivf_face(
+    ivf_scored = _ivf_scored(
         base.select("vec_id", "embedding", "_n", F.col("_cell").alias("_c")),
         cents,
     )
@@ -4033,19 +4031,19 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
             .alias("_c"),
         )
     )
-    trained_face = _ivf_face(trained_corpus, trained)
+    trained_scored = _ivf_scored(trained_corpus, trained)
+    scored_union = (
+        lsh_scored.withColumn("method", F.lit("lsh"))
+        .unionByName(ivf_scored.withColumn("method", F.lit("ivf")))
+        .unionByName(trained_scored.withColumn("method", F.lit("ivf_trained")))
+    )
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
     approx = (
-        lsh_face.select("query_id", "vec_id", F.lit("lsh").alias("method"))
-        .unionByName(
-            ivf_face.select(
-                "query_id", "vec_id", F.lit("ivf").alias("method")
-            )
-        )
-        .unionByName(
-            trained_face.select(
-                "query_id", "vec_id", F.lit("ivf_trained").alias("method")
-            )
-        )
+        scored_union.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "method")
     )
     hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
     n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
