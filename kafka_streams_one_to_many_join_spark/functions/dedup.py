@@ -393,10 +393,19 @@ def minhash_band_index(
     token_mode: str = "ascii",
     shingle_unit: str = "word",
     carry_hset: bool = True,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """The per-document LSH band index: ``(doc_id, band, bsig, hset)`` —
     one row per (doc, band) with the band's minhash signature slice and
     the doc's full 31-bit shingle-hash set (the verification payload).
+
+    ``carry_sig=True`` (r18, internal to ``minhash_lsh_pairs``): each
+    band row additionally carries the doc's FULL minhash signature
+    (``sig``, num_hashes ints — small next to the hset), which lets the
+    in-bucket pair expansion decide whether an earlier band already
+    found the same pair (first-agreeing-band emission — removes the
+    output-sized ``.distinct()``).  Not part of the persistable index
+    layout.
 
     ``carry_hset=False`` (r16 — the sf100 finding): emit LEAN band rows
     ``(doc_id, band, bsig)`` and store the verification payload once
@@ -449,6 +458,8 @@ def minhash_band_index(
         F.array(*[f"_s{j}" for j in range(num_hashes)]).alias("sig"),
         *payload,
     )
+    if carry_sig:
+        payload = payload + ["sig"]
     return per_doc.select(
         "doc_id",
         *payload,
@@ -1123,6 +1134,9 @@ def minhash_lsh_pairs(
         hash_mode=hash_mode,
         token_mode=token_mode,
         shingle_unit=shingle_unit,
+        # uncapped mode emits each pair from its FIRST agreeing band
+        # (r18) — the decision needs the full signature in the bucket
+        carry_sig=max_bucket_size is None,
     )
     # hot-bucket guard BEFORE the members aggregate, not after (r13):
     # filtering the BUILT bucket row caps only the pair explode —
@@ -1155,9 +1169,16 @@ def minhash_lsh_pairs(
             ).select("band", "bsig"),
             ["band", "bsig"],
         )
+    member_cols = ["doc_id", "hset"] + (
+        ["sig"] if max_bucket_size is None else []
+    )
     buckets = (
         band_rows.groupBy("band", "bsig")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(*member_cols))
+            ).alias("members")
+        )
         .filter(F.size("members") > 1)
     )
     # n_common/n_total are computed INSIDE the pair lambda, so the O(|hset|)
@@ -1167,13 +1188,40 @@ def minhash_lsh_pairs(
     # the pushed-down jaccard filter — 3 evaluations per surviving pair
     # (the ann_topk_ivf regression class; the hygiene fence now counts
     # array_intersect too).
-    pair_expr = (
-        "flatten(transform(members, (x, i) -> "
-        "transform(slice(members, i + 2, size(members) - i - 1), y -> "
-        "struct(x.doc_id as doc_a, y.doc_id as doc_b, "
-        "cast(size(array_intersect(x.hset, y.hset)) as bigint) as n_common, "
-        "size(x.hset) + size(y.hset) as n_total))))"
-    )
+    if max_bucket_size is None:
+        # First-agreeing-band emission (r18, the simhash_near_dup_pairs
+        # r18 pattern): a candidate pair agreeing on several bands used
+        # to be expanded, verified, and shuffled once PER band, with an
+        # output-sized .distinct() folding the copies.  Each member row
+        # carries the full signature, so the pair lambda skips any pair
+        # an earlier band already emitted (their slices agree there) —
+        # every qualifying pair surfaces exactly once, the duplicate
+        # intersects are never computed, and the distinct disappears.
+        # Capped mode cannot do this: its first-agreeing band's bucket
+        # may have been dropped as hot, so it keeps per-band emission +
+        # distinct.
+        rows_per_band = num_hashes // bands
+        first_band = (
+            "band = 0 or not exists(sequence(0, band - 1), bb -> "
+            f"slice(x.sig, bb * {rows_per_band} + 1, {rows_per_band}) = "
+            f"slice(y.sig, bb * {rows_per_band} + 1, {rows_per_band}))"
+        )
+        pair_expr = (
+            "flatten(transform(members, (x, i) -> "
+            "transform(filter(slice(members, i + 2, size(members) - i - 1), "
+            f"y -> {first_band}), y -> "
+            "struct(x.doc_id as doc_a, y.doc_id as doc_b, "
+            "cast(size(array_intersect(x.hset, y.hset)) as bigint) as n_common, "
+            "size(x.hset) + size(y.hset) as n_total))))"
+        )
+    else:
+        pair_expr = (
+            "flatten(transform(members, (x, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), y -> "
+            "struct(x.doc_id as doc_a, y.doc_id as doc_b, "
+            "cast(size(array_intersect(x.hset, y.hset)) as bigint) as n_common, "
+            "size(x.hset) + size(y.hset) as n_total))))"
+        )
     verified = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
@@ -1190,6 +1238,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if max_bucket_size is None:
+        # first-agreeing-band emission already yields each pair once
+        return verified
     # the same pair can surface from several bands with the identical
     # verified jaccard — dedupe at the very end, on the small result
     return verified.distinct()

@@ -129,15 +129,18 @@ def test_minhash_lsh_max_bucket_size(spark):
     assert capped == unbounded - {(a, b) for a in range(6) for b in range(a + 1, 6)}
     assert (10, 11) in capped
 
-    # the cap is a post-aggregate size predicate — same exchange count
-    # (compare FRESH plans: a collected DF prints AQE's final plan, whose
-    # ShuffleQueryStage wrappers re-print each Exchange)
+    # plan shape (compare FRESH plans: a collected DF prints AQE's final
+    # plan, whose ShuffleQueryStage wrappers re-print each Exchange):
+    # uncapped emits each pair from its first agreeing band (r18) so it
+    # has NO output-sized distinct exchange; capped mode keeps per-band
+    # emission + distinct (its first-agreeing bucket may be dropped as
+    # hot), costing exactly one more exchange.
     n_exchanges = lambda df: df._jdf.queryExecution().executedPlan().toString().count(
         "Exchange"
     )
     assert n_exchanges(
         minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3, max_bucket_size=5)
-    ) == n_exchanges(minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3))
+    ) == n_exchanges(minhash_lsh_pairs(docs, threshold=0.5, shingle_n=3)) + 1
 
 
 def test_simhash_vote_modes_bit_identical(spark):
