@@ -820,9 +820,19 @@ def q_minhash_lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     bsig_h (sources/bucketed.py) so the probe join reads it
     shuffle-free — plan-asserted in tests/test_plans.py; the
     delta-vs-full cost is measured at two scale decades in SCALE.md
-    round 13."""
+    round 13.
+
+    r18 (VERDICT r17 item 7): the roster now exercises the NORMALIZED
+    index layout — lean band rows + the doc-keyed hsets companion,
+    built in one corpus pass (minhash_band_index_normalized).  The
+    carried layout duplicates every verification payload bands×, which
+    made the index's own scan-and-rewrite the dominant maintenance term
+    at sf100 (maintain/rebuild degraded to 0.741 vs 0.335 normalized —
+    SCALE.md r16); the normalized layout is the measured at-scale
+    optimum and the probe's pair output is layout-independent
+    (differentially asserted)."""
     from kafka_streams_one_to_many_join_spark.functions.dedup import (
-        minhash_band_index,
+        minhash_band_index_normalized,
         minhash_lsh_pairs_incremental,
     )
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
@@ -830,9 +840,12 @@ def q_minhash_lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf, "documents"))
     frozen = docs.filter(F.col("doc_id") % 10 != 7)
     shard = docs.filter(F.col("doc_id") % 10 == 7)
-    index = minhash_band_index(frozen, num_hashes=16, bands=8, shingle_n=3)
+    index, hsets = minhash_band_index_normalized(
+        frozen, num_hashes=16, bands=8, shingle_n=3
+    )
     return minhash_lsh_pairs_incremental(
-        shard, index, num_hashes=16, bands=8, threshold=0.7, shingle_n=3
+        shard, index, num_hashes=16, bands=8, threshold=0.7, shingle_n=3,
+        hsets=hsets,
     )
 
 
@@ -1112,10 +1125,19 @@ def q_minhash_lsh_maintained(spark: SparkSession, sf: str) -> DataFrame:
     of the reference's N-side delete propagation
     (DemoApp.scala:224-230).  At scale the retraction is a broadcast
     anti-join — the bucketed index streams through exchange-free;
-    maintain-vs-rebuild cost is measured in SCALE.md r14."""
+    maintain-vs-rebuild cost is measured in SCALE.md r14.
+
+    r18 (VERDICT r17 item 7): maintained in the NORMALIZED layout —
+    lean band rows + the doc-keyed hsets companion, both maintained in
+    lockstep by minhash_band_index_apply.  The carried layout rewrites
+    every hset bands× per maintenance pass, which dominated at sf100
+    (maintain/rebuild 0.741 carried vs 0.335 normalized, SCALE.md r16);
+    the normalized layout is the measured at-scale optimum and the
+    probe's pair output is layout-independent (differentially
+    asserted in tests/test_minhash_incremental.py)."""
     from kafka_streams_one_to_many_join_spark.functions.dedup import (
-        minhash_band_index,
         minhash_band_index_apply,
+        minhash_band_index_normalized,
         minhash_lsh_pairs_incremental,
     )
     from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
@@ -1123,16 +1145,19 @@ def q_minhash_lsh_maintained(spark: SparkSession, sf: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf, "documents"))
     frozen = docs.filter(F.col("doc_id") % 10 != 3)
     shard = docs.filter(F.col("doc_id") % 10 == 3)
-    index = minhash_band_index(frozen, num_hashes=16, bands=8, shingle_n=3)
+    index, hsets = minhash_band_index_normalized(
+        frozen, num_hashes=16, bands=8, shingle_n=3
+    )
     corrected = frozen.filter(F.col("doc_id") % 10 == 6).withColumn(
         "text", F.concat(F.col("text"), F.lit(" corrected edition"))
     )
     deletes = frozen.filter(F.col("doc_id") % 10 == 9).select("doc_id")
-    maintained = minhash_band_index_apply(
-        index, upserts=corrected, delete_ids=deletes
+    maintained, m_hsets = minhash_band_index_apply(
+        index, upserts=corrected, delete_ids=deletes, hsets=hsets
     )
     return minhash_lsh_pairs_incremental(
-        shard, maintained, num_hashes=16, bands=8, threshold=0.7, shingle_n=3
+        shard, maintained, num_hashes=16, bands=8, threshold=0.7, shingle_n=3,
+        hsets=m_hsets,
     )
 
 
