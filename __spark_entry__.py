@@ -1029,59 +1029,123 @@ def q_ann_topk_maintained(spark: SparkSession, sf: str) -> DataFrame:
     query side broadcast.  Maintain-vs-rebuild and probe-vs-full
     measured at sf1/sf10 in SCALE.md r16 (IVF-256: maintain 0.338x,
     probe 0.106x)."""
+    from pyspark.sql import Window
+
     from kafka_streams_one_to_many_join_spark.functions.similarity import (
+        _cell_dots_expr,
+        _ivf_stamp,
+        _lsh_eligible,
+        _lsh_stamp,
         ann_index_apply,
-        ann_ivf_index,
-        ann_lsh_index,
-        ann_topk_indexed,
+        ann_scored_indexed,
+        hyperplane_lsh_bucket,
+        norm_expr,
         seeded_centroids,
     )
+    from kafka_streams_one_to_many_join_spark.model import ensure_parallelism
 
     emb = load_table(spark, sf, "embeddings")
     planes = seeded_planes(_N_PLANES, _EMB_DIM, _PLANES_SEED)
+    cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
     upserts = emb.filter(F.col("vec_id") % 7 == 3).withColumn(
         "embedding", F.reverse("embedding")
     )
     deletes = emb.filter(F.col("vec_id") % 11 == 5).select("vec_id")
 
+    # ONE pinned corpus pass builds BOTH frozen indexes (r18 — the
+    # ann_recall base pattern, guide §5/§8): ann_lsh_index and
+    # ann_ivf_index each scanned the corpus and computed its norms
+    # separately, so the corpus was read and normed twice per
+    # construction.  The combined pass computes norm + hyperplane bucket
+    # + IVF cell + the LSH family's eligibility flag per full-width
+    # vector once; each frozen index is then a NARROW projection of the
+    # pinned blocks carrying its own geometry stamp (LSH additionally
+    # filters to its baked-in eligibility — a subset of full-width, so
+    # the projections reproduce ann_lsh_index/ann_ivf_index
+    # row-for-row; differentially covered by the maintained-vs-rebuilt
+    # oracle hash).
+    lsh_ok = (
+        "forall(embedding, v -> v is not null and not isnan(v))"
+        " and exists(embedding, v -> v != cast(0.0 as double))"
+    )
+    base = materialize(
+        ensure_parallelism(
+            emb.filter(
+                F.col("embedding").isNotNull()
+                & (F.size("embedding") == _EMB_DIM)
+            )
+        ).select(
+            "vec_id",
+            "embedding",
+            F.expr(norm_expr("embedding")).alias("norm"),
+            F.expr(lsh_ok).alias("_lsh_ok"),
+            hyperplane_lsh_bucket("embedding", planes).alias("_bucket"),
+            F.expr(_cell_dots_expr("embedding", cents)).alias("_dots"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            "_lsh_ok",
+            "_bucket",
+            F.expr("array_position(_dots, array_max(_dots))")
+            .cast("int")
+            .alias("_cell"),
+        )
+    )
+    lsh_index = base.filter("_lsh_ok").select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.col("_bucket").alias("bucket", metadata=_lsh_stamp(planes)),
+    )
+    ivf_index = base.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.col("_cell").alias("cell", metadata=_ivf_stamp(cents)),
+    )
+
     # Pin each maintained index once (r17): it feeds BOTH the query-set
     # derivation and the probe, and an unpinned diamond plants the whole
-    # build+maintain subtree (plane/centroid dots over the corpus, the
-    # repo's heaviest expression trees) TWICE in the final plan — double
-    # execution AND double analysis of the giant geometry expressions.
-    # The checkpoint is the production shape anyway: a real nightly
-    # index is WRITTEN after maintenance and the probe reads the stored
-    # rows (SCALE.md r16's 0.106× probe measurement is exactly that).
-    # Geometry stamps survive the checkpoint (column metadata rides the
-    # schema), so the probe still resolves planes/centroids from the
-    # pinned frame.  Measured (r17, interleaved A/B at sf0.1, bursty
-    # host): medians 4.75 → 4.58 s — within host noise at this scale,
-    # where fixed stage overhead dominates; the structural win (plane/
-    # centroid dots over the corpus computed once, not twice) grows
-    # with corpus size.  Plan evidence: plans/r17/ann_topk_maintained_*.
-    lsh_index = ann_lsh_index(emb, planes)
+    # maintain subtree (including the upsert re-signing) twice in the
+    # final plan.  The checkpoint is the production shape anyway: a real
+    # nightly index is WRITTEN after maintenance and the probe reads the
+    # stored rows (SCALE.md r16's 0.106× probe measurement is exactly
+    # that).  Geometry stamps survive the checkpoint (column metadata
+    # rides the schema), so the probe still resolves planes/centroids
+    # from the pinned frame.  Plan evidence: plans/r17 (the r17 pinning)
+    # and plans/r18 (this round's single-pass base).
     m_lsh = materialize(
         ann_index_apply(lsh_index, upserts=upserts, delete_ids=deletes)
     )
     q_lsh = m_lsh.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    lsh_face = ann_topk_indexed(
-        m_lsh, q_lsh, k=10, probe_hamming=2
-    ).withColumn("method", F.lit("lsh"))
-
-    cents = seeded_centroids(_IVF_NLIST, _EMB_DIM, _IVF_SEED)
-    ivf_index = ann_ivf_index(emb, cents)
     m_ivf = materialize(
         ann_index_apply(ivf_index, upserts=upserts, delete_ids=deletes)
     )
     q_ivf = m_ivf.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf_face = ann_topk_indexed(
-        m_ivf, q_ivf, k=10, nprobe=_IVF_NPROBE
-    ).withColumn("method", F.lit("ivf"))
-    return lsh_face.unionByName(ivf_face)
+    # Both probe faces ranked by ONE window keyed (method, query_id)
+    # (r18, the ann_recall shared-window pattern) — per-face ranking is
+    # unchanged because the window keys nest.
+    scored = ann_scored_indexed(m_lsh, q_lsh, probe_hamming=2).withColumn(
+        "method", F.lit("lsh")
+    ).unionByName(
+        ann_scored_indexed(m_ivf, q_ivf, nprobe=_IVF_NPROBE).withColumn(
+            "method", F.lit("ivf")
+        )
+    )
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "sim", "rank", "method")
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:

@@ -841,8 +841,47 @@ def ann_topk_indexed(
     same corpus exactly (differentially asserted), including the
     degenerate-vector policy, which the index bakes in corpus-side and
     this probe applies query-side."""
+    scored = ann_scored_indexed(
+        index,
+        queries,
+        probe_hamming=probe_hamming,
+        nprobe=nprobe,
+        planes=planes,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def ann_scored_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    probe_hamming: int = 1,
+    nprobe: int = 3,
+    planes: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """``ann_topk_indexed`` WITHOUT the final ranking window: the scored
+    candidate frame ``(query_id, vec_id, sim)``.  Exists so a caller
+    probing SEVERAL indexes can union the scored frames (tagged) and
+    rank them with ONE window keyed (tag, query_id) instead of one sort
+    exchange per index (r18, guide §2.4 — the ann_recall shared-window
+    pattern); per-(index, query) ranking is unchanged because the
+    window keys nest."""
     method, geom = _ann_resolve_geometry(
-        index, planes, centroids, "ann_topk_indexed"
+        index, planes, centroids, "ann_scored_indexed"
     )
     dim = len(geom[0])
     if method == "hyperplane_lsh":
@@ -889,7 +928,7 @@ def ann_topk_indexed(
     # never null by construction, so <=> is semantics-identical and
     # still a hash-join key; a parquet-read index is unaffected either
     # way.
-    scored = (
+    return (
         ensure_parallelism(index)
         .join(
             F.broadcast(q),
@@ -903,12 +942,4 @@ def ann_topk_indexed(
                 cosine_from_norms("_qvec", vec_col, "_qn", "norm"), 6
             ).alias("sim"),
         )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
     )
