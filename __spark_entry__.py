@@ -3654,7 +3654,10 @@ def q_segment_dedup_maintained(spark: SparkSession, sf: str) -> DataFrame:
     # fixed stage overhead floors the ratio at this scale — the killed
     # re-tokenizations grow with corpus size).  Plan evidence:
     # plans/r17/segment_dedup_maintained_*.
-    pairs = materialize(segment_pairs(frozen))
+    # pairs is a LAZY checkpoint: counts' eager job computes (and
+    # thereby pins) it — one setup job instead of two (r18; the
+    # simhash_clusters sigs/band_rows pattern)
+    pairs = materialize(segment_pairs(frozen), eager=False)
     counts = materialize(
         pairs.groupBy("seg_h").agg(F.count(F.lit(1)).alias("occ"))
     )
