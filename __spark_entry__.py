@@ -4103,7 +4103,10 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     # cost is one pass over the pinned base + one (cells × dim)-scalar
     # collect (train_centroids re-applies its own full-width filter — a
     # no-op on base — and its own ivf_cell assignment, unchanged).
-    trained = train_centroids(base, cents, iters=1)
+    # the pinned base already carries the seeded-centroid assignment, so
+    # training's one Lloyd step reads it (assign_col, r18) instead of
+    # re-evaluating the nlist × dim dot argmax over the corpus
+    trained = train_centroids(base, cents, iters=1, assign_col="_cell")
     # the trained assignment (knowable only after training) runs over
     # pinned blocks, in ivf_topk's two-step materialized-dots form (one
     # evaluation of the centroid-dot array per row, not two)

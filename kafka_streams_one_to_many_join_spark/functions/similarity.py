@@ -386,6 +386,7 @@ def train_centroids(
     init: list[list[float]],
     iters: int = 5,
     vec_col: str = "embedding",
+    assign_col: str | None = None,
 ) -> list[list[float]]:
     """Spherical k-means training for the IVF coarse quantizer: iterate
     the ``kmeans_step`` recipe (assign via ``ivf_cell`` argmax-dot,
@@ -432,9 +433,22 @@ def train_centroids(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
     )
     cents = [list(c) for c in init]
-    for _ in range(iters):
+    for it in range(iters):
+        # ``assign_col`` (r18): a caller that has ALREADY materialized
+        # the init-centroid assignment (e.g. ann_recall's pinned base
+        # carries ivf_cell(vec, init) per row) names that column and the
+        # first iteration reads it instead of re-evaluating the
+        # nlist × dim dot argmax over the whole corpus.  Caller
+        # contract: the column equals ``ivf_cell(vec_col, init)`` on
+        # this corpus — later iterations always recompute (their
+        # centroids moved).
+        assign = (
+            F.col(assign_col)
+            if (it == 0 and assign_col is not None)
+            else ivf_cell(vec_col, cents)
+        )
         rows = (
-            corpus.select(ivf_cell(vec_col, cents).alias("_cell"), vec_col)
+            corpus.select(assign.alias("_cell"), vec_col)
             .select("_cell", F.posexplode(vec_col).alias("_dim", "_x"))
             .groupBy("_cell", "_dim")
             .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
