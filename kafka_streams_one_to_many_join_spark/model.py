@@ -232,6 +232,25 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     floor = max(2, target // 2)
+    # CHEAP check first (r18, ADVICE r17: rendering executedPlan() pays
+    # full analysis+optimization+physical planning of the subtree — up
+    # to ~0.5 s on the in-flight index trees — and the caller's final
+    # plan pays it again).  ``inputFiles()`` needs ANALYSIS only; when
+    # the file footprint alone already proves the scan well-partitioned
+    # (est >= floor), the answer is "leave df alone" REGARDLESS of what
+    # the physical plan holds — a shuffle-bearing plan would also be
+    # left alone — so the physical render is skipped entirely.  Only
+    # the under-partitioned-footprint case still needs the plan: an
+    # Exchange above the small scan means the data is already spread by
+    # the shuffle and a repartition on top would be pure cost.
+    files = []
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        pass
+    est = _estimate_scan_partitions(spark, files) if files else None
+    if est is not None and est >= floor:
+        return df
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:  # defensive: fall back to the file estimate/probe
@@ -241,15 +260,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     # ReusedExchange render with their prefix attached (no word boundary)
     if re.search(r"(?m)(?:^|[-+:] |\+- |:- )Exchange ", plan):
         return df
-    files = []
-    try:
-        files = list(df.inputFiles())
-    except Exception:
-        pass
-    if files:
-        est = _estimate_scan_partitions(spark, files)
-        if est is not None:
-            return df.repartition(target) if est < floor else df
+    if est is not None:
+        return df.repartition(target)  # under-partitioned file scan
     if "BroadcastExchange" in plan or "Subquery" in plan:
         # building this plan's RDD would execute the broadcast/subquery
         # job eagerly; its stream side is an already-governed leaf
