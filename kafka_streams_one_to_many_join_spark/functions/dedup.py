@@ -926,10 +926,14 @@ def minhash_lsh_pairs_incremental(
     )
     if not validated:
         index = _assert_bsig_width(index, params["num_hashes"], params["bands"])
+    # uncapped mode dedups pairs structurally (first-agreeing-band
+    # within the shard, id-distinct candidates against the index) — the
+    # within-shard decision needs the full signature on the bucket rows
     new_rows = minhash_band_index(
         new_docs,
         text_col=text_col,
         id_col=id_col,
+        carry_sig=max_bucket_size is None,
         **params,
     )
     # the band rows feed BOTH the index join and the within-shard bucket
@@ -1021,13 +1025,21 @@ def minhash_lsh_pairs_incremental(
         old_keys = index.select(
             *join_keys, F.col("doc_id").alias("_old_id")
         )
-        cand = materialize(
+        cand_rows = (
             new.select(*join_keys, "_new_id")
             .join(old_keys, on=join_keys)
             .filter(F.col("_old_id") != F.col("_new_id"))
-            .select("_new_id", "_old_id"),
-            eager=False,
+            .select("_new_id", "_old_id")
         )
+        if max_bucket_size is None:
+            # id-distinct BEFORE the payload attaches (r18): a pair
+            # agreeing on several bands used to be attached and
+            # intersected once per band, with the output-sized final
+            # .distinct() folding the copies.  Ids are 16 bytes/row, so
+            # deduping here is the cheapest possible place; capped mode
+            # keeps per-band candidates (the final distinct handles it).
+            cand_rows = cand_rows.distinct()
+        cand = materialize(cand_rows, eager=False)
         old_h = hsets.select(
             F.col(id_col).alias("_old_id"), F.col("hset").alias("_old_hset")
         ).join(F.broadcast(cand.select("_old_id").distinct()), "_old_id")
@@ -1039,18 +1051,44 @@ def minhash_lsh_pairs_incremental(
             .join(old_h, "_old_id")
             .select(*pair_cols)
         )
+    member_cols = ["doc_id", "hset"] + (
+        ["sig"] if max_bucket_size is None else []
+    )
     within_buckets = (
         new_rows.groupBy("band", "bsig")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hset"))).alias("members"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(*member_cols))
+            ).alias("members")
+        )
         .filter(F.size("members") > 1)
     )
-    pair_expr = (
-        "flatten(transform(members, (x, i) -> "
-        "transform(slice(members, i + 2, size(members) - i - 1), y -> "
-        "struct(x.doc_id as doc_a, y.doc_id as doc_b, "
-        "cast(size(array_intersect(x.hset, y.hset)) as bigint) as n_common, "
-        "size(x.hset) + size(y.hset) as n_total))))"
-    )
+    if max_bucket_size is None:
+        # first-agreeing-band emission for the within-shard pairs (r18,
+        # the minhash_lsh_pairs pattern): each pair surfaces from the
+        # first band whose slices agree, so no duplicates exist to fold
+        rows_per_band = params["num_hashes"] // params["bands"]
+        first_band = (
+            "band = 0 or not exists(sequence(0, band - 1), bb -> "
+            f"slice(x.sig, bb * {rows_per_band} + 1, {rows_per_band}) = "
+            f"slice(y.sig, bb * {rows_per_band} + 1, {rows_per_band}))"
+        )
+        pair_expr = (
+            "flatten(transform(members, (x, i) -> "
+            "transform(filter(slice(members, i + 2, size(members) - i - 1), "
+            f"y -> {first_band}), y -> "
+            "struct(x.doc_id as doc_a, y.doc_id as doc_b, "
+            "cast(size(array_intersect(x.hset, y.hset)) as bigint) as n_common, "
+            "size(x.hset) + size(y.hset) as n_total))))"
+        )
+    else:
+        pair_expr = (
+            "flatten(transform(members, (x, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), y -> "
+            "struct(x.doc_id as doc_a, y.doc_id as doc_b, "
+            "cast(size(array_intersect(x.hset, y.hset)) as bigint) as n_common, "
+            "size(x.hset) + size(y.hset) as n_total))))"
+        )
     within = within_buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
         F.col("p.doc_a").alias("doc_a"),
         F.col("p.doc_b").alias("doc_b"),
@@ -1067,6 +1105,12 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if max_bucket_size is None and "hset" not in index.columns:
+        # uncapped + normalized: cross pairs are id-distinct by
+        # construction and within pairs first-band-unique; the id
+        # spaces are disjoint (caller contract), so nothing remains to
+        # dedupe — the output-sized distinct disappears
+        return verified
     return verified.distinct()
 
 
